@@ -1,0 +1,117 @@
+"""Differentiable quantized matmuls via jax.custom_vjp.
+
+TPU-native replacement for the reference's torch.autograd layer
+(python_src_quants/autograd/_functions.py): MatMul8bitLt -> `matmul`,
+MatMul4Bit -> `matmul_4bit`. There is no MatmulLtState mutation — weight
+quantization state is an explicit argument (a pytree), and the whole
+forward is one jitted computation instead of ~8 kernel launches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import functional as F
+from .types import QuantState
+
+__all__ = ["matmul", "matmul_4bit", "matmul_8bit_lt"]
+
+
+def _zero_cotangent(x):
+    """Zero cotangent for a (possibly integer-dtype) pytree: float0 for
+    integer leaves per JAX's custom_vjp contract, zeros otherwise."""
+    def leaf(a):
+        if jnp.issubdtype(jnp.result_type(a), jnp.inexact):
+            return jnp.zeros_like(a)
+        return np.zeros(jnp.shape(a), dtype=jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(leaf, x)
+
+
+# ---------------------------------------------------------------------------
+# LLM.int8(): y = A @ dequant(CB)^T + outlier sidecar; backward matches the
+# reference's grad_A = g @ dequant(CB) (autograd/_functions.py:436-483)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def matmul_8bit_lt(A, CB, SCB, threshold=6.0, bias=None):
+    return F.llm_int8_matmul(A, CB, SCB, threshold=threshold, bias=bias)
+
+
+def _mm8_fwd(A, CB, SCB, threshold, bias):
+    out = F.llm_int8_matmul(A, CB, SCB, threshold=threshold, bias=bias)
+    return out, (A, CB, SCB, bias)
+
+
+def _mm8_bwd(threshold, res, g):
+    A, CB, SCB, bias = res
+    g2 = g.reshape(-1, g.shape[-1])
+    # grad_A = g @ dequant(CB). The reference quantizes g to int8 first
+    # (autograd/_functions.py:455,465-473); we keep full precision for the
+    # cotangent — strictly more accurate, same cost class on the MXU.
+    W = CB.astype(jnp.float32) * (SCB.astype(jnp.float32)[:, None] / 127.0)
+    grad_A = jnp.matmul(g2.astype(jnp.float32), W).reshape(A.shape).astype(A.dtype)
+    grad_bias = None if bias is None else g2.sum(0).astype(bias.dtype)
+    return grad_A, _zero_cotangent(CB), jnp.zeros_like(SCB), grad_bias
+
+
+matmul_8bit_lt.defvjp(_mm8_fwd, _mm8_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 4-bit: y = A @ dequant(W)^T; grad_A = g @ dequant(W)
+# (autograd/_functions.py:490-540 MatMul4Bit)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _matmul_4bit_vjp(A, data, quant_state, bias):
+    return F.matmul_4bit_ref(A, data, quant_state, bias)
+
+
+def _mm4_fwd(A, data, quant_state, bias):
+    out = F.matmul_4bit_ref(A, data, quant_state, bias)
+    return out, (data, quant_state, bias, A.dtype)
+
+
+def _mm4_bwd(res, g):
+    data, quant_state, bias, a_dtype = res
+    W = F.dequantize_4bit(data, quant_state).astype(g.dtype)
+    grad_A = jnp.matmul(g, W, preferred_element_type=jnp.float32).astype(a_dtype)
+    grad_bias = None if bias is None else g.reshape(-1, g.shape[-1]).sum(0).astype(bias.dtype)
+    return grad_A, _zero_cotangent(data), _zero_cotangent(quant_state), grad_bias
+
+
+_matmul_4bit_vjp.defvjp(_mm4_fwd, _mm4_bwd)
+
+
+def matmul_4bit(
+    A: jax.Array,
+    data: jax.Array,
+    quant_state: QuantState,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Differentiable 4-bit weight-only matmul. The packed weight has
+    logical shape (out, in) like a bnb Linear4bit weight; computes
+    A @ W^T + bias. Gradients flow to A (and bias) only — quantized
+    weights are frozen, like the reference (grad_B unsupported,
+    _functions.py:536)."""
+    return _matmul_4bit_vjp(A, data, quant_state, bias)
+
+
+def matmul(
+    A: jax.Array,
+    CB: jax.Array,
+    SCB: jax.Array,
+    bias: Optional[jax.Array] = None,
+    threshold: float = 0.0,
+) -> jax.Array:
+    """bnb.matmul equivalent — LLM.int8() linear (reference
+    autograd/_functions.py:543-554)."""
+    return matmul_8bit_lt(A, CB, SCB, threshold, bias)

@@ -1,0 +1,723 @@
+"""Pure-JAX functional op surface — the TPU-native equivalent of the
+reference's `python_src_quants/functional.py` (2,941 LoC of ctypes
+marshalling over ~120 C symbols).
+
+Design: there is no ctypes bridge and no layout zoo (col32/col_turing/
+col_ampere exist only to feed cublasLt — reference functional.py:2607-2653).
+Every op here is a pure, jit-able JAX function over pytrees. The Pallas
+fused kernels in `bitsandbytes_sycl_tpu.ops` implement the same contracts
+for the hot paths; these jnp versions are the semantic reference, the CPU
+path, and the fallback — XLA still fuses them into competitive code.
+
+All functions use round-to-nearest with strict-`>` midpoint thresholds,
+matching the reference's decision trees (kernel_quant.cpp:547-592 FP4,
+:705-756 NF4, :766-837 binary-search dQuantize).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import codebooks
+from .types import QTensor, QuantState, blocks_for
+
+__all__ = [
+    "quantize_blockwise",
+    "dequantize_blockwise",
+    "quantize_4bit",
+    "dequantize_4bit",
+    "quantize_fp4",
+    "quantize_nf4",
+    "dequantize_fp4",
+    "dequantize_nf4",
+    "quantize",
+    "dequantize",
+    "quantize_no_absmax",
+    "dequantize_no_absmax",
+    "estimate_quantiles",
+    "get_colrow_absmax",
+    "int8_double_quant",
+    "int8_linear_matmul",
+    "int8_mm_dequant",
+    "int8_vectorwise_quant",
+    "llm_int8_matmul",
+    "gemv_4bit",
+    "matmul_4bit_ref",
+    "optimizer_update_32bit",
+    "optimizer_update_8bit_blockwise",
+    "percentile_clipping",
+    "histogram_scatter_add_2d",
+    "pack_4bit",
+    "unpack_4bit",
+    "OPTIMIZER_FUNCS_1STATE",
+    "OPTIMIZER_FUNCS_2STATE",
+]
+
+# ---------------------------------------------------------------------------
+# codebook caches (host numpy; become XLA constants when closed over)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_8BIT_CODE = codebooks.create_dynamic_map()  # signed dynamic map
+
+
+@functools.lru_cache(maxsize=None)
+def _sorted_code_and_perm(quant_type: str, blocksize: int = 64):
+    """Return (sorted codebook values, permutation sorted-rank -> code index,
+    midpoints between sorted values)."""
+    if quant_type in ("nf4", "fp4", "int4", "af4"):
+        code = codebooks.get_4bit_type(quant_type, blocksize=blocksize)
+    elif quant_type == "dynamic":
+        code = _DEFAULT_8BIT_CODE
+    elif quant_type == "dynamic_unsigned":
+        code = codebooks.create_dynamic_map(signed=False)
+    elif quant_type == "linear":
+        code = codebooks.create_linear_map()
+    elif quant_type == "fp8":
+        code = codebooks.create_fp8_map()
+    else:
+        raise ValueError(f"unknown quant_type {quant_type!r}")
+    order = np.argsort(code, kind="stable").astype(np.int32)
+    sorted_code = code[order]
+    mids = codebooks.code_midpoints(sorted_code)
+    return sorted_code, order, mids, code
+
+
+def _code_arrays(code: Optional[jax.Array], quant_type: str):
+    """Resolve (code-order table, sorted values, rank->code perm, midpoints)."""
+    if code is None:
+        sorted_code, order, mids, table = _sorted_code_and_perm(quant_type)
+        return jnp.asarray(table), jnp.asarray(sorted_code), jnp.asarray(order), jnp.asarray(mids)
+    code = jnp.asarray(code, jnp.float32)
+    order = jnp.argsort(code)
+    sorted_code = code[order]
+    mids = (sorted_code[1:] + sorted_code[:-1]) / 2.0
+    return code, sorted_code, order, mids
+
+
+# ---------------------------------------------------------------------------
+# nearest-codebook encode / packing helpers
+# ---------------------------------------------------------------------------
+
+
+def _encode_nearest(x: jax.Array, mids: jax.Array, order: jax.Array) -> jax.Array:
+    """Round-to-nearest codebook encode. `mids` are sorted decision
+    boundaries, `order` maps sorted rank -> code index (identity for
+    monotone codebooks like NF4; a permutation for FP4)."""
+    rank = jnp.searchsorted(mids, x, side="left")
+    return order[rank].astype(jnp.uint8)
+
+
+def pack_4bit(codes: jax.Array) -> jax.Array:
+    """Pack flat 4-bit codes (uint8 in [0,16)) two per byte: element 2i in
+    the high nibble, 2i+1 low (reference kernel_quant.cpp:1337-1348)."""
+    n = codes.shape[0]
+    if n % 2:
+        codes = jnp.pad(codes, (0, 1))
+    pairs = codes.reshape(-1, 2)
+    return (pairs[:, 0] << 4 | pairs[:, 1]).astype(jnp.uint8)
+
+
+def unpack_4bit(packed: jax.Array, n: int) -> jax.Array:
+    """Inverse of pack_4bit; returns flat (n,) uint8 codes."""
+    hi = packed >> 4
+    lo = packed & 0x0F
+    codes = jnp.stack([hi, lo], axis=-1).reshape(-1)
+    return codes[:n]
+
+
+def _blockwise_stats(A: jax.Array, blocksize: int) -> Tuple[jax.Array, jax.Array, int]:
+    """Flatten, zero-pad to a block multiple, return (blocks, absmax, n)."""
+    flat = A.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    nb = blocks_for(n, blocksize)
+    pad = nb * blocksize - n
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(nb, blocksize)
+    absmax = jnp.max(jnp.abs(blocks), axis=1)
+    return blocks, absmax, n
+
+
+def _safe_inv(x: jax.Array) -> jax.Array:
+    return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# blockwise 8-bit quantization (reference functional.py:801-1017, kernels
+# N3/N4 kernel_quant.cpp:1229-1471)
+# ---------------------------------------------------------------------------
+
+
+def quantize_blockwise(
+    A: jax.Array,
+    code: Optional[jax.Array] = None,
+    blocksize: int = 4096,
+    nested: bool = False,
+    quant_type: str = "dynamic",
+) -> Tuple[jax.Array, QuantState]:
+    """Blockwise 8-bit quantization with per-block float32 absmax.
+
+    Returns uint8 codes with the same shape as `A` plus the QuantState.
+    With `nested=True` the absmax vector itself is mean-offset and
+    re-quantized 8-bit blockwise at blocksize 256
+    (reference functional.py:897-908).
+    """
+    table, _sorted, order, mids = _code_arrays(code, quant_type)
+    blocks, absmax, n = _blockwise_stats(A, blocksize)
+    normed = blocks * _safe_inv(absmax)[:, None]
+    codes = _encode_nearest(normed, mids, order)
+    out = codes.reshape(-1)[:n].reshape(A.shape)
+
+    offset = state2 = None
+    qabsmax = absmax
+    if nested:
+        offset = jnp.mean(absmax)
+        qabsmax, state2 = quantize_blockwise(absmax - offset, blocksize=256)
+    state = QuantState(
+        absmax=qabsmax,
+        code=table,
+        shape=tuple(A.shape),
+        dtype=str(jnp.result_type(A).name),
+        blocksize=blocksize,
+        quant_type=quant_type,
+        offset=offset,
+        state2=state2,
+    )
+    return out, state
+
+
+def dequantize_blockwise(
+    data: jax.Array,
+    quant_state: Optional[QuantState] = None,
+    absmax: Optional[jax.Array] = None,
+    code: Optional[jax.Array] = None,
+    blocksize: int = 4096,
+    dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Inverse of quantize_blockwise: out[i] = code[q[i]] * absmax[i // bs]
+    (reference kernel_quant.cpp:1435)."""
+    if quant_state is not None:
+        absmax = quant_state.dequant_absmax()
+        code_arr = quant_state.code
+        blocksize = quant_state.blocksize
+        out_dtype = quant_state.jdtype
+        shape = quant_state.shape
+    else:
+        assert absmax is not None
+        code_arr = jnp.asarray(code if code is not None else _DEFAULT_8BIT_CODE, jnp.float32)
+        out_dtype = dtype or jnp.float32
+        shape = data.shape
+    flat = data.reshape(-1)
+    n = flat.shape[0]
+    scale = jnp.repeat(absmax.astype(jnp.float32), blocksize)[:n]
+    vals = jnp.take(code_arr, flat.astype(jnp.int32)) * scale
+    return vals.reshape(shape).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# 4-bit quantization (reference functional.py:1124-1424)
+# ---------------------------------------------------------------------------
+
+
+def quantize_4bit(
+    A: jax.Array,
+    blocksize: int = 64,
+    compress_statistics: bool = False,
+    quant_type: str = "nf4",
+) -> Tuple[jax.Array, QuantState]:
+    """Blockwise 4-bit quantization (NF4 / FP4 / int4 / AF4).
+
+    Returns packed uint8 of shape (ceil(n/2),) in bnb byte order
+    (element 2i high nibble) plus the QuantState, so serialized weights
+    interoperate with bitsandbytes checkpoints
+    (reference functional.py:1124-1269).
+    """
+    if quant_type not in ("nf4", "fp4", "int4", "af4"):
+        raise NotImplementedError(f"4-bit quant_type {quant_type!r} not implemented")
+    table, _sorted, order, mids = _code_arrays(None, quant_type)
+    blocks, absmax, n = _blockwise_stats(A, blocksize)
+    normed = blocks * _safe_inv(absmax)[:, None]
+    codes = _encode_nearest(normed, mids, order).reshape(-1)
+    packed = pack_4bit(codes)[: (n + 1) // 2]
+
+    offset = state2 = None
+    qabsmax = absmax
+    if compress_statistics:
+        offset = jnp.mean(absmax)
+        qabsmax, state2 = quantize_blockwise(absmax - offset, blocksize=256)
+    state = QuantState(
+        absmax=qabsmax,
+        code=table,
+        shape=tuple(A.shape),
+        dtype=str(jnp.result_type(A).name),
+        blocksize=blocksize,
+        quant_type=quant_type,
+        offset=offset,
+        state2=state2,
+    )
+    return packed, state
+
+
+def dequantize_4bit(
+    data: jax.Array,
+    quant_state: QuantState,
+) -> jax.Array:
+    """Unpack nibbles, LUT-decode, scale by per-block absmax
+    (reference kernel_quant.cpp:1370-1471)."""
+    n = int(np.prod(quant_state.shape))
+    codes = unpack_4bit(data.reshape(-1), n)
+    absmax = quant_state.dequant_absmax()
+    scale = jnp.repeat(absmax.astype(jnp.float32), quant_state.blocksize)[:n]
+    vals = jnp.take(quant_state.code, codes.astype(jnp.int32)) * scale
+    return vals.reshape(quant_state.shape).astype(quant_state.jdtype)
+
+
+def quantize_fp4(A, blocksize=64, compress_statistics=False):
+    return quantize_4bit(A, blocksize, compress_statistics, "fp4")
+
+
+def quantize_nf4(A, blocksize=64, compress_statistics=False):
+    return quantize_4bit(A, blocksize, compress_statistics, "nf4")
+
+
+def dequantize_fp4(data, quant_state):
+    return dequantize_4bit(data, quant_state)
+
+
+def dequantize_nf4(data, quant_state):
+    return dequantize_4bit(data, quant_state)
+
+
+# ---------------------------------------------------------------------------
+# whole-tensor (non-blockwise) quantization (reference functional.py:1427-1523)
+# ---------------------------------------------------------------------------
+
+
+def quantize(A: jax.Array, code: Optional[jax.Array] = None) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    table, _s, order, mids = _code_arrays(code, "dynamic")
+    absmax = jnp.max(jnp.abs(A)).astype(jnp.float32)
+    normed = A.astype(jnp.float32) * _safe_inv(absmax)
+    out = _encode_nearest(normed, mids, order)
+    return out, (absmax, table)
+
+
+def dequantize(A: jax.Array, state=None, absmax=None, code=None) -> jax.Array:
+    if state is not None:
+        absmax, code_arr = state
+    else:
+        code_arr = jnp.asarray(code if code is not None else _DEFAULT_8BIT_CODE, jnp.float32)
+    return jnp.take(code_arr, A.astype(jnp.int32)) * absmax
+
+
+def quantize_no_absmax(A: jax.Array, code: Optional[jax.Array] = None) -> jax.Array:
+    _t, _s, order, mids = _code_arrays(code, "dynamic")
+    return _encode_nearest(A.astype(jnp.float32), mids, order)
+
+
+def dequantize_no_absmax(A: jax.Array, code: Optional[jax.Array] = None) -> jax.Array:
+    code_arr = jnp.asarray(code if code is not None else _DEFAULT_8BIT_CODE, jnp.float32)
+    return jnp.take(code_arr, A.astype(jnp.int32))
+
+
+def estimate_quantiles(A: jax.Array, offset: Optional[float] = None, num_quantiles: int = 256) -> jax.Array:
+    """Empirical quantiles of A at `num_quantiles` evenly spaced eCDF
+    positions with tail offset (reference functional.py:559-622 approximates
+    this with SRAM sampling; on TPU an exact sort is cheap)."""
+    if offset is None:
+        offset = 1.0 / (2.0 * num_quantiles)
+    probs = jnp.linspace(offset, 1.0 - offset, num_quantiles)
+    q = jnp.quantile(A.reshape(-1).astype(jnp.float32), probs)
+    if num_quantiles < 256:
+        q = jnp.pad(q, (0, 256 - num_quantiles))
+    return q
+
+
+# ---------------------------------------------------------------------------
+# LLM.int8(): vector-wise int8 matmul with outlier decomposition
+# (reference functional.py:2260-2936, autograd/_functions.py:292-483)
+# ---------------------------------------------------------------------------
+
+
+def get_colrow_absmax(
+    A: jax.Array, threshold: float = 0.0
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-row and per-column absmax of a 2D array, plus the outlier-column
+    mask. With threshold > 0, entries >= threshold are excluded from the
+    row statistics (reference kernel_quant.cpp:3214-3379). A column is an
+    outlier column iff its absmax >= threshold — identical to the
+    reference's "columns containing any COO entry" rule
+    (autograd/_functions.py:368-384).
+    """
+    absA = jnp.abs(A.astype(jnp.float32))
+    col_absmax = jnp.max(absA, axis=0)
+    if threshold > 0.0:
+        outlier_cols = col_absmax >= threshold
+        masked = jnp.where(absA >= threshold, 0.0, absA)
+        row_absmax = jnp.max(masked, axis=1)
+    else:
+        outlier_cols = jnp.zeros(A.shape[1], dtype=bool)
+        row_absmax = jnp.max(absA, axis=1)
+    return row_absmax, col_absmax, outlier_cols
+
+
+def int8_vectorwise_quant(A: jax.Array, axis: int = 1) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-vector int8 quantization: C = round(127 * A / absmax)."""
+    absA = jnp.abs(A.astype(jnp.float32))
+    absmax = jnp.max(absA, axis=axis, keepdims=True)
+    C = jnp.clip(jnp.round(A.astype(jnp.float32) * (127.0 * _safe_inv(absmax))), -127, 127)
+    return C.astype(jnp.int8), jnp.squeeze(absmax, axis=axis)
+
+
+def int8_double_quant(
+    A: jax.Array, threshold: float = 0.0
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Row- and column-wise int8 quantization with outlier-column removal.
+
+    Returns (CA, CAt, SCA row stats, SCAt col stats, outlier_cols mask).
+    Unlike the reference's dynamic-shape COO extraction
+    (functional.py:2517-2604), outliers are reported as a static boolean
+    column mask; entire outlier columns are zeroed in CA/CAt — exactly what
+    MatMul8bitLt does post-hoc (autograd/_functions.py:380-384).
+    """
+    A32 = A.astype(jnp.float32)
+    row_absmax, col_absmax, outlier_cols = get_colrow_absmax(A, threshold)
+    if threshold > 0.0:
+        keep = ~outlier_cols
+        A_kept = A32 * keep[None, :].astype(jnp.float32)
+        # row stats excluding outlier entries already computed by
+        # get_colrow_absmax; col stats over kept columns unchanged.
+        CA = jnp.clip(jnp.round(A_kept * (127.0 * _safe_inv(row_absmax))[:, None]), -127, 127)
+        CAt = jnp.clip(jnp.round(A_kept * (127.0 * _safe_inv(col_absmax))[None, :]), -127, 127)
+    else:
+        CA = jnp.clip(jnp.round(A32 * (127.0 * _safe_inv(row_absmax))[:, None]), -127, 127)
+        CAt = jnp.clip(jnp.round(A32 * (127.0 * _safe_inv(col_absmax))[None, :]), -127, 127)
+    return CA.astype(jnp.int8), CAt.astype(jnp.int8), row_absmax, col_absmax, outlier_cols
+
+
+def int8_linear_matmul(CA: jax.Array, CB: jax.Array) -> jax.Array:
+    """INT8 GEMM on the MXU: (M,K) int8 x (N,K) int8 -> (M,N) int32.
+
+    Replaces igemmlt + the col32/col_turing/col_ampere layout dance
+    (reference op_gemm.cpp:541-655, functional.py:2260-2352): XLA/Mosaic
+    manage tiling natively, so plain row-major int8 is the fast layout.
+    """
+    return jax.lax.dot_general(
+        CA,
+        CB,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def int8_mm_dequant(
+    out32: jax.Array,
+    SCA: jax.Array,
+    SCB: jax.Array,
+    bias: Optional[jax.Array] = None,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """int32 -> float epilogue with row*col rescale + fused bias
+    (reference kernel_quant.cpp:3848-3990 kdequant_mm_int32_fp16)."""
+    scale = (SCA.astype(jnp.float32)[:, None] * SCB.astype(jnp.float32)[None, :]) * (
+        1.0 / (127.0 * 127.0)
+    )
+    out = out32.astype(jnp.float32) * scale
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out.astype(dtype)
+
+
+def llm_int8_matmul(
+    A: jax.Array,
+    CB: jax.Array,
+    SCB: jax.Array,
+    threshold: float = 6.0,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full LLM.int8() forward: quantize activations row-wise, int8 GEMM
+    against pre-quantized weights CB (N,K) with per-row scales SCB (N,),
+    dequant epilogue, plus the fp16 outlier-column sidecar
+    (autograd/_functions.py:292-434 steps 1-4 in ONE fused XLA computation).
+    """
+    orig_shape = A.shape
+    A2 = A.reshape(-1, orig_shape[-1])
+    CA, _CAt, SCA, _SCAt, outlier_cols = int8_double_quant(A2, threshold)
+    out32 = int8_linear_matmul(CA, CB)
+    out = int8_mm_dequant(out32, SCA, SCB, bias=bias, dtype=jnp.result_type(A))
+    if threshold > 0.0:
+        # dense masked sidecar: A restricted to outlier columns (static
+        # shapes — no gather / dynamic COO under jit)
+        mask = outlier_cols.astype(A2.dtype)
+        subA = A2 * mask[None, :]
+        subB = (
+            CB.astype(jnp.float32) * (SCB.astype(jnp.float32)[:, None] / 127.0)
+        ).astype(A2.dtype)
+        out = out + jnp.dot(subA, subB.T, preferred_element_type=jnp.float32).astype(
+            jnp.result_type(A)
+        )
+    return out.reshape(*orig_shape[:-1], CB.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# 4-bit inference matmul (reference functional.py:1961-2060 gemv_4bit,
+# kernel_gemm.cpp:1273-1388 kgemm_4bit_inference_naive)
+# ---------------------------------------------------------------------------
+
+
+def matmul_4bit_ref(A: jax.Array, data: jax.Array, quant_state: QuantState, bias=None) -> jax.Array:
+    """Reference path: dequantize W (out,in) then A @ W^T (+bias).
+    (autograd/_functions.py:490-518 MatMul4Bit.forward)."""
+    W = dequantize_4bit(data, quant_state).astype(jnp.result_type(A))
+    out = jnp.matmul(A, W.T, preferred_element_type=jnp.float32).astype(jnp.result_type(A))
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def gemv_4bit(A: jax.Array, data: jax.Array, quant_state: QuantState, bias=None) -> jax.Array:
+    """Batch-1 fused dequant matvec. The jnp build fuses under XLA; the
+    Pallas kernel in ops/matmul_4bit.py replaces it on TPU."""
+    return matmul_4bit_ref(A, data, quant_state, bias)
+
+
+# ---------------------------------------------------------------------------
+# optimizer updates (reference kernel_quant.cpp:1500-3213, functional.py:
+# 1526-1856). Functional: take states, return new states.
+# ---------------------------------------------------------------------------
+
+
+def _adam2(g, p, s1, s2, beta1, beta2, eps, step, lr, weight_decay):
+    """(kernel_quant.cpp:1722-1734)"""
+    c1 = 1.0 - beta1**step
+    c2 = jnp.sqrt(1.0 - beta2**step)
+    step_size = -lr * c2 / c1
+    s1 = s1 * beta1 + (1.0 - beta1) * g
+    s2 = s2 * beta2 + (1.0 - beta2) * g * g
+    p = p + step_size * (s1 / (jnp.sqrt(s2) + eps * c2))
+    if weight_decay > 0.0:
+        p = p * (1.0 - lr * weight_decay)
+    return p, s1, s2
+
+
+def _ademamix2(g, p, s1, s2, beta1, beta2, eps, step, lr, weight_decay):
+    raise NotImplementedError
+
+
+def _momentum1(g, p, s1, beta1, eps, step, lr, weight_decay):
+    """(kernel_quant.cpp:1964-1970)"""
+    if weight_decay > 0.0:
+        g = g + p * weight_decay
+    s1 = jnp.where(step == 1, g, s1 * beta1 + g)
+    p = p - lr * s1
+    return p, s1
+
+
+def _lion1(g, p, s1, beta1, beta2, eps, step, lr, weight_decay):
+    """(kernel_quant.cpp:1972-1975); weight decay is coupled in the
+    reference's 1-state loop (kernel_quant.cpp:1955-1957)."""
+    if weight_decay > 0.0:
+        g = g + p * weight_decay
+    p = p - lr * jnp.sign(s1 * beta1 + (1.0 - beta1) * g)
+    s1 = s1 * beta2 + (1.0 - beta2) * g
+    return p, s1
+
+
+def _rmsprop1(g, p, s1, beta1, eps, step, lr, weight_decay):
+    """(kernel_quant.cpp:1977-1980)"""
+    if weight_decay > 0.0:
+        g = g + p * weight_decay
+    s1 = s1 * beta1 + (1.0 - beta1) * g * g
+    p = p - lr * g / (jnp.sqrt(s1) + eps)
+    return p, s1
+
+
+def _adagrad1(g, p, s1, beta1, eps, step, lr, weight_decay):
+    """(kernel_quant.cpp:1982-1985)"""
+    if weight_decay > 0.0:
+        g = g + p * weight_decay
+    s1 = s1 + g * g
+    p = p - lr * g / (jnp.sqrt(s1) + eps)
+    return p, s1
+
+
+OPTIMIZER_FUNCS_2STATE = {"adam": _adam2, "lamb": _adam2}
+OPTIMIZER_FUNCS_1STATE = {
+    "momentum": _momentum1,
+    "lion": _lion1,
+    "rmsprop": _rmsprop1,
+    "adagrad": _adagrad1,
+}
+
+
+def optimizer_update_32bit(
+    optimizer_name: str,
+    g: jax.Array,
+    p: jax.Array,
+    state1: jax.Array,
+    state2: Optional[jax.Array],
+    beta1: float,
+    beta2: float = 0.0,
+    eps: float = 1e-8,
+    step: int = 1,
+    lr: float = 1e-3,
+    weight_decay: float = 0.0,
+    gnorm_scale: float = 1.0,
+    unorm_scale: Optional[jax.Array] = None,
+    skip_zeros: bool = False,
+):
+    """32-bit fused optimizer step (reference kernel_quant.cpp:1500-2032).
+
+    Returns (p, state1, state2). `unorm_scale` implements max_unorm update
+    clipping (LAMB/LARS trust-ratio style) computed by the caller.
+    """
+    gf = g.astype(jnp.float32) * gnorm_scale
+    pf = p.astype(jnp.float32)
+    if skip_zeros:
+        nonzero = gf != 0.0
+    if optimizer_name in OPTIMIZER_FUNCS_2STATE:
+        new_p, new_s1, new_s2 = _adam2(
+            gf, pf, state1.astype(jnp.float32), state2.astype(jnp.float32),
+            beta1, beta2, eps, step, lr, weight_decay,
+        )
+        if unorm_scale is not None:
+            # re-apply with scaled step: p' = p + us * (new_p_raw - p)
+            delta = new_p - pf * (1.0 - lr * weight_decay if weight_decay > 0 else 1.0)
+            new_p = pf + unorm_scale * delta
+        if skip_zeros:
+            new_p = jnp.where(nonzero, new_p, pf)
+            new_s1 = jnp.where(nonzero, new_s1, state1)
+            new_s2 = jnp.where(nonzero, new_s2, state2)
+        return new_p.astype(p.dtype), new_s1, new_s2
+    fn = OPTIMIZER_FUNCS_1STATE[optimizer_name]
+    if optimizer_name == "lion":
+        new_p, new_s1 = fn(gf, pf, state1.astype(jnp.float32), beta1, beta2, eps, step, lr, weight_decay)
+    else:
+        new_p, new_s1 = fn(gf, pf, state1.astype(jnp.float32), beta1, eps, step, lr, weight_decay)
+    if skip_zeros:
+        new_p = jnp.where(nonzero, new_p, pf)
+        new_s1 = jnp.where(nonzero, new_s1, state1)
+    return new_p.astype(p.dtype), new_s1, None
+
+
+def _blockwise_requant(s: jax.Array, mids: jax.Array, order: jax.Array, sorted_code: jax.Array, blocksize: int):
+    """Quantize optimizer state s (flat, padded) blockwise; returns
+    (codes uint8, absmax)."""
+    blocks = s.reshape(-1, blocksize)
+    absmax = jnp.max(jnp.abs(blocks), axis=1)
+    normed = blocks * _safe_inv(absmax)[:, None]
+    codes = _encode_nearest(normed, mids, order)
+    return codes.reshape(-1), absmax
+
+
+def optimizer_update_8bit_blockwise(
+    optimizer_name: str,
+    g: jax.Array,
+    p: jax.Array,
+    state1: jax.Array,  # uint8
+    absmax1: jax.Array,
+    state2: Optional[jax.Array],  # uint8
+    absmax2: Optional[jax.Array],
+    qmap1: jax.Array,
+    qmap2: Optional[jax.Array],
+    beta1: float,
+    beta2: float,
+    eps: float,
+    step: int,
+    lr: float,
+    weight_decay: float = 0.0,
+    gnorm_scale: float = 1.0,
+    skip_zeros: bool = False,
+    blocksize: int = 2048,
+):
+    """Blockwise 8-bit optimizer step: decode uint8 states via
+    qmap[c]*absmax, run the update, re-quantize per 2048-block
+    (reference kernel_quant.cpp:2715-3213, the QLoRA Adam8bit).
+
+    NaN/Inf gradients leave states/params untouched (matching
+    kernel_quant.cpp:2820-2840). Returns (p, state1, absmax1, state2,
+    absmax2).
+    """
+    n = int(np.prod(g.shape))
+    nb = blocks_for(n, blocksize)
+    pad = nb * blocksize - n
+
+    def _padflat(x, dtype=jnp.float32):
+        f = x.reshape(-1).astype(dtype)
+        return jnp.pad(f, (0, pad)) if pad else f
+
+    gf = _padflat(g) * gnorm_scale
+    pf = _padflat(p)
+    finite = jnp.isfinite(gf)
+    gf = jnp.where(finite, gf, 0.0)
+
+    # decode states
+    q1 = jnp.asarray(qmap1, jnp.float32)
+    s1 = jnp.take(q1, _padflat(state1, jnp.int32).astype(jnp.int32)) * jnp.repeat(
+        absmax1.astype(jnp.float32), blocksize
+    )[: nb * blocksize]
+    order1 = jnp.argsort(q1)
+    sc1 = q1[order1]
+    mids1 = (sc1[1:] + sc1[:-1]) / 2.0
+
+    if optimizer_name in OPTIMIZER_FUNCS_2STATE:
+        q2 = jnp.asarray(qmap2, jnp.float32)
+        s2 = jnp.take(q2, _padflat(state2, jnp.int32).astype(jnp.int32)) * jnp.repeat(
+            absmax2.astype(jnp.float32), blocksize
+        )[: nb * blocksize]
+        new_p, new_s1, new_s2 = _adam2(gf, pf, s1, s2, beta1, beta2, eps, step, lr, weight_decay)
+        new_p = jnp.where(finite, new_p, pf)
+        new_s1 = jnp.where(finite, new_s1, s1)
+        new_s2 = jnp.where(finite, new_s2, s2)
+        order2 = jnp.argsort(q2)
+        sc2 = q2[order2]
+        mids2 = (sc2[1:] + sc2[:-1]) / 2.0
+        c1, a1 = _blockwise_requant(new_s1, mids1, order1, sc1, blocksize)
+        c2, a2 = _blockwise_requant(new_s2, mids2, order2, sc2, blocksize)
+        out_p = new_p[:n].reshape(p.shape).astype(p.dtype)
+        return out_p, c1[:n].reshape(state1.shape), a1, c2[:n].reshape(state2.shape), a2
+
+    fn = OPTIMIZER_FUNCS_1STATE[optimizer_name]
+    if optimizer_name == "lion":
+        new_p, new_s1 = fn(gf, pf, s1, beta1, beta2, eps, step, lr, weight_decay)
+    else:
+        new_p, new_s1 = fn(gf, pf, s1, beta1, eps, step, lr, weight_decay)
+    new_p = jnp.where(finite, new_p, pf)
+    new_s1 = jnp.where(finite, new_s1, s1)
+    c1, a1 = _blockwise_requant(new_s1, mids1, order1, sc1, blocksize)
+    out_p = new_p[:n].reshape(p.shape).astype(p.dtype)
+    return out_p, c1[:n].reshape(state1.shape), a1, None, None
+
+
+def percentile_clipping(
+    grad_norm: jax.Array, gnorm_vec: jax.Array, step: int, percentile: int = 5
+) -> Tuple[jax.Array, jax.Array]:
+    """Running 100-step gradient-norm history clipping
+    (reference kernel_quant.cpp:2652-2710, functional.py:1817-1856).
+
+    Returns (new gnorm_vec, gnorm_scale). gnorm_vec holds squared norms.
+    """
+    g2 = grad_norm.astype(jnp.float32) ** 2
+    idx = (step - 1) % 100
+    new_vec = gnorm_vec.at[idx].set(g2)
+    vals = jnp.sort(new_vec)
+    # reference: current_gnorm / sqrt(vals[percentile-th smallest nonzero])
+    # use the percentile of the filled window
+    filled = jnp.minimum(step, 100)
+    clip2 = jnp.sort(jnp.where(new_vec > 0, new_vec, jnp.inf))[
+        jnp.clip(percentile * filled // 100, 0, 99)
+    ]
+    clip2 = jnp.where(jnp.isfinite(clip2), clip2, g2)
+    gnorm = jnp.sqrt(g2)
+    clip = jnp.sqrt(clip2)
+    gnorm_scale = jnp.where(gnorm > clip, clip / gnorm, 1.0)
+    return new_vec, gnorm_scale
+
+
+def histogram_scatter_add_2d(hist: jax.Array, index1: jax.Array, index2: jax.Array, src: jax.Array) -> jax.Array:
+    """hist[i1, i2] += src, scatter-add (reference kernel_quant.cpp:939-954)."""
+    return hist.at[index1, index2].add(src)

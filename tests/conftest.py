@@ -1,0 +1,14 @@
+"""Test configuration: run the whole suite on a virtual 8-device CPU mesh
+so sharding paths (DP/TP) are exercised without TPU hardware, per
+SURVEY.md §4 (multi-host CPU simulation). Must run before jax imports."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

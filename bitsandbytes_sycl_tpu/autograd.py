@@ -77,13 +77,16 @@ def _matmul_4bit_vjp(A, data, quant_state, bias):
 
 def _mm4_fwd(A, data, quant_state, bias):
     out = F.matmul_4bit_ref(A, data, quant_state, bias)
-    return out, (data, quant_state, bias, A.dtype)
+    # zero-size carrier keeps A's dtype in the residuals without keeping A
+    return out, (data, quant_state, bias, jnp.zeros((0,), A.dtype))
 
 
 def _mm4_bwd(res, g):
-    data, quant_state, bias, a_dtype = res
+    data, quant_state, bias, a_dtype_carrier = res
     W = F.dequantize_4bit(data, quant_state).astype(g.dtype)
-    grad_A = jnp.matmul(g, W, preferred_element_type=jnp.float32).astype(a_dtype)
+    grad_A = jnp.matmul(g, W, preferred_element_type=jnp.float32).astype(
+        a_dtype_carrier.dtype
+    )
     grad_bias = None if bias is None else g.reshape(-1, g.shape[-1]).sum(0).astype(bias.dtype)
     return grad_A, _zero_cotangent(data), _zero_cotangent(quant_state), grad_bias
 

@@ -118,3 +118,35 @@ def matmul(
     """bnb.matmul equivalent — LLM.int8() linear (reference
     autograd/_functions.py:543-554)."""
     return matmul_8bit_lt(A, CB, SCB, threshold, bias)
+
+
+# ---------------------------------------------------------------------------
+# LLM.int8() with trainable fp weights (has_fp16_weights=True): the int8
+# forward is a quantized surrogate; gradients flow to W like the reference's
+# training mode (autograd/_functions.py:341-360, 436-483)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def matmul_8bit_train(A, W, threshold=0.0, bias=None):
+    CB, SCB = F.int8_vectorwise_quant(W)
+    return F.llm_int8_matmul(A, CB, SCB, threshold=threshold, bias=bias)
+
+
+def _mm8t_fwd(A, W, threshold, bias):
+    CB, SCB = F.int8_vectorwise_quant(W)
+    out = F.llm_int8_matmul(A, CB, SCB, threshold=threshold, bias=bias)
+    return out, (A, W, bias)
+
+
+def _mm8t_bwd(threshold, res, g):
+    A, W, bias = res
+    g2 = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
+    A2 = A.reshape(-1, A.shape[-1]).astype(jnp.float32)
+    grad_A = jnp.matmul(g2, W.astype(jnp.float32)).reshape(A.shape).astype(A.dtype)
+    grad_W = jnp.matmul(g2.T, A2).astype(W.dtype)
+    grad_bias = None if bias is None else g2.sum(0).astype(bias.dtype)
+    return grad_A, grad_W, grad_bias
+
+
+matmul_8bit_train.defvjp(_mm8t_fwd, _mm8t_bwd)

@@ -1,0 +1,290 @@
+"""Quantized Flax (linen) modules.
+
+TPU-native redesign of the reference's torch nn layer
+(python_src_quants/nn/modules.py). Key departures:
+
+- No quantize-on-`.to(device)` side effects (reference Params4bit._quantize,
+  nn/modules.py:291-305): quantization happens at parameter init or via the
+  explicit pure function `quantize_linear_params`.
+- Quantized weights live in the ``"quants"`` variable collection (like
+  flax batch_stats), so optimizers see only the trainable ``"params"``
+  collection — the functional analog of bnb freezing int8/4-bit weights.
+- A whole forward (quantize stats + int8 dot + epilogue + outlier sidecar)
+  is one jitted XLA computation instead of ~8 kernel launches
+  (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import functional as F
+from ..autograd import matmul_4bit as _matmul_4bit
+from ..autograd import matmul_8bit_lt, matmul_8bit_train
+from ..types import QuantState
+
+__all__ = [
+    "Linear4bit",
+    "LinearNF4",
+    "LinearFP4",
+    "Linear8bitLt",
+    "Embedding",
+    "StableEmbedding",
+    "OutlierAwareLinear",
+    "SwitchBackLinearBnb",
+    "quantize_linear_params",
+]
+
+default_kernel_init = nn.initializers.lecun_normal()
+
+
+class Linear4bit(nn.Module):
+    """4-bit weight-only linear layer (reference nn/modules.py:346-477).
+
+    Weight is stored packed (2 nibbles/byte) with per-block absmax in the
+    ``"quants"`` collection; logical shape is (features, in_features) —
+    bnb's (out, in) — so serialized checkpoints interoperate.
+    """
+
+    features: int
+    use_bias: bool = True
+    quant_type: str = "nf4"
+    blocksize: int = 64
+    compress_statistics: bool = False
+    compute_dtype: Any = jnp.bfloat16
+    quant_dtype: str = "bfloat16"  # dtype recorded in the quant state
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+
+        def init_fn(rng):
+            w = self.kernel_init(rng, (self.features, in_features), jnp.float32)
+            packed, qs = F.quantize_4bit(
+                w.astype(self.quant_dtype),
+                blocksize=self.blocksize,
+                compress_statistics=self.compress_statistics,
+                quant_type=self.quant_type,
+            )
+            return {"packed": packed, "quant_state": qs}
+
+        qvar = self.variable("quants", "weight", init_fn, self.make_rng("params") if self.is_initializing() else None)
+        packed = qvar.value["packed"]
+        qs: QuantState = qvar.value["quant_state"]
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.compute_dtype)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.compute_dtype)
+        orig_shape = x.shape
+        x2 = x.reshape(-1, in_features)
+        out = _matmul_4bit(x2, packed, qs, bias)
+        return out.reshape(*orig_shape[:-1], self.features)
+
+
+class LinearNF4(Linear4bit):
+    """(reference nn/modules.py:516)"""
+
+    quant_type: str = "nf4"
+
+
+class LinearFP4(Linear4bit):
+    """(reference nn/modules.py:480)"""
+
+    quant_type: str = "fp4"
+
+
+class Linear8bitLt(nn.Module):
+    """LLM.int8() linear layer (reference nn/modules.py:657-821).
+
+    has_fp16_weights=True  -> trainable weight in "params"; the forward
+        quantizes it on the fly (int8 surrogate) and gradients flow to it.
+    has_fp16_weights=False -> frozen int8 weight CB + per-row scale SCB in
+        "quants" (inference / memory-saving mode).
+    """
+
+    features: int
+    use_bias: bool = True
+    has_fp16_weights: bool = False
+    threshold: float = 6.0
+    compute_dtype: Any = jnp.bfloat16
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.compute_dtype)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.compute_dtype)
+        orig_shape = x.shape
+        x2 = x.reshape(-1, in_features)
+
+        if self.has_fp16_weights:
+            W = self.param(
+                "weight", self.kernel_init, (self.features, in_features), self.compute_dtype
+            )
+            out = matmul_8bit_train(x2, W, self.threshold, bias)
+        else:
+
+            def init_fn(rng):
+                w = self.kernel_init(rng, (self.features, in_features), jnp.float32)
+                CB, SCB = F.int8_vectorwise_quant(w)
+                return {"CB": CB, "SCB": SCB}
+
+            qvar = self.variable(
+                "quants",
+                "weight",
+                init_fn,
+                self.make_rng("params") if self.is_initializing() else None,
+            )
+            out = matmul_8bit_lt(
+                x2, qvar.value["CB"], qvar.value["SCB"], self.threshold, bias
+            )
+        return out.reshape(*orig_shape[:-1], self.features)
+
+
+class Embedding(nn.Module):
+    """Plain embedding, kept for API parity (reference nn/modules.py:133)."""
+
+    num_embeddings: int
+    features: int
+    dtype: Any = jnp.float32
+    embedding_init: Callable = nn.initializers.normal(stddev=1.0)
+
+    @nn.compact
+    def __call__(self, ids):
+        emb = self.param(
+            "embedding", self.embedding_init, (self.num_embeddings, self.features), self.dtype
+        )
+        return jnp.take(emb, ids, axis=0)
+
+
+class StableEmbedding(nn.Module):
+    """Embedding + LayerNorm with xavier init; the companion optimizer
+    override forces 32-bit optimizer states for this table
+    (reference nn/modules.py:27-130, GlobalOptimManager usage :98).
+    In this framework the override is expressed with
+    optim.with_overrides / optim.stable_embedding_labels.
+    """
+
+    num_embeddings: int
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids):
+        emb = self.param(
+            "embedding",
+            nn.initializers.xavier_uniform(),
+            (self.num_embeddings, self.features),
+            jnp.float32,  # reference keeps the table fp32 through the LN
+        )
+        out = jnp.take(emb, ids, axis=0)
+        out = nn.LayerNorm(dtype=jnp.float32, name="norm")(out)
+        return out.astype(self.dtype)
+
+
+class OutlierAwareLinear(nn.Module):
+    """Linear that quantizes its weight per forward with outlier columns
+    held in higher precision (reference nn/modules.py:824-848 quantizes
+    based on OutlierTracer statistics; here outliers come from the weight's
+    own column absmax, jit-compatible)."""
+
+    features: int
+    use_bias: bool = True
+    outlier_threshold: float = 3.0  # z-score-ish multiple of col std
+    compute_dtype: Any = jnp.bfloat16
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        W = self.param("weight", self.kernel_init, (self.features, in_features), jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.compute_dtype)
+            if self.use_bias
+            else None
+        )
+        from ..utils import find_outlier_dims
+
+        thr = self.outlier_threshold * jnp.std(jnp.abs(W)) + jnp.mean(jnp.abs(W))
+        x2 = x.reshape(-1, in_features).astype(self.compute_dtype)
+        out = matmul_8bit_train(x2, W.astype(self.compute_dtype), float(0.0), bias)
+        # outlier-aware: correct columns whose absmax exceeds the data-driven
+        # threshold with an fp sidecar
+        col_absmax = jnp.max(jnp.abs(W), axis=0)
+        mask = (col_absmax >= thr).astype(self.compute_dtype)
+        CB, SCB = F.int8_vectorwise_quant(W)
+        Wq = (CB.astype(jnp.float32) * (SCB[:, None] / 127.0)).astype(self.compute_dtype)
+        corr = jnp.matmul(x2 * mask[None, :], (W.astype(self.compute_dtype) - Wq).T)
+        out = out + corr
+        return out.reshape(*x.shape[:-1], self.features)
+
+
+class SwitchBackLinearBnb(nn.Module):
+    """Int8 forward with fp16 backward, SwitchBack style
+    (reference nn/modules.py:851-884)."""
+
+    features: int
+    use_bias: bool = True
+    threshold: float = 6.0
+    compute_dtype: Any = jnp.bfloat16
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        W = self.param("weight", self.kernel_init, (self.features, in_features), self.compute_dtype)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.compute_dtype)
+            if self.use_bias
+            else None
+        )
+        x2 = x.reshape(-1, in_features).astype(self.compute_dtype)
+        out = matmul_8bit_train(x2, W, self.threshold, bias)
+        return out.reshape(*x.shape[:-1], self.features)
+
+
+def quantize_linear_params(
+    params,
+    quant_type: str = "nf4",
+    blocksize: int = 64,
+    compress_statistics: bool = False,
+    predicate: Optional[Callable[[tuple, jax.Array], bool]] = None,
+):
+    """Pure-pytree model surgery: replace every 2D "kernel"/"weight" leaf
+    with its 4-bit quantized form — the functional analog of the
+    reference's replace_linear (utils.py:124-166) + Params4bit device-move
+    quantization.
+
+    Returns (params_without_kernels, quants) where quants mirrors the tree
+    with {"packed", "quant_state"} dicts.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+
+    def default_pred(path, leaf):
+        name = str(path[-1])
+        return leaf.ndim == 2 and ("kernel" in name or "weight" in name)
+
+    pred = predicate or default_pred
+    new_leaves = []
+    for path, leaf in flat:
+        if hasattr(leaf, "ndim") and pred(path, leaf):
+            packed, qs = F.quantize_4bit(
+                leaf, blocksize=blocksize, compress_statistics=compress_statistics, quant_type=quant_type
+            )
+            new_leaves.append({"packed": packed, "quant_state": qs})
+        else:
+            new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

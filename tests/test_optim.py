@@ -1,0 +1,165 @@
+"""Optimizer parity — mirrors tests_pvc/test_optimizer8bit.py: dequantized
+8-bit states and params must track the exact 32-bit optimizer within the
+reference envelope (mean |dp| <~ 1.2e-4/step, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from bitsandbytes_sycl_tpu import optim as bnb_optim
+
+
+def _run(tx, params, grads_seq):
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, g):
+        updates, state = tx.update(g, state, params)
+        return optax.apply_updates(params, updates), state
+
+    for g in grads_seq:
+        params, state = step(params, state, g)
+    return params, state
+
+
+def _make_data(n_steps=20, shape=(47, 97), seed=0):
+    rng = np.random.default_rng(seed)
+    p0 = {"w": jnp.asarray(rng.normal(size=shape), jnp.float32)}
+    gs = [{"w": jnp.asarray(rng.normal(size=shape) * 0.1, jnp.float32)} for _ in range(n_steps)]
+    return p0, gs
+
+
+def test_adam32_matches_optax_adam():
+    p0, gs = _make_data()
+    p_ref, _ = _run(optax.adam(1e-3, 0.9, 0.999, 1e-8), p0, gs)
+    p_bnb, _ = _run(bnb_optim.adam32bit(1e-3), p0, gs)
+    np.testing.assert_allclose(np.asarray(p_bnb["w"]), np.asarray(p_ref["w"]), atol=2e-6)
+
+
+def test_adam8bit_drift_envelope():
+    p0, gs = _make_data(n_steps=30, shape=(64, 128))
+    p_ref, _ = _run(bnb_optim.adam32bit(1e-3), p0, gs)
+    p_8bit, s8 = _run(bnb_optim.adam8bit(1e-3, min_8bit_size=64), p0, gs)
+    err = np.abs(np.asarray(p_8bit["w"]) - np.asarray(p_ref["w"])).mean()
+    # reference: ~1.2e-4 mean abs err/step (test_optimizer8bit.py:166-169)
+    assert err < 1.2e-4 * 30, err
+    leaf = s8.inner["w"]
+    assert leaf["state1"].dtype == jnp.uint8
+    assert leaf["state2"].dtype == jnp.uint8
+    assert leaf["absmax1"].shape == ((64 * 128 + 2047) // 2048,)
+
+
+def test_adam8bit_small_tensor_stays_32bit():
+    p0 = {"w": jnp.ones((10, 10), jnp.float32)}
+    tx = bnb_optim.adam8bit(1e-3)  # min_8bit_size=4096 > 100
+    st = tx.init(p0)
+    assert st.inner["w"]["state1"].dtype == jnp.float32
+
+
+def test_lion_matches_optax_lion():
+    p0, gs = _make_data(n_steps=15)
+    p_ref, _ = _run(optax.lion(1e-4, b1=0.9, b2=0.99), p0, gs)
+    p_bnb, _ = _run(bnb_optim.lion32bit(1e-4, betas=(0.9, 0.99)), p0, gs)
+    np.testing.assert_allclose(np.asarray(p_bnb["w"]), np.asarray(p_ref["w"]), atol=2e-5)
+
+
+def test_momentum_matches_optax_sgd():
+    p0, gs = _make_data(n_steps=15)
+    p_ref, _ = _run(optax.sgd(1e-3, momentum=0.9), p0, gs)
+    p_bnb, _ = _run(bnb_optim.sgd32bit(1e-3, momentum=0.9), p0, gs)
+    np.testing.assert_allclose(np.asarray(p_bnb["w"]), np.asarray(p_ref["w"]), atol=2e-6)
+
+
+def test_rmsprop_updates_move_params():
+    p0, gs = _make_data(n_steps=10)
+    p, _ = _run(bnb_optim.rmsprop32bit(1e-3), p0, gs)
+    assert not np.allclose(np.asarray(p["w"]), np.asarray(p0["w"]))
+
+
+def test_adagrad_updates_move_params():
+    p0, gs = _make_data(n_steps=10)
+    p, _ = _run(bnb_optim.adagrad32bit(1e-2), p0, gs)
+    assert not np.allclose(np.asarray(p["w"]), np.asarray(p0["w"]))
+
+
+def test_lamb_trust_ratio_bounds_update():
+    p0, gs = _make_data(n_steps=5)
+    p, _ = _run(bnb_optim.lamb32bit(1e-1, max_unorm=0.01), p0, gs)
+    rel = np.linalg.norm(np.asarray(p["w"]) - np.asarray(p0["w"])) / np.linalg.norm(
+        np.asarray(p0["w"])
+    )
+    # each step's update norm clipped to ~1% of param norm
+    assert rel < 0.06, rel
+
+
+def test_adamw_decoupled_decay():
+    p0 = {"w": jnp.ones((8, 8), jnp.float32)}
+    gs = [{"w": jnp.zeros((8, 8), jnp.float32)}]
+    # zero grad, wd>0: adamw still shrinks params multiplicatively
+    p, _ = _run(bnb_optim.adamw32bit(1e-1, weight_decay=0.5), p0, gs)
+    np.testing.assert_allclose(np.asarray(p["w"]), 1.0 - 0.1 * 0.5, atol=1e-6)
+
+
+def test_percentile_clipping_scales_spikes():
+    p0, _ = _make_data(n_steps=1, shape=(32, 32))
+    tx = bnb_optim.adam32bit(1e-2, percentile_clipping=5)
+    state = tx.init(p0)
+    rng = np.random.default_rng(1)
+
+    @jax.jit
+    def step(params, state, g):
+        updates, state = tx.update(g, state, params)
+        return optax.apply_updates(params, updates), state
+
+    params = p0
+    for i in range(10):
+        g = {"w": jnp.asarray(rng.normal(size=(32, 32)) * 0.01, jnp.float32)}
+        params, state = step(params, state, g)
+    # now a 1000x spike: clipped update must stay small
+    before = np.asarray(params["w"]).copy()
+    spike = {"w": jnp.asarray(rng.normal(size=(32, 32)) * 10.0, jnp.float32)}
+    params, state = step(params, state, spike)
+    delta = np.abs(np.asarray(params["w"]) - before).max()
+    assert delta < 0.05, delta
+
+
+def test_paged_aliases_exist_and_run():
+    p0, gs = _make_data(n_steps=2, shape=(16, 16))
+    for ctor in (bnb_optim.paged_adam8bit, bnb_optim.paged_adamw32bit, bnb_optim.paged_lion8bit):
+        _run(ctor(1e-3, min_8bit_size=16), p0, gs)
+
+
+def test_state_pytree_roundtrip():
+    """Optimizer state must survive flatten/unflatten — the orbax
+    checkpoint contract (reference: state_dict round-trip every 10 steps,
+    test_optimizer8bit.py:174-210)."""
+    p0, gs = _make_data(n_steps=3, shape=(64, 64))
+    tx = bnb_optim.adam8bit(1e-3, min_8bit_size=64)
+    p1, s1 = _run(tx, p0, gs)
+    leaves, treedef = jax.tree_util.tree_flatten(s1)
+    s1b = jax.tree_util.tree_unflatten(treedef, leaves)
+    # continue stepping from the reloaded state: must match exactly
+    @jax.jit
+    def step(params, state, g):
+        updates, state = tx.update(g, state, params)
+        return optax.apply_updates(params, updates), state
+
+    pa, _ = step(p1, s1, gs[0])
+    pb, _ = step(p1, s1b, gs[0])
+    np.testing.assert_array_equal(np.asarray(pa["w"]), np.asarray(pb["w"]))
+
+
+def test_global_optim_manager_overrides():
+    params = {"emb": {"embedding": jnp.ones((128, 64))}, "dense": {"w": jnp.ones((128, 64))}}
+    mgr = bnb_optim.GlobalOptimManager()
+    mgr.register_module_override("embedding", optim_bits=32)
+    tx = mgr.build("adam", params, optim_bits=8, min_8bit_size=64)
+    st = tx.init(params)
+    inner = st.inner_states  # optax.multi_transform PartitionState
+    # embedding routed to 32-bit transform (label 1), dense to 8-bit (label 0)
+    emb_state = inner[1].inner_state.inner["emb"]["embedding"]
+    dense_state = inner[0].inner_state.inner["dense"]["w"]
+    assert emb_state["state1"].dtype == jnp.float32
+    assert dense_state["state1"].dtype == jnp.uint8

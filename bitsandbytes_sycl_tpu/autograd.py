@@ -150,3 +150,33 @@ def _mm8t_bwd(threshold, res, g):
 
 
 matmul_8bit_train.defvjp(_mm8t_fwd, _mm8t_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused-kernel 4-bit matmul (QLinearWeight layout, Pallas on TPU)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def matmul_4bit_kernel(A, w, bias):
+    from .ops import matmul_4bit_fused
+
+    return matmul_4bit_fused(A, w, bias, compute_dtype=jnp.result_type(A))
+
+
+def _mm4k_fwd(A, w, bias):
+    from .ops import matmul_4bit_fused
+
+    out = matmul_4bit_fused(A, w, bias, compute_dtype=jnp.result_type(A))
+    return out, (w, bias, jnp.zeros((0,), A.dtype))
+
+
+def _mm4k_bwd(res, g):
+    w, bias, a_dtype_carrier = res
+    Wd = w.dequantize().astype(g.dtype)  # (N, K)
+    grad_A = jnp.matmul(g, Wd, preferred_element_type=jnp.float32).astype(a_dtype_carrier.dtype)
+    grad_bias = None if bias is None else g.reshape(-1, g.shape[-1]).sum(0).astype(bias.dtype)
+    return grad_A, _zero_cotangent(w), grad_bias
+
+
+matmul_4bit_kernel.defvjp(_mm4k_fwd, _mm4k_bwd)

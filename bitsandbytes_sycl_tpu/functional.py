@@ -438,29 +438,55 @@ def llm_int8_matmul(
     SCB: jax.Array,
     threshold: float = 6.0,
     bias: Optional[jax.Array] = None,
+    outlier_budget: int = 64,
 ) -> jax.Array:
     """Full LLM.int8() forward: quantize activations row-wise, int8 GEMM
     against pre-quantized weights CB (N,K) with per-row scales SCB (N,),
     dequant epilogue, plus the fp16 outlier-column sidecar
     (autograd/_functions.py:292-434 steps 1-4 in ONE fused XLA computation).
+
+    The reference builds a dynamic-shape COO of outliers at runtime
+    (functional.py:2517-2604) — impossible under jit. Instead the
+    `outlier_budget` columns with the largest absmax are gathered
+    statically; only those >= threshold contribute (LLM.int8() finds <1%
+    of dims systematic outliers, so a 64-column cap at K>=4096 is
+    conservative). Sidecar traffic is M*budget + N*budget instead of a
+    second full weight read.
     """
     orig_shape = A.shape
-    A2 = A.reshape(-1, orig_shape[-1])
-    CA, _CAt, SCA, _SCAt, outlier_cols = int8_double_quant(A2, threshold)
+    K = orig_shape[-1]
+    N = CB.shape[0]
+    A2 = A.reshape(-1, K)
+    out_dtype = jnp.result_type(A)
+
+    if threshold <= 0.0:
+        CA, SCA = int8_vectorwise_quant(A2)
+        out32 = int8_linear_matmul(CA, CB)
+        out = int8_mm_dequant(out32, SCA, SCB, bias=bias, dtype=out_dtype)
+        return out.reshape(*orig_shape[:-1], N)
+
+    budget = min(outlier_budget, K)
+    absA = jnp.abs(A2.astype(jnp.float32))
+    col_absmax = jnp.max(absA, axis=0)  # (K,)
+    _top_vals, idx = jax.lax.top_k(col_absmax, budget)
+    is_outlier = _top_vals >= threshold  # (budget,)
+
+    # zero outlier columns for the int8 path (autograd/_functions.py:380-384)
+    keep = jnp.ones((K,), jnp.float32).at[idx].multiply(1.0 - is_outlier.astype(jnp.float32))
+    A_kept = A2.astype(jnp.float32) * keep[None, :]
+    row_absmax = jnp.max(jnp.abs(A_kept), axis=1)
+    CA = jnp.clip(jnp.round(A_kept * (127.0 * _safe_inv(row_absmax))[:, None]), -127, 127).astype(jnp.int8)
     out32 = int8_linear_matmul(CA, CB)
-    out = int8_mm_dequant(out32, SCA, SCB, bias=bias, dtype=jnp.result_type(A))
-    if threshold > 0.0:
-        # dense masked sidecar: A restricted to outlier columns (static
-        # shapes — no gather / dynamic COO under jit)
-        mask = outlier_cols.astype(A2.dtype)
-        subA = A2 * mask[None, :]
-        subB = (
-            CB.astype(jnp.float32) * (SCB.astype(jnp.float32)[:, None] / 127.0)
-        ).astype(A2.dtype)
-        out = out + jnp.dot(subA, subB.T, preferred_element_type=jnp.float32).astype(
-            jnp.result_type(A)
-        )
-    return out.reshape(*orig_shape[:-1], CB.shape[0])
+    out = int8_mm_dequant(out32, row_absmax, SCB, bias=bias, dtype=out_dtype)
+
+    # thin fp sidecar over the gathered outlier columns
+    subA = jnp.take(A2, idx, axis=1).astype(jnp.float32) * is_outlier[None, :]
+    subB = jnp.take(CB, idx, axis=1).astype(jnp.float32) * (
+        SCB.astype(jnp.float32)[:, None] / 127.0
+    )  # (N, budget), dequantized weight columns (extract_outliers equiv,
+    #    functional.py:2914-2936 + _functions.py:377-384)
+    out = out + jnp.dot(subA, subB.T, preferred_element_type=jnp.float32).astype(out_dtype)
+    return out.reshape(*orig_shape[:-1], N)
 
 
 # ---------------------------------------------------------------------------

@@ -58,14 +58,22 @@ class Linear4bit(nn.Module):
     compress_statistics: bool = False
     compute_dtype: Any = jnp.bfloat16
     quant_dtype: str = "bfloat16"  # dtype recorded in the quant state
+    use_kernel: bool = True  # fused Pallas dequant-matmul (kernel layout)
     kernel_init: Callable = default_kernel_init
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
+        use_kernel = self.use_kernel and in_features % (2 * self.blocksize) == 0
 
         def init_fn(rng):
             w = self.kernel_init(rng, (self.features, in_features), jnp.float32)
+            if use_kernel:
+                from ..ops import quantize_4bit_native
+
+                return {"qweight": quantize_4bit_native(
+                    w, blocksize=self.blocksize, quant_type=self.quant_type
+                )}
             packed, qs = F.quantize_4bit(
                 w.astype(self.quant_dtype),
                 blocksize=self.blocksize,
@@ -75,8 +83,6 @@ class Linear4bit(nn.Module):
             return {"packed": packed, "quant_state": qs}
 
         qvar = self.variable("quants", "weight", init_fn, self.make_rng("params") if self.is_initializing() else None)
-        packed = qvar.value["packed"]
-        qs: QuantState = qvar.value["quant_state"]
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,), self.compute_dtype)
             if self.use_bias
@@ -85,7 +91,12 @@ class Linear4bit(nn.Module):
         x = x.astype(self.compute_dtype)
         orig_shape = x.shape
         x2 = x.reshape(-1, in_features)
-        out = _matmul_4bit(x2, packed, qs, bias)
+        if "qweight" in qvar.value:
+            from ..autograd import matmul_4bit_kernel
+
+            out = matmul_4bit_kernel(x2, qvar.value["qweight"], bias)
+        else:
+            out = _matmul_4bit(x2, qvar.value["packed"], qvar.value["quant_state"], bias)
         return out.reshape(*orig_shape[:-1], self.features)
 
 

@@ -1,0 +1,172 @@
+"""Shared kernel utilities: LUT decode, layouts, TPU detection.
+
+Layout design (TPU-first, replaces the reference's col32/col_turing/
+col_ampere zoo, functional.py:2607-2653):
+
+A 4-bit linear weight W of logical shape (N out, K in), quantized in
+blocks of `blocksize` along K, is stored for kernels as:
+
+- ``packed``: uint8 (K//2, N), **transposed planar**: byte (j, n) holds
+  the code of element (n, j) in the high nibble and element (n, j + K//2)
+  in the low nibble. Unpacking a tile yields two contiguous K-slices — no
+  lane interleave, which Mosaic cannot do cheaply. (bnb's paired packing,
+  kernel_quant.cpp:1337-1348, interleaves even/odd elements; conversion
+  between the two is a lossless repack done once at load.) The transpose
+  puts quantization blocks on SUBLANES so per-block scales expand with a
+  cheap sublane repeat and each tile needs one full-depth MXU dot.
+- ``absmax``: float32 (K//blocksize, N), same orientation.
+
+This requires K % (2*blocksize) == 0 — true for every transformer dim;
+other shapes fall back to the jnp reference path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import codebooks
+from ..types import QuantState
+
+__all__ = ["on_tpu", "lut16", "QLinearWeight", "quantize_4bit_native", "to_kernel_layout"]
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def interpret_mode() -> bool:
+    """Pallas kernels run interpreted off-TPU (CPU tests)."""
+    return not on_tpu()
+
+
+def lut16(idx: jax.Array, table) -> jax.Array:
+    """Exact 16-entry LUT decode as a 4-level select tree — the
+    vectorizable TPU replacement for the reference's per-thread decision
+    trees (kernel_quant.cpp:520-756) and for gather (unsupported on VPU).
+
+    Bit-masks are hoisted: 4 compares + 15 selects per element.
+    `table` is a static 16-sequence in code order.
+    """
+    vals = [jnp.float32(float(v)) for v in table]
+    assert len(vals) == 16
+    bits = [(idx & (1 << b)) != 0 for b in range(4)]
+
+    def level(vs, b):
+        if len(vs) == 1:
+            return vs[0]
+        half = len(vs) // 2
+        lo = level(vs[:half], b - 1)
+        hi = level(vs[half:], b - 1)
+        return jnp.where(bits[b], hi, lo)
+
+    return level(vals, 3)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["packed", "absmax"],
+    meta_fields=["shape", "blocksize", "quant_type", "dtype"],
+)
+@dataclasses.dataclass(frozen=True)
+class QLinearWeight:
+    """Kernel-layout 4-bit linear weight (see module docstring)."""
+
+    packed: jax.Array  # uint8 (K//2, N), transposed planar
+    absmax: jax.Array  # f32 (K//blocksize, N), transposed
+    shape: Tuple[int, int]  # (N, K)
+    blocksize: int
+    quant_type: str
+    dtype: str  # original dtype name
+
+    @property
+    def code(self) -> np.ndarray:
+        return codebooks.get_4bit_type(self.quant_type, blocksize=self.blocksize)
+
+    def dequantize(self) -> jax.Array:
+        N, K = self.shape
+        b = self.packed.astype(jnp.int32)  # (K//2, N)
+        hi = lut16(b >> 4, self.code)  # elements [0, K/2)
+        lo = lut16(b & 0xF, self.code)  # elements [K/2, K)
+        w_t = jnp.concatenate([hi, lo], axis=0)  # (K, N)
+        scale = jnp.repeat(self.absmax, self.blocksize, axis=0)
+        return (w_t * scale).T.astype(jnp.dtype(self.dtype))  # (N, K)
+
+
+def quantize_4bit_native(
+    W: jax.Array, blocksize: int = 64, quant_type: str = "nf4"
+) -> QLinearWeight:
+    """Quantize a (N, K) weight directly into kernel layout.
+
+    Matches the reference's numerics exactly (same codebooks, same
+    round-to-nearest midpoint rule) — only the storage order differs.
+    """
+    from .. import functional as F
+
+    N, K = W.shape
+    if K % (2 * blocksize) != 0:
+        raise ValueError(f"K={K} must be divisible by 2*blocksize={2*blocksize}")
+    table, _s, order, mids = F._code_arrays(None, quant_type)
+    Wf = W.astype(jnp.float32)
+    blocks = Wf.reshape(N, K // blocksize, blocksize)
+    absmax = jnp.max(jnp.abs(blocks), axis=2)  # (N, K//bs)
+    normed = blocks * F._safe_inv(absmax)[:, :, None]
+    codes = F._encode_nearest(normed.reshape(N, K), mids, order)
+    packed = (codes[:, : K // 2].T << 4 | codes[:, K // 2 :].T).astype(jnp.uint8)
+    return QLinearWeight(
+        packed=packed,
+        absmax=absmax.T,
+        shape=(N, K),
+        blocksize=blocksize,
+        quant_type=quant_type,
+        dtype=str(jnp.result_type(W).name),
+    )
+
+
+def to_kernel_layout(data: jax.Array, quant_state: QuantState) -> QLinearWeight:
+    """Lossless repack of a bnb-format 4-bit weight (paired flat packing +
+    flat absmax, functional.py:1124-1269) into kernel layout."""
+    from .. import functional as F
+
+    N, K = quant_state.shape
+    n = N * K
+    codes = F.unpack_4bit(data.reshape(-1), n).reshape(N, K)
+    packed = (codes[:, : K // 2].T.astype(jnp.uint8) << 4) | codes[:, K // 2 :].T.astype(
+        jnp.uint8
+    )
+    absmax = quant_state.dequant_absmax().reshape(N, K // quant_state.blocksize)
+    return QLinearWeight(
+        packed=packed,
+        absmax=absmax.T,
+        shape=(N, K),
+        blocksize=quant_state.blocksize,
+        quant_type=quant_state.quant_type,
+        dtype=quant_state.dtype,
+    )
+
+
+def from_kernel_layout(w: QLinearWeight) -> Tuple[jax.Array, QuantState]:
+    """Inverse of to_kernel_layout: back to bnb paired format for
+    serialization interop."""
+    from .. import functional as F
+
+    N, K = w.shape
+    hi = (w.packed >> 4).astype(jnp.uint8)  # (K//2, N)
+    lo = (w.packed & 0xF).astype(jnp.uint8)
+    codes = jnp.concatenate([hi.T, lo.T], axis=1).reshape(-1)  # (N*K,) element order
+    packed = F.pack_4bit(codes)
+    qs = QuantState(
+        absmax=w.absmax.T.reshape(-1),
+        code=jnp.asarray(w.code),
+        shape=(N, K),
+        dtype=w.dtype,
+        blocksize=w.blocksize,
+        quant_type=w.quant_type,
+    )
+    return packed, qs

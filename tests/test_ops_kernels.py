@@ -1,0 +1,106 @@
+"""Pallas kernel tests — run in interpreter mode on the CPU mesh (the
+compiled path is exercised on the real chip by bench.py / verify)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bitsandbytes_sycl_tpu as bnb
+from bitsandbytes_sycl_tpu import functional as F
+from bitsandbytes_sycl_tpu.ops import (
+    QLinearWeight,
+    matmul_4bit_fused,
+    quantize_4bit_native,
+    to_kernel_layout,
+)
+from bitsandbytes_sycl_tpu.ops.common import from_kernel_layout
+
+
+@pytest.fixture(scope="module")
+def weight():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(256, 1024)) * 0.02, jnp.float32)
+
+
+@pytest.mark.parametrize("quant_type", ["nf4", "fp4", "int4"])
+def test_native_quantize_matches_reference(weight, quant_type):
+    """Kernel-layout quantization must produce the same dequantized values
+    as the bnb-format functional path (same codebooks, same rounding)."""
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type=quant_type)
+    packed_ref, qs_ref = F.quantize_4bit(weight, blocksize=64, quant_type=quant_type)
+    d_native = np.asarray(qw.dequantize(), np.float32)
+    d_ref = np.asarray(F.dequantize_4bit(packed_ref, qs_ref), np.float32)
+    np.testing.assert_allclose(d_native, d_ref, atol=1e-6)
+
+
+def test_kernel_layout_roundtrip(weight):
+    """bnb paired format -> kernel layout -> bnb format is lossless."""
+    packed, qs = F.quantize_4bit(weight, blocksize=64, quant_type="nf4")
+    qw = to_kernel_layout(packed, qs)
+    packed2, qs2 = from_kernel_layout(qw)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(packed2))
+    np.testing.assert_allclose(np.asarray(qs.absmax), np.asarray(qs2.absmax), atol=0)
+
+
+@pytest.mark.parametrize("quant_type", ["nf4", "int4"])
+@pytest.mark.parametrize("M", [1, 8, 32])
+def test_matmul_4bit_fused_interpret(weight, quant_type, M):
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type=quant_type)
+    rng = np.random.default_rng(M)
+    x = jnp.asarray(rng.normal(size=(M, 1024)), jnp.float32)
+    y = matmul_4bit_fused(x, qw, compute_dtype=jnp.float32)
+    ref = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_matmul_4bit_fused_bias(weight):
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    b = jnp.asarray(np.random.default_rng(7).normal(size=(256,)), jnp.float32)
+    x = jnp.ones((8, 1024), jnp.float32)
+    y = matmul_4bit_fused(x, qw, bias=b, compute_dtype=jnp.float32)
+    ref = np.ones((8, 1024)) @ np.asarray(qw.dequantize(), np.float32).T + np.asarray(b)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_matmul_4bit_fused_fallback_shapes():
+    """K not tileable -> silently uses the jnp path."""
+    W = jnp.asarray(np.random.default_rng(1).normal(size=(64, 96)), jnp.float32)
+    qw = quantize_4bit_native(W, blocksize=48 // 1, quant_type="nf4") if False else None
+    # K=96 isn't divisible by 2*64 -> quantize_4bit_native refuses
+    with pytest.raises(ValueError):
+        quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+
+
+def test_matmul_4bit_kernel_grad(weight):
+    from bitsandbytes_sycl_tpu.autograd import matmul_4bit_kernel
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(8, 1024)), jnp.float32)
+    g = jax.grad(lambda x: matmul_4bit_kernel(x, qw, None).sum())(x)
+    ref = np.ones((8, 256), np.float32) @ np.asarray(qw.dequantize(), np.float32)
+    # f32 accumulation-order differences only
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=5e-2, atol=5e-3)
+
+
+def test_odd_m_padding(weight):
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(5, 1024)), jnp.float32)
+    y = matmul_4bit_fused(x, qw, compute_dtype=jnp.float32)
+    assert y.shape == (5, 256)
+    ref = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_3d_input(weight):
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 4, 1024)), jnp.float32)
+    y = matmul_4bit_fused(x, qw, compute_dtype=jnp.float32)
+    assert y.shape == (2, 4, 256)
+
+
+def test_qlinearweight_is_pytree(weight):
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    leaves, treedef = jax.tree_util.tree_flatten(qw)
+    qw2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert qw2.blocksize == 64 and qw2.quant_type == "nf4"

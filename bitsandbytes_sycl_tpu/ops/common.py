@@ -14,7 +14,11 @@ blocks of `blocksize` along K, is stored for kernels as:
   between the two is a lossless repack done once at load.) The transpose
   puts quantization blocks on SUBLANES so per-block scales expand with a
   cheap sublane repeat and each tile needs one full-depth MXU dot.
-- ``absmax``: float32 (K//blocksize, N), same orientation.
+- ``absmax``: float32 (2, K//(2*blocksize), N): absmax[0] holds the block
+  scales of the hi plane (elements [0, K/2)), absmax[1] the lo plane.
+  This makes row (K) sharding congruent: P("model", None) on packed pairs
+  with P(None, "model", None) on absmax — every device gets matching
+  byte rows and scale blocks for its two K-slices.
 
 This requires K % (2*blocksize) == 0 — true for every transformer dim;
 other shapes fall back to the jnp reference path.
@@ -79,7 +83,7 @@ class QLinearWeight:
     """Kernel-layout 4-bit linear weight (see module docstring)."""
 
     packed: jax.Array  # uint8 (K//2, N), transposed planar
-    absmax: jax.Array  # f32 (K//blocksize, N), transposed
+    absmax: jax.Array  # f32 (2, K//(2*blocksize), N), per-plane scales
     shape: Tuple[int, int]  # (N, K)
     blocksize: int
     quant_type: str
@@ -95,7 +99,7 @@ class QLinearWeight:
         hi = lut16(b >> 4, self.code)  # elements [0, K/2)
         lo = lut16(b & 0xF, self.code)  # elements [K/2, K)
         w_t = jnp.concatenate([hi, lo], axis=0)  # (K, N)
-        scale = jnp.repeat(self.absmax, self.blocksize, axis=0)
+        scale = jnp.repeat(self.absmax.reshape(K // self.blocksize, N), self.blocksize, axis=0)
         return (w_t * scale).T.astype(jnp.dtype(self.dtype))  # (N, K)
 
 
@@ -121,7 +125,7 @@ def quantize_4bit_native(
     packed = (codes[:, : K // 2].T << 4 | codes[:, K // 2 :].T).astype(jnp.uint8)
     return QLinearWeight(
         packed=packed,
-        absmax=absmax.T,
+        absmax=absmax.T.reshape(2, K // (2 * blocksize), N),
         shape=(N, K),
         blocksize=blocksize,
         quant_type=quant_type,
@@ -143,7 +147,7 @@ def to_kernel_layout(data: jax.Array, quant_state: QuantState) -> QLinearWeight:
     absmax = quant_state.dequant_absmax().reshape(N, K // quant_state.blocksize)
     return QLinearWeight(
         packed=packed,
-        absmax=absmax.T,
+        absmax=absmax.T.reshape(2, K // (2 * quant_state.blocksize), N),
         shape=(N, K),
         blocksize=quant_state.blocksize,
         quant_type=quant_state.quant_type,
@@ -162,7 +166,7 @@ def from_kernel_layout(w: QLinearWeight) -> Tuple[jax.Array, QuantState]:
     codes = jnp.concatenate([hi.T, lo.T], axis=1).reshape(-1)  # (N*K,) element order
     packed = F.pack_4bit(codes)
     qs = QuantState(
-        absmax=w.absmax.T.reshape(-1),
+        absmax=w.absmax.reshape(K // w.blocksize, N).T.reshape(-1),
         code=jnp.asarray(w.code),
         shape=(N, K),
         dtype=w.dtype,

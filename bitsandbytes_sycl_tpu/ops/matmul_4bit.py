@@ -48,7 +48,7 @@ def _decode_plane(nib: jax.Array, code, quant_type: str) -> jax.Array:
 
 
 def _mm4_kernel(
-    x_hi_ref, x_lo_ref, w_ref, s_hi_ref, s_lo_ref, bias_ref, o_ref, acc_ref,
+    x_hi_ref, x_lo_ref, w_ref, s_ref, bias_ref, o_ref, acc_ref,
     *, code, quant_type, blocksize, nk, out_dtype, has_bias,
 ):
     k = pl.program_id(2)
@@ -60,9 +60,9 @@ def _mm4_kernel(
     b = w_ref[:].astype(jnp.int32)  # (TKB, TN) bytes
     w_hi = _decode_plane(b >> 4, code, quant_type)
     w_lo = _decode_plane(b & 0xF, code, quant_type)
-    # per-block scale: (TKB//bs, TN) -> (TKB, TN) sublane repeat (cheap)
-    s_hi = jnp.repeat(s_hi_ref[:], blocksize, axis=0)
-    s_lo = jnp.repeat(s_lo_ref[:], blocksize, axis=0)
+    # per-block per-plane scale: (TKB//bs, TN) -> (TKB, TN) sublane repeat
+    s_hi = jnp.repeat(s_ref[0], blocksize, axis=0)
+    s_lo = jnp.repeat(s_ref[1], blocksize, axis=0)
     whs = (w_hi * s_hi).astype(x_hi_ref.dtype)
     wls = (w_lo * s_lo).astype(x_lo_ref.dtype)
     acc_ref[:] += jax.lax.dot_general(
@@ -119,11 +119,8 @@ def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb):
             ),
             # transposed planar weight bytes (K//2, N)
             pl.BlockSpec((tkb, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            # transposed absmax (K//bs, N): hi blocks at row-tile k, lo at k+nk
-            pl.BlockSpec((tkb // bs, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tkb // bs, tn), lambda m, n, k, _half=nk: (k + _half, n), memory_space=pltpu.VMEM
-            ),
+            # per-plane absmax (2, K//(2*bs), N): one tile covers hi+lo
+            pl.BlockSpec((2, tkb // bs, tn), lambda m, n, k: (0, k, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
@@ -133,7 +130,7 @@ def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb):
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret_mode(),
-    )(x, x, w.packed, w.absmax, w.absmax, bias_arr)
+    )(x, x, w.packed, w.absmax, bias_arr)
 
 
 def matmul_4bit_fused(

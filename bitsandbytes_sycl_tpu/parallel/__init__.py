@@ -1,0 +1,37 @@
+"""Sharding & collectives — the L5 the reference never had.
+
+The reference is single-device only (SURVEY.md §2.3: the sole
+torch.distributed mention is a logging guard in a diagnostic copy,
+optimizer_test.py:565). Here quantized weights are first-class pjit
+citizens: packed int4/int8 payloads and their absmax scales shard
+congruently over a jax.sharding.Mesh, with XLA collectives (psum /
+all_gather / ppermute) riding ICI.
+"""
+
+from .mesh import (
+    initialize_distributed,
+    make_mesh,
+    qweight_pspec,
+    qweight_sharding,
+    shard_qweight,
+)
+from .collectives import (
+    tp_all_gather_matmul_4bit,
+    tp_matmul_4bit_col,
+    tp_matmul_4bit_row,
+    tp_matmul_int8_col,
+    tp_matmul_int8_row,
+)
+
+__all__ = [
+    "make_mesh",
+    "initialize_distributed",
+    "qweight_pspec",
+    "qweight_sharding",
+    "shard_qweight",
+    "tp_matmul_4bit_col",
+    "tp_matmul_4bit_row",
+    "tp_all_gather_matmul_4bit",
+    "tp_matmul_int8_col",
+    "tp_matmul_int8_row",
+]

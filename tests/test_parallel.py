@@ -1,0 +1,133 @@
+"""Tensor-parallel quantized matmuls on the virtual 8-device CPU mesh —
+the multi-device test story the reference lacks (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from bitsandbytes_sycl_tpu import functional as F
+from bitsandbytes_sycl_tpu.ops import matmul_4bit_fused, quantize_4bit_native
+from bitsandbytes_sycl_tpu.parallel import (
+    make_mesh,
+    shard_qweight,
+    tp_all_gather_matmul_4bit,
+    tp_matmul_4bit_col,
+    tp_matmul_4bit_row,
+    tp_matmul_int8_col,
+    tp_matmul_int8_row,
+)
+
+N, K = 512, 1024
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.normal(size=(N, K)) * 0.02, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(8, K)), jnp.float32)
+    qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+    ref = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+    return W, x, qw, ref
+
+
+def test_make_mesh():
+    mesh = make_mesh({"data": 2, "model": 4})
+    assert mesh.shape == {"data": 2, "model": 4}
+
+
+def test_shard_qweight_col(setup):
+    _W, _x, qw, _ref = setup
+    mesh = make_mesh({"model": 4})
+    qws = shard_qweight(qw, mesh, dim="col")
+    assert qws.packed.sharding.spec == P(None, "model")
+    # sharded dequant must equal unsharded
+    np.testing.assert_allclose(
+        np.asarray(qws.dequantize()), np.asarray(qw.dequantize()), atol=0
+    )
+
+
+def test_shard_qweight_row_guard(setup):
+    _W, _x, qw, _ref = setup
+    mesh = make_mesh({"model": 8})
+    # K/shard = 128 == 2*64 -> ok
+    shard_qweight(qw, mesh, dim="row")
+    qw32 = quantize_4bit_native(_W, blocksize=512, quant_type="nf4")
+    with pytest.raises(ValueError):
+        shard_qweight(qw32, mesh, dim="row")  # 128 % 1024 != 0
+
+
+@pytest.mark.parametrize("gather", [False, True])
+def test_tp_matmul_4bit_col(setup, gather):
+    _W, x, qw, ref = setup
+    mesh = make_mesh({"model": 4})
+    qws = shard_qweight(qw, mesh, dim="col")
+    y = tp_matmul_4bit_col(x, qws, mesh, gather_output=gather, compute_dtype=jnp.float32)
+    assert y.shape == (8, N)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_tp_matmul_4bit_row(setup):
+    _W, x, qw, ref = setup
+    mesh = make_mesh({"model": 4})
+    qws = shard_qweight(qw, mesh, dim="row")
+    y = tp_matmul_4bit_row(x, qws, mesh, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_tp_matmul_4bit_row_bias(setup):
+    _W, x, qw, ref = setup
+    mesh = make_mesh({"model": 4})
+    qws = shard_qweight(qw, mesh, dim="row")
+    b = jnp.arange(N, dtype=jnp.float32) * 0.01
+    y = tp_matmul_4bit_row(x, qws, mesh, bias=b, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), ref + np.asarray(b), rtol=2e-2, atol=2e-2)
+
+
+def test_tp_all_gather_matmul_4bit(setup):
+    _W, x, qw, ref = setup
+    mesh = make_mesh({"model": 4})
+    qws = shard_qweight(qw, mesh, dim="col")
+    y = tp_all_gather_matmul_4bit(x, qws, mesh, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_tp_int8_col_matches_single_device(setup):
+    W, x, _qw, _ref = setup
+    mesh = make_mesh({"model": 4})
+    CB, SCB = F.int8_vectorwise_quant(W)
+    y_single = F.llm_int8_matmul(x, CB, SCB, threshold=0.0)
+    from jax.sharding import NamedSharding
+
+    CBs = jax.device_put(CB, NamedSharding(mesh, P("model", None)))
+    SCBs = jax.device_put(SCB, NamedSharding(mesh, P("model")))
+    y = tp_matmul_int8_col(x, CBs, SCBs, mesh)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_single, np.float32), rtol=1e-2, atol=1e-2
+    )
+
+
+def test_tp_int8_row(setup):
+    W, x, _qw, _ref = setup
+    mesh = make_mesh({"model": 4})
+    CB, SCB = F.int8_vectorwise_quant(W)
+    from jax.sharding import NamedSharding
+
+    CBs = jax.device_put(CB, NamedSharding(mesh, P(None, "model")))
+    y = tp_matmul_int8_row(x, CBs, SCB, mesh)
+    ref = np.asarray(x) @ (np.asarray(CB, np.float32) * (np.asarray(SCB)[:, None] / 127.0)).T
+    rel = np.abs(np.asarray(y, np.float32) - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel  # int8 activation quant noise
+
+
+def test_dp_tp_2d_mesh_col(setup):
+    """2D mesh: batch on data axis, weights on model axis."""
+    _W, x, qw, ref = setup
+    mesh = make_mesh({"data": 2, "model": 4})
+    qws = shard_qweight(qw, mesh, dim="col")
+    from jax.sharding import NamedSharding
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    y = tp_matmul_4bit_col(xs, qws, mesh, gather_output=True, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)

@@ -1,0 +1,6 @@
+"""Serving engine: continuous-batching decode over quantized weights with
+an int8 KV cache — BASELINE.json configs[4]; no reference counterpart."""
+
+from .engine import EngineConfig, InferenceEngine
+
+__all__ = ["EngineConfig", "InferenceEngine"]

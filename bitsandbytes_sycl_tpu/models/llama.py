@@ -1,0 +1,325 @@
+"""Llama-family decoder with k-bit quantized weights — TPU-native.
+
+Pure-functional (params as pytrees, no module state) so the whole decode
+step jits/shards cleanly: quantized linears are QLinearWeight pytrees
+(fused Pallas matmul), int8 linears are {CB, SCB} (LLM.int8), and the
+KV cache is an explicit int8-quantized pytree threaded through forward.
+
+The reference has no model/attention code at all (SURVEY.md §5
+"long-context: entirely absent") — this is the BASELINE.json configs[3]/[4]
+engine substrate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import functional as F
+from ..ops.common import QLinearWeight, quantize_4bit_native
+from ..ops.matmul_4bit import matmul_4bit_fused
+
+__all__ = [
+    "LlamaConfig",
+    "init_params",
+    "quantize_params",
+    "llama_forward",
+    "init_kv_cache",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: Optional[int] = None
+    max_seq_len: int = 2048
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    # weight quantization: "nf4" | "fp4" | "int4" | "int8" | "none"
+    quant: str = "nf4"
+    blocksize: int = 64
+    llm_int8_threshold: float = 6.0
+    kv_quant: bool = True  # int8 KV cache
+    tie_embeddings: bool = False
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls, **kw):
+        """Test-sized config."""
+        defaults = dict(
+            vocab_size=256, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=4, num_kv_heads=2, max_seq_len=128,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def llama7b(cls, **kw):
+        return cls(**kw)
+
+
+# ---------------------------------------------------------------------------
+# linear dispatch: one code path for every weight format
+# ---------------------------------------------------------------------------
+
+
+def _quantize_linear(W: jax.Array, cfg: LlamaConfig):
+    if cfg.quant in ("nf4", "fp4", "int4"):
+        return quantize_4bit_native(W, blocksize=cfg.blocksize, quant_type=cfg.quant)
+    if cfg.quant == "int8":
+        CB, SCB = F.int8_vectorwise_quant(W)
+        return {"CB": CB, "SCB": SCB}
+    return W.astype(cfg.dtype)
+
+
+def apply_linear(x: jax.Array, w, cfg: LlamaConfig) -> jax.Array:
+    if isinstance(w, QLinearWeight):
+        return matmul_4bit_fused(x, w, compute_dtype=cfg.dtype)
+    if isinstance(w, dict) and "CB" in w:
+        return F.llm_int8_matmul(x, w["CB"], w["SCB"], threshold=cfg.llm_int8_threshold)
+    return jnp.matmul(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+
+def _fp_layer_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, int]]:
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    qd = cfg.num_heads * cfg.hd
+    kvd = cfg.num_kv_heads * cfg.hd
+    return {
+        "q_proj": (qd, h),
+        "k_proj": (kvd, h),
+        "v_proj": (kvd, h),
+        "o_proj": (h, qd),
+        "gate_proj": (i, h),
+        "up_proj": (i, h),
+        "down_proj": (h, i),
+    }
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict:
+    """Random-init then quantize (for tests/benchmarks; real weights come
+    from checkpoints.load_*)."""
+    keys = jax.random.split(key, cfg.num_layers + 2)
+
+    def dense(k, shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[1]))
+        return (jax.random.normal(k, shape, jnp.float32) * scale)
+
+    layers = []
+    for li in range(cfg.num_layers):
+        lk = jax.random.split(keys[li], 8)
+        shapes = _fp_layer_shapes(cfg)
+        layer = {
+            name: _quantize_linear(dense(lk[j], shape), cfg)
+            for j, (name, shape) in enumerate(shapes.items())
+        }
+        layer["input_norm"] = jnp.ones((cfg.hidden_size,), jnp.float32)
+        layer["post_attn_norm"] = jnp.ones((cfg.hidden_size,), jnp.float32)
+        layers.append(layer)
+    params = {
+        "embed": dense(keys[-2], (cfg.vocab_size, cfg.hidden_size), scale=0.02).astype(cfg.dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = _quantize_linear(
+            dense(keys[-1], (cfg.vocab_size, cfg.hidden_size), scale=0.02), cfg
+        )
+    return params
+
+
+def quantize_params(fp_params: Dict, cfg: LlamaConfig) -> Dict:
+    """Quantize a full-precision llama param pytree (same structure with
+    2D fp arrays for the projections) into cfg.quant format."""
+    out = {
+        "embed": fp_params["embed"].astype(cfg.dtype),
+        "final_norm": fp_params["final_norm"],
+        "layers": [],
+    }
+    for layer in fp_params["layers"]:
+        q = {}
+        for name, w in layer.items():
+            if name.endswith("_proj"):
+                q[name] = _quantize_linear(jnp.asarray(w, jnp.float32), cfg)
+            else:
+                q[name] = w
+        out["layers"].append(q)
+    if "lm_head" in fp_params:
+        out["lm_head"] = _quantize_linear(jnp.asarray(fp_params["lm_head"], jnp.float32), cfg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KV cache (int8, per-token-per-head absmax — finer than the reference
+# needs since it has no attention; SURVEY.md §5 plans per-head blocks)
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int) -> Dict:
+    L, B, S, H, D = cfg.num_layers, batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.hd
+    if cfg.kv_quant:
+        return {
+            "k": jnp.zeros((L, B, S, H, D), jnp.int8),
+            "v": jnp.zeros((L, B, S, H, D), jnp.int8),
+            "k_scale": jnp.zeros((L, B, S, H), jnp.float32),
+            "v_scale": jnp.zeros((L, B, S, H), jnp.float32),
+        }
+    return {
+        "k": jnp.zeros((L, B, S, H, D), cfg.dtype),
+        "v": jnp.zeros((L, B, S, H, D), cfg.dtype),
+    }
+
+
+def _kv_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(B, T, H, D) -> int8 codes + per-(token,head) absmax."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax > 0, 127.0 / absmax, 0.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), absmax
+
+
+def _kv_dequantize(q: jax.Array, absmax: jax.Array, dtype) -> jax.Array:
+    return (q.astype(jnp.float32) * (absmax[..., None] / 127.0)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding, llama convention (half-split). x: (B,T,H,D)."""
+    B, T, H, D = x.shape
+    half = D // 2
+    freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    angles = positions.astype(jnp.float32)[:, :, None] * freqs[None, None, :]  # (B,T,half)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+
+def _attention(q, k, v, mask, dtype):
+    """q: (B,T,Hq,D); k,v: (B,S,Hkv,D) full cache; GQA via head repeat."""
+    B, T, Hq, D = q.shape
+    Hkv = k.shape[2]
+    if Hq != Hkv:
+        rep = Hq // Hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32))
+    scores = scores / np.sqrt(D)
+    scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+    return out.astype(dtype)
+
+
+def llama_forward(
+    params: Dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # (B, T)
+    cache: Optional[Dict] = None,
+    positions: Optional[jax.Array] = None,  # (B, T) absolute positions
+    seq_lens: Optional[jax.Array] = None,  # (B,) valid cache length BEFORE this call
+) -> Tuple[jax.Array, Optional[Dict]]:
+    """Returns (logits (B, T, vocab), updated cache).
+
+    Prefill: cache=None or positions starting at 0. Decode: T=1 with
+    positions = current length. Static shapes throughout: the cache is
+    (max_seq_len) and masking handles validity — jit-compatible
+    continuous batching (SURVEY.md §7 step 7).
+    """
+    B, T = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+    if seq_lens is None:
+        seq_lens = jnp.zeros((B,), jnp.int32)
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)  # (B,T,H)
+
+    use_cache = cache is not None
+    S = cfg.max_seq_len if use_cache else T
+    # causal-with-cache mask: query t may attend cache slot s iff
+    # s < seq_lens + (t - first_new + 1) i.e. s_pos <= q_pos
+    if use_cache:
+        s_ids = jnp.arange(S)[None, None, :]  # (1,1,S)
+        q_pos = positions[:, :, None]  # (B,T,1)
+        mask = s_ids <= q_pos  # (B,T,S) absolute-position causal
+    else:
+        mask = jnp.tril(jnp.ones((T, T), bool))[None]
+        mask = jnp.broadcast_to(mask, (B, T, T))
+
+    new_cache = dict(cache) if use_cache else None
+    for li, layer in enumerate(params["layers"]):
+        h = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
+        q = apply_linear(h, layer["q_proj"], cfg).reshape(B, T, cfg.num_heads, cfg.hd)
+        k = apply_linear(h, layer["k_proj"], cfg).reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        v = apply_linear(h, layer["v_proj"], cfg).reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        if use_cache:
+            if cfg.kv_quant:
+                kq, ks = _kv_quantize(k)
+                vq, vs = _kv_quantize(v)
+                # scatter at positions (vectorized over batch)
+                bidx = jnp.arange(B)[:, None]
+                new_cache["k"] = new_cache["k"].at[li, bidx, positions].set(kq)
+                new_cache["v"] = new_cache["v"].at[li, bidx, positions].set(vq)
+                new_cache["k_scale"] = new_cache["k_scale"].at[li, bidx, positions].set(ks)
+                new_cache["v_scale"] = new_cache["v_scale"].at[li, bidx, positions].set(vs)
+                k_full = _kv_dequantize(
+                    new_cache["k"][li], new_cache["k_scale"][li], cfg.dtype
+                )
+                v_full = _kv_dequantize(
+                    new_cache["v"][li], new_cache["v_scale"][li], cfg.dtype
+                )
+            else:
+                bidx = jnp.arange(B)[:, None]
+                new_cache["k"] = new_cache["k"].at[li, bidx, positions].set(k.astype(cfg.dtype))
+                new_cache["v"] = new_cache["v"].at[li, bidx, positions].set(v.astype(cfg.dtype))
+                k_full, v_full = new_cache["k"][li], new_cache["v"][li]
+        else:
+            k_full, v_full = k, v
+
+        attn = _attention(q, k_full, v_full, mask, cfg.dtype)
+        attn = attn.reshape(B, T, cfg.num_heads * cfg.hd)
+        x = x + apply_linear(attn, layer["o_proj"], cfg)
+
+        h = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
+        gate = apply_linear(h, layer["gate_proj"], cfg)
+        up = apply_linear(h, layer["up_proj"], cfg)
+        x = x + apply_linear(jax.nn.silu(gate.astype(jnp.float32)).astype(cfg.dtype) * up,
+                             layer["down_proj"], cfg)
+
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    if cfg.tie_embeddings or "lm_head" not in params:
+        logits = jnp.matmul(x, params["embed"].T.astype(cfg.dtype))
+    else:
+        logits = apply_linear(x, params["lm_head"], cfg)
+    return logits.astype(jnp.float32), new_cache

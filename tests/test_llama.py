@@ -1,0 +1,116 @@
+"""Llama model family: forward correctness, cache consistency, quant modes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitsandbytes_sycl_tpu.models import LlamaConfig, init_params, llama_forward
+from bitsandbytes_sycl_tpu.models.llama import init_kv_cache, quantize_params
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = LlamaConfig.tiny(quant="nf4", dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_forward_shapes(tiny):
+    cfg, params = tiny
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)))
+    logits, _ = llama_forward(params, cfg, tokens)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_prefill_decode_consistency(tiny):
+    """Decoding token-by-token with the int8 KV cache must match the
+    no-cache full forward (within KV-quant noise)."""
+    cfg, params = tiny
+    B, T = 1, 12
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+
+    logits_full, _ = llama_forward(params, cfg, tokens)
+
+    # prefill first 8 tokens, decode the rest one at a time
+    cache = init_kv_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(8), (B, 8))
+    logits_pre, cache = llama_forward(params, cfg, tokens[:, :8], cache, pos)
+    np.testing.assert_allclose(
+        np.asarray(logits_pre[:, -1]), np.asarray(logits_full[:, 7]), atol=0.15, rtol=0.1
+    )
+    for t in range(8, T):
+        ptv = jnp.full((B, 1), t)
+        logits_t, cache = llama_forward(params, cfg, tokens[:, t : t + 1], cache, ptv)
+        np.testing.assert_allclose(
+            np.asarray(logits_t[:, 0]), np.asarray(logits_full[:, t]), atol=0.15, rtol=0.1
+        )
+
+
+def test_fp_cache_exact():
+    """With kv_quant off, cache decode matches full forward tightly."""
+    cfg = LlamaConfig.tiny(quant="none", kv_quant=False, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    B, T = 2, 10
+    tokens = jnp.asarray(np.random.default_rng(3).integers(0, cfg.vocab_size, (B, T)))
+    logits_full, _ = llama_forward(params, cfg, tokens)
+    cache = init_kv_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+    logits_c, _ = llama_forward(params, cfg, tokens, cache, pos)
+    np.testing.assert_allclose(
+        np.asarray(logits_c), np.asarray(logits_full), atol=2e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize("quant", ["int8", "int4", "none"])
+def test_quant_modes(quant):
+    cfg = LlamaConfig.tiny(quant=quant, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    tokens = jnp.asarray([[1, 2, 3]])
+    logits, _ = llama_forward(params, cfg, tokens)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_quant_vs_fp_close():
+    """NF4 logits stay close to full-precision logits on a tiny model."""
+    cfg_fp = LlamaConfig.tiny(quant="none", dtype=jnp.float32)
+    fp = init_params(cfg_fp, jax.random.PRNGKey(5))
+
+    # build fp param tree in the quantize_params expected structure
+    cfg_q = LlamaConfig.tiny(quant="nf4", dtype=jnp.float32)
+    qp = quantize_params(fp, cfg_q)
+    tokens = jnp.asarray(np.random.default_rng(6).integers(0, cfg_fp.vocab_size, (2, 8)))
+    lf, _ = llama_forward(fp, cfg_fp, tokens)
+    lq, _ = llama_forward(qp, cfg_q, tokens)
+    # random-init logits are near-uniform so argmax is meaningless; require
+    # strong per-position logit correlation instead
+    a, b = np.asarray(lf).reshape(-1, cfg_fp.vocab_size), np.asarray(lq).reshape(-1, cfg_fp.vocab_size)
+    a = a - a.mean(-1, keepdims=True)
+    b = b - b.mean(-1, keepdims=True)
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.8 and cos.mean() > 0.9, (cos.min(), cos.mean())
+
+
+def test_gqa_heads():
+    cfg = LlamaConfig.tiny(num_heads=8, num_kv_heads=2, quant="none", dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    logits, _ = llama_forward(params, cfg, jnp.asarray([[1, 2, 3, 4]]))
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_jit_decode_step(tiny):
+    cfg, params = tiny
+    B = 2
+    cache = init_kv_cache(cfg, B)
+
+    @jax.jit
+    def step(params, cache, tok, pos):
+        return llama_forward(params, cfg, tok, cache, pos)
+
+    tok = jnp.asarray([[3], [5]])
+    pos = jnp.zeros((B, 1), jnp.int32)
+    logits, cache = step(params, cache, tok, pos)
+    logits, cache = step(params, cache, tok, pos + 1)
+    assert logits.shape == (B, 1, cfg.vocab_size)

@@ -1,0 +1,257 @@
+"""Checkpoint interop: bnb-format quant-state serialization, orbax
+save/load, HF-Llama import with on-the-fly quantization.
+
+The serialized key format matches bitsandbytes so checkpoints round-trip
+with the torch ecosystem (reference QuantState.as_dict/from_dict,
+functional.py:686-767; Params4bit.from_prequantized nn/modules.py:270-289;
+key constants `quant_state.bitsandbytes__{nf4,fp4}`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import functional as F
+from .types import QuantState
+from .utils import pack_dict_to_tensor, unpack_tensor_to_dict
+
+__all__ = [
+    "quant_state_as_dict",
+    "quant_state_from_dict",
+    "export_params4bit",
+    "import_params4bit",
+    "save_checkpoint",
+    "load_checkpoint",
+    "load_llama_from_hf",
+]
+
+_VALID_QS_KEYS = (
+    "absmax",
+    "quant_map",
+    "nested_absmax",
+    "nested_quant_map",
+    "quant_state",
+    "quant_type",
+    "blocksize",
+    "dtype",
+    "shape",
+    "nested_blocksize",
+    "nested_dtype",
+    "nested_offset",
+)
+
+
+def quant_state_as_dict(qs: QuantState, packed: bool = True) -> Dict[str, Any]:
+    """Serialize a QuantState in the bitsandbytes state_dict layout
+    (reference functional.py:737-767). With packed=True all non-tensor
+    fields are JSON-packed into a uint8 array under
+    'quant_state.bitsandbytes__<type>' for safetensors compatibility."""
+    d: Dict[str, Any] = {
+        "quant_type": qs.quant_type,
+        "absmax": np.asarray(qs.absmax),
+        "blocksize": qs.blocksize,
+        "quant_map": np.asarray(qs.code),
+        "dtype": qs.dtype,
+        "shape": tuple(qs.shape),
+    }
+    if qs.nested:
+        d.update(
+            {
+                "nested_absmax": np.asarray(qs.state2.absmax),
+                "nested_blocksize": qs.state2.blocksize,
+                "nested_quant_map": np.asarray(qs.state2.code),
+                "nested_dtype": qs.state2.dtype,
+                "nested_offset": float(np.asarray(qs.offset)),
+            }
+        )
+    if not packed:
+        return d
+    tensors = {k: v for k, v in d.items() if isinstance(v, np.ndarray)}
+    non_tensors = {k: v for k, v in d.items() if not isinstance(v, np.ndarray)}
+    tensors[f"quant_state.bitsandbytes__{qs.quant_type}"] = pack_dict_to_tensor(non_tensors)
+    return tensors
+
+
+def quant_state_from_dict(d: Dict[str, Any]) -> QuantState:
+    """Inverse of quant_state_as_dict; accepts packed or unpacked dicts
+    with optional key prefixes (reference functional.py:686-735)."""
+    d = dict(d)
+    qs_key = [k for k in d if "quant_state" in k and hasattr(d[k], "__len__")]
+    if qs_key:
+        (key,) = qs_key
+        d.update(unpack_tensor_to_dict(d.pop(key)))
+    d = {k.split(".")[-1]: v for k, v in d.items()}
+    unknown = set(d) - set(_VALID_QS_KEYS)
+    if unknown:
+        raise ValueError(f"unknown quant-state keys: {unknown}")
+
+    state2 = offset = None
+    if "nested_absmax" in d:
+        state2 = QuantState(
+            absmax=jnp.asarray(np.asarray(d["nested_absmax"])),
+            code=jnp.asarray(np.asarray(d["nested_quant_map"])),
+            blocksize=int(d["nested_blocksize"]),
+            dtype=str(d["nested_dtype"]),
+            # state2 describes the quantized top-level absmax vector
+            shape=(int(np.asarray(d["absmax"]).size),),
+            quant_type="dynamic",
+        )
+        offset = jnp.asarray(float(d["nested_offset"]), jnp.float32)
+    return QuantState(
+        absmax=jnp.asarray(np.asarray(d["absmax"])),
+        code=jnp.asarray(np.asarray(d["quant_map"])),
+        blocksize=int(d["blocksize"]),
+        dtype=str(d["dtype"]),
+        shape=tuple(int(s) for s in d["shape"]),
+        quant_type=str(d["quant_type"]),
+        offset=offset,
+        state2=state2,
+    )
+
+
+def export_params4bit(packed_data: jax.Array, qs: QuantState, prefix: str = "weight") -> Dict[str, np.ndarray]:
+    """Full bnb Linear4bit state-dict entry: '<prefix>' packed payload +
+    '<prefix>.<qs keys>' (reference nn/modules.py:436-446)."""
+    out = {prefix: np.asarray(packed_data).reshape(-1, 1)}  # bnb stores (n//2, 1)
+    for k, v in quant_state_as_dict(qs, packed=True).items():
+        out[f"{prefix}.{k}"] = v
+    return out
+
+
+def import_params4bit(state_dict: Dict[str, Any], prefix: str = "weight"):
+    """Inverse of export_params4bit -> (packed uint8 flat, QuantState)."""
+    qs_items = {
+        k[len(prefix) + 1 :]: v
+        for k, v in state_dict.items()
+        if k.startswith(prefix + ".")
+    }
+    qs = quant_state_from_dict(qs_items)
+    packed = jnp.asarray(np.asarray(state_dict[prefix]).reshape(-1), jnp.uint8)
+    return packed, qs
+
+
+# ---------------------------------------------------------------------------
+# orbax pytree checkpoints (weights + optimizer states, sharding-aware)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    """Orbax save of any pytree (quantized params, optimizer states, KV
+    caches). Replaces the reference's torch state_dict files — uint8
+    payloads and scale pytrees round-trip exactly
+    (tested like test_optimizer8bit.py:174-210)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree)
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, item=target)
+    return ckptr.restore(path)
+
+
+# ---------------------------------------------------------------------------
+# HF Llama import (local files; quantize on load)
+# ---------------------------------------------------------------------------
+
+_HF_LAYER_MAP = {
+    "q_proj": "self_attn.q_proj.weight",
+    "k_proj": "self_attn.k_proj.weight",
+    "v_proj": "self_attn.v_proj.weight",
+    "o_proj": "self_attn.o_proj.weight",
+    "gate_proj": "mlp.gate_proj.weight",
+    "up_proj": "mlp.up_proj.weight",
+    "down_proj": "mlp.down_proj.weight",
+    "input_norm": "input_layernorm.weight",
+    "post_attn_norm": "post_attention_layernorm.weight",
+}
+
+
+def load_llama_from_hf(model_dir: str, cfg=None, use_native_quantizer: bool = True):
+    """Load a HuggingFace-format Llama checkpoint directory (safetensors
+    or torch .bin) and quantize into our param tree — the parity analog of
+    the reference's HF integration test (tests_pvc/test_int8_hf.py) minus
+    the torch hook machinery.
+
+    Returns (cfg, params). Reads config.json for dimensions when cfg is
+    None. Host-side quantization uses the C++ fast path when available
+    (csrc/quant_cpu.cpp), else jnp.
+    """
+    import json
+
+    from .models.llama import LlamaConfig, _quantize_linear
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    if cfg is None:
+        cfg = LlamaConfig(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["intermediate_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+            max_seq_len=min(hf.get("max_position_embeddings", 2048), 4096),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            rms_eps=hf.get("rms_norm_eps", 1e-5),
+            tie_embeddings=hf.get("tie_word_embeddings", False),
+        )
+
+    tensors = _read_hf_tensors(model_dir)
+
+    def get(name):
+        return jnp.asarray(np.asarray(tensors[name], np.float32))
+
+    layers = []
+    for li in range(cfg.num_layers):
+        pre = f"model.layers.{li}."
+        layer = {}
+        for ours, theirs in _HF_LAYER_MAP.items():
+            w = get(pre + theirs)
+            layer[ours] = _quantize_linear(w, cfg) if ours.endswith("_proj") else w
+        layers.append(layer)
+    params = {
+        "embed": get("model.embed_tokens.weight").astype(cfg.dtype),
+        "layers": layers,
+        "final_norm": get("model.norm.weight"),
+    }
+    if not cfg.tie_embeddings and "lm_head.weight" in tensors:
+        params["lm_head"] = _quantize_linear(get("lm_head.weight"), cfg)
+    return cfg, params
+
+
+def _read_hf_tensors(model_dir: str) -> Dict[str, np.ndarray]:
+    """Read all tensors from safetensors shards (preferred) or torch bins."""
+    files = sorted(os.listdir(model_dir))
+    st = [f for f in files if f.endswith(".safetensors")]
+    out: Dict[str, np.ndarray] = {}
+    if st:
+        from safetensors import safe_open
+
+        for fname in st:
+            with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+                for k in f.keys():
+                    out[k] = f.get_tensor(k)
+        return out
+    bins = [f for f in files if f.endswith(".bin")]
+    if bins:
+        import torch
+
+        for fname in bins:
+            sd = torch.load(os.path.join(model_dir, fname), map_location="cpu", weights_only=True)
+            for k, v in sd.items():
+                out[k] = v.float().numpy()
+        return out
+    raise FileNotFoundError(f"no safetensors/bin weights in {model_dir}")

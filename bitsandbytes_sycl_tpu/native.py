@@ -1,0 +1,131 @@
+"""Native host library loader — the analog of the reference's
+cextension.py (ctypes loader for libbitsandbytes_sycl.so,
+cextension.py:67-128), minus its pitfalls: no hard-coded relative path,
+build-on-demand from source, and a clean numpy fallback instead of a
+warning-and-crash (SURVEY.md §7 quality caveats).
+
+The library accelerates HOST-side work only (checkpoint conversion of
+multi-GB weights); all device compute is XLA/Pallas.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import logging
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+_LIB_NAME = "libquant_cpu.so"
+_lib: Optional[ct.CDLL] = None
+_tried = False
+
+
+def _build(src: str, out: str) -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", out, "-pthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        return True
+    except Exception as e:  # noqa: BLE001
+        logger.warning("native build failed (%s); using numpy fallback", e)
+        return False
+
+
+def get_native_library() -> Optional[ct.CDLL]:
+    """Load (building if needed) the host quantization library; None if
+    unavailable — callers must fall back to numpy/jnp."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    src = os.path.join(_CSRC, "quant_cpu.cpp")
+    candidates = [
+        os.path.join(_CSRC, _LIB_NAME),
+        os.path.join(tempfile.gettempdir(), "bnb_tpu_" + _LIB_NAME),
+    ]
+    for path in candidates:
+        if not os.path.exists(path):
+            if not (os.path.exists(src) and _build(src, path)):
+                continue
+        try:
+            lib = ct.CDLL(path)
+            lib.quant_cpu_version.restype = ct.c_int
+            assert lib.quant_cpu_version() >= 1
+            _lib = lib
+            return _lib
+        except Exception as e:  # noqa: BLE001
+            logger.warning("failed loading %s: %s", path, e)
+    return None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ct.c_void_p)
+
+
+def quantize_blockwise_np(
+    A: np.ndarray, code_sorted: np.ndarray, blocksize: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host 8-bit blockwise quantize -> (codes uint8 like A, absmax)."""
+    A = np.ascontiguousarray(A, np.float32)
+    n = A.size
+    nb = (n + blocksize - 1) // blocksize
+    lib = get_native_library()
+    out = np.empty(n, np.uint8)
+    absmax = np.empty(nb, np.float32)
+    if lib is not None:
+        code_sorted = np.ascontiguousarray(code_sorted, np.float32)
+        lib.quantize_blockwise_cpu_fp32(
+            _ptr(code_sorted), _ptr(A.reshape(-1)), _ptr(absmax), _ptr(out),
+            ct.c_int(blocksize), ct.c_long(n),
+        )
+        return out.reshape(A.shape), absmax
+    # numpy fallback
+    flat = A.reshape(-1)
+    pad = nb * blocksize - n
+    fp = np.pad(flat, (0, pad)).reshape(nb, blocksize)
+    absmax[:] = np.abs(fp).max(1)
+    inv = np.where(absmax > 0, 1.0 / np.where(absmax > 0, absmax, 1), 0.0)
+    mids = (code_sorted[1:] + code_sorted[:-1]) / 2
+    codes = np.searchsorted(mids, fp * inv[:, None], side="left").astype(np.uint8)
+    return codes.reshape(-1)[:n].reshape(A.shape), absmax
+
+
+def quantize_4bit_np(
+    A: np.ndarray, code16: np.ndarray, blocksize: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host 4-bit blockwise quantize -> (bnb-paired packed bytes, absmax)."""
+    A = np.ascontiguousarray(A, np.float32)
+    n = A.size
+    nb = (n + blocksize - 1) // blocksize
+    lib = get_native_library()
+    if lib is not None:
+        out = np.empty((n + 1) // 2, np.uint8)
+        absmax = np.empty(nb, np.float32)
+        code16 = np.ascontiguousarray(code16, np.float32)
+        lib.quantize_4bit_cpu_fp32(
+            _ptr(code16), _ptr(A.reshape(-1)), _ptr(absmax), _ptr(out),
+            ct.c_int(blocksize), ct.c_long(n),
+        )
+        return out, absmax
+    order = np.argsort(code16, kind="stable")
+    sorted_vals = code16[order]
+    mids = (sorted_vals[1:] + sorted_vals[:-1]) / 2
+    flat = A.reshape(-1)
+    pad = nb * blocksize - n
+    fp = np.pad(flat, (0, pad)).reshape(nb, blocksize)
+    absmax = np.abs(fp).max(1).astype(np.float32)
+    inv = np.where(absmax > 0, 1.0 / np.where(absmax > 0, absmax, 1), 0.0)
+    codes = order[np.searchsorted(mids, fp * inv[:, None], side="left")].astype(np.uint8)
+    codes = codes.reshape(-1)
+    if n % 2:
+        codes = np.pad(codes[:n], (0, 1))
+    else:
+        codes = codes[:n]
+    pairs = codes.reshape(-1, 2)
+    return (pairs[:, 0] << 4 | pairs[:, 1]).astype(np.uint8), absmax

@@ -1,0 +1,111 @@
+"""Checkpoint interop, utils, and the native host quantizer."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bitsandbytes_sycl_tpu as bnb
+from bitsandbytes_sycl_tpu import checkpoints as C
+from bitsandbytes_sycl_tpu import functional as F
+from bitsandbytes_sycl_tpu import native, utils
+
+
+def test_pack_unpack_dict():
+    d = {"quant_type": "nf4", "blocksize": 64, "shape": [4, 8], "dtype": "bfloat16"}
+    t = utils.pack_dict_to_tensor(d)
+    assert t.dtype == np.uint8
+    assert utils.unpack_tensor_to_dict(t) == d
+
+
+@pytest.mark.parametrize("nested", [False, True])
+def test_quant_state_roundtrip(nested):
+    a = jnp.asarray(np.random.default_rng(0).normal(size=(64, 128)), jnp.float32)
+    packed, qs = F.quantize_4bit(a, quant_type="nf4", compress_statistics=nested)
+    d = C.quant_state_as_dict(qs, packed=True)
+    assert f"quant_state.bitsandbytes__nf4" in d
+    qs2 = C.quant_state_from_dict(d)
+    assert qs2.blocksize == qs.blocksize and qs2.quant_type == "nf4"
+    assert qs2.shape == qs.shape and qs2.nested == nested
+    out1 = np.asarray(F.dequantize_4bit(packed, qs))
+    out2 = np.asarray(F.dequantize_4bit(packed, qs2))
+    np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
+def test_params4bit_state_dict_roundtrip():
+    """bnb Linear4bit state-dict key layout (nn/modules.py:436-446)."""
+    a = jnp.asarray(np.random.default_rng(1).normal(size=(32, 64)), jnp.float32)
+    packed, qs = F.quantize_4bit(a, quant_type="fp4")
+    sd = C.export_params4bit(packed, qs, prefix="model.layer.weight")
+    assert "model.layer.weight" in sd
+    assert sd["model.layer.weight"].shape == (a.size // 2, 1)  # bnb (n//2,1)
+    p2, qs2 = C.import_params4bit(sd, prefix="model.layer.weight")
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(p2))
+    np.testing.assert_allclose(
+        np.asarray(F.dequantize_4bit(packed, qs)), np.asarray(F.dequantize_4bit(p2, qs2)), atol=1e-6
+    )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "packed": jnp.arange(32, dtype=jnp.uint8),
+        "absmax": jnp.ones((4,), jnp.float32),
+        "nested": {"count": jnp.asarray(3)},
+    }
+    path = os.path.join(str(tmp_path), "ckpt")
+    C.save_checkpoint(path, tree)
+    back = C.load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(back["packed"]), np.asarray(tree["packed"]))
+    np.testing.assert_array_equal(np.asarray(back["absmax"]), np.asarray(tree["absmax"]))
+
+
+def test_native_library_builds():
+    lib = native.get_native_library()
+    assert lib is not None, "g++ build of csrc/quant_cpu.cpp failed"
+
+
+def test_native_quantize_blockwise_matches_jnp():
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(4096 + 17,)).astype(np.float32)
+    code = np.asarray(bnb.codebooks.create_dynamic_map())
+    codes_c, absmax_c = native.quantize_blockwise_np(a, code, 256)
+    q_j, qs = F.quantize_blockwise(jnp.asarray(a), blocksize=256)
+    np.testing.assert_array_equal(codes_c, np.asarray(q_j))
+    np.testing.assert_allclose(absmax_c, np.asarray(qs.absmax), rtol=1e-6)
+
+
+@pytest.mark.parametrize("qt", ["nf4", "fp4"])
+def test_native_quantize_4bit_matches_jnp(qt):
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(128, 64)).astype(np.float32)
+    code = bnb.codebooks.get_4bit_type(qt)
+    packed_c, absmax_c = native.quantize_4bit_np(a, code, 64)
+    packed_j, qs = F.quantize_4bit(jnp.asarray(a), blocksize=64, quant_type=qt)
+    np.testing.assert_array_equal(packed_c, np.asarray(packed_j))
+    np.testing.assert_allclose(absmax_c, np.asarray(qs.absmax), rtol=1e-6)
+
+
+def test_find_outlier_dims():
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=(64, 128)).astype(np.float32)
+    w[:, 7] *= 50.0
+    mask = np.asarray(utils.find_outlier_dims(jnp.asarray(w), zscore=4.0))
+    assert mask[7] and mask.sum() == 1
+    idx = np.asarray(utils.find_outlier_dims(jnp.asarray(w), topk=1))
+    assert idx[0] == 7
+
+
+def test_outlier_tracer():
+    tracer = utils.OutlierTracer.get_instance()
+    w = jnp.asarray(np.random.default_rng(5).normal(size=(32, 64)), jnp.float32)
+    o1 = tracer.get_outliers(w)
+    o2 = tracer.get_outliers(w)  # cached
+    np.testing.assert_array_equal(o1, o2)
+
+
+def test_replace_linear():
+    params = {"dense": {"kernel": jnp.ones((64, 128))}, "norm": jnp.ones((64,))}
+    q = utils.replace_linear(params, quant_type="nf4")
+    assert "packed" in q["dense"]["kernel"]

@@ -15,8 +15,15 @@ Typical use::
     y = bnb.matmul_4bit(x, packed, qs)
 """
 
-from . import codebooks, functional
-from .autograd import matmul, matmul_4bit
+from . import codebooks, functional, legacy
+from .autograd import (
+    MatmulLtState,
+    bmm_cublas,
+    matmul,
+    matmul_4bit,
+    matmul_cublas,
+    mm_cublas,
+)
 from .functional import (
     dequantize_4bit,
     dequantize_blockwise,
@@ -54,4 +61,9 @@ __all__ = [
     "llm_int8_matmul",
     "matmul",
     "matmul_4bit",
+    "matmul_cublas",
+    "bmm_cublas",
+    "mm_cublas",
+    "MatmulLtState",
+    "legacy",
 ]

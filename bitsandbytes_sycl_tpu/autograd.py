@@ -9,6 +9,7 @@ forward is one jitted computation instead of ~8 kernel launches.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -108,16 +109,46 @@ def matmul_4bit(
     return _matmul_4bit_vjp(A, data, quant_state, bias)
 
 
+@dataclasses.dataclass
+class MatmulLtState:
+    """Compat shim for the reference's per-layer weight-cache state
+    (autograd/_functions.py:246-285). Here it is a plain immutable value:
+    no CxB/SB/tile bookkeeping exists because TPU has no tiled layouts,
+    and quantization is explicit rather than cached-on-first-forward."""
+
+    CB: Optional[jax.Array] = None  # int8 (N, K)
+    SCB: Optional[jax.Array] = None  # f32 (N,)
+    threshold: float = 0.0
+    has_fp16_weights: bool = True
+    use_pool: bool = False
+
+    def reset_grads(self):
+        return None
+
+
 def matmul(
     A: jax.Array,
-    CB: jax.Array,
-    SCB: jax.Array,
+    B: jax.Array,
+    SCB: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     threshold: float = 0.0,
+    state: Optional[MatmulLtState] = None,
 ) -> jax.Array:
     """bnb.matmul equivalent — LLM.int8() linear (reference
-    autograd/_functions.py:543-554)."""
-    return matmul_8bit_lt(A, CB, SCB, threshold, bias)
+    autograd/_functions.py:543-554).
+
+    Forms:
+      matmul(A, CB, SCB, ...)            pre-quantized int8 weight
+      matmul(A, W, threshold=...)        fp weight, trainable (int8 fwd)
+      matmul(A, None, state=state, ...)  reference-style state object
+    """
+    if state is not None:
+        if state.has_fp16_weights:
+            return matmul_8bit_train(A, B, state.threshold, bias)
+        return matmul_8bit_lt(A, state.CB, state.SCB, state.threshold, bias)
+    if SCB is None:
+        return matmul_8bit_train(A, B, threshold, bias)
+    return matmul_8bit_lt(A, B, SCB, threshold, bias)
 
 
 # ---------------------------------------------------------------------------
@@ -180,3 +211,109 @@ def _mm4k_bwd(res, g):
 
 
 matmul_4bit_kernel.defvjp(_mm4k_fwd, _mm4k_bwd)
+
+
+# ---------------------------------------------------------------------------
+# legacy vectorwise int8 matmul — MatMul8bit / matmul_cublas
+# (reference autograd/_functions.py:107-210, 543-554)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def matmul_cublas(A, B, quant_type="vector"):
+    """Legacy int8 matmul: quantize A per-row and B per-col vectorwise,
+    int8 dot, rescale — forward of the reference MatMul8bit. Backward is
+    full precision (the reference quantizes grads too; we keep the same
+    contract with tighter numerics)."""
+    return _legacy_int8_mm(A, B, quant_type)
+
+
+def _legacy_int8_mm(A, B, quant_type):
+    from . import legacy as L
+
+    qA, sA = L.vectorwise_quant(A, dim=A.ndim - 1, quant_type=quant_type)
+    qB, sB = L.vectorwise_quant(B, dim=0, quant_type=quant_type)
+    i32 = jax.lax.dot_general(
+        qA, qB, (((A.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = i32.astype(jnp.float32) * (sA * sB) / (127.0 * 127.0)
+    return out.astype(jnp.result_type(A))
+
+
+def _mmc_fwd(A, B, quant_type):
+    return _legacy_int8_mm(A, B, quant_type), (A, B)
+
+
+def _mmc_bwd(quant_type, res, g):
+    A, B = res
+    gf = g.astype(jnp.float32)
+    grad_A = jnp.matmul(gf, B.astype(jnp.float32).T).astype(A.dtype)
+    ga2 = gf.reshape(-1, gf.shape[-1])
+    A2 = A.reshape(-1, A.shape[-1]).astype(jnp.float32)
+    grad_B = jnp.matmul(A2.T, ga2).astype(B.dtype)
+    return grad_A, grad_B
+
+
+matmul_cublas.defvjp(_mmc_fwd, _mmc_bwd)
+
+
+def mm_cublas(A, B, quant_type="vector"):
+    return matmul_cublas(A, B, quant_type)
+
+
+def bmm_cublas(A, B, quant_type="vector"):
+    """Batched legacy int8 matmul (reference __init__.py exports bmm_cublas)."""
+    assert A.ndim == 3 and B.ndim == 3
+    return jax.vmap(lambda a, b: matmul_cublas(a, b, quant_type))(A, B)
+
+
+class GlobalOutlierPooler:
+    """Tracks outlier feature indices across layers of one model
+    (reference autograd/_functions.py:29-55)."""
+
+    _instance = None
+
+    def __init__(self):
+        self.outliers = set()
+        self.model_dim = None
+
+    @classmethod
+    def get_instance(cls):
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def initialize(self):
+        self.outliers = set()
+        self.model_dim = None
+
+    def add_outliers(self, outlier_idx, feature_dim):
+        if self.model_dim is None:
+            self.model_dim = feature_dim
+        if feature_dim != self.model_dim:
+            return  # second FFN matrix — wrong dim, per the reference
+        self.outliers.update(np.asarray(outlier_idx).tolist())
+
+    def get_current_outlier_idx(self):
+        return jnp.asarray(sorted(self.outliers), jnp.int32)
+
+
+def get_inverse_transform_indices(transform_tile, tile_size):
+    """Index permutation that undoes an arbitrary tiled layout transform
+    (reference autograd/_functions.py:58-86). On TPU layouts are identity
+    so this is only useful for importing GPU-tiled checkpoints."""
+    d1, d2 = tile_size
+    assert d1 * d2 < 2**31
+    tile_indices = np.arange(d1 * d2, dtype=np.int32).reshape(d1, d2)
+    permuted = np.asarray(transform_tile(jnp.asarray(tile_indices))).reshape(-1)
+    inverse = np.empty_like(permuted)
+    inverse[permuted] = np.arange(permuted.size, dtype=np.int32)
+    return jnp.asarray(inverse.reshape(d1, d2))
+
+
+def undo_layout(permuted_tensor: jax.Array, tile_indices: jax.Array) -> jax.Array:
+    """Restore row-major order from a tiled layout: gather by the inverse
+    permutation from get_inverse_transform_indices
+    (reference autograd/_functions.py:89-104)."""
+    flat = permuted_tensor.reshape(-1)
+    return flat[tile_indices.reshape(-1)].reshape(permuted_tensor.shape)

@@ -33,6 +33,7 @@ from .functional import (
     int8_linear_matmul,
     int8_mm_dequant,
     llm_int8_matmul,
+    llm_int8_prepare_outliers,
     quantize_4bit,
     quantize_blockwise,
     quantize_fp4,
@@ -59,6 +60,7 @@ __all__ = [
     "int8_linear_matmul",
     "int8_mm_dequant",
     "llm_int8_matmul",
+    "llm_int8_prepare_outliers",
     "matmul",
     "matmul_4bit",
     "matmul_cublas",

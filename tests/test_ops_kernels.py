@@ -190,3 +190,45 @@ def test_linear8bitlt_outlier_idx_module():
     assert "outliers" in variables["quants"]["weight"]
     y = layer.apply(variables, x)
     assert y.shape == (4, 128) and bool(jnp.all(jnp.isfinite(y)))
+
+
+# ---------------------------------------------------------------------------
+# flash-decode int8-KV attention kernel (ops/attention.py)
+# ---------------------------------------------------------------------------
+
+from bitsandbytes_sycl_tpu.models import llama as L
+from bitsandbytes_sycl_tpu.ops.attention import decode_attention_int8
+
+
+@pytest.mark.parametrize("gqa", [1, 2])
+def test_decode_attention_int8_matches_dequant_path(gqa):
+    B, S, Hkv, D = 2, 256, 4, 128
+    Hq = Hkv * gqa
+    rng = np.random.default_rng(gqa)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    kq, ks = L._kv_quantize(k)
+    vq, vs = L._kv_quantize(v)
+    lengths = jnp.asarray([117, 256], jnp.int32)
+
+    # kernel cache layouts: K transposed (B,H,D,S), V (B,H,S,D)
+    kqh, ksh = kq.transpose(0, 2, 3, 1), ks.transpose(0, 2, 1)
+    vqh, vsh = vq.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1)
+    out = decode_attention_int8(q, kqh, ksh, vqh, vsh, lengths)
+    assert out is not None and out.shape == (B, 1, Hq, D)
+
+    kf = L._kv_dequantize(kq, ks, jnp.float32)
+    vf = L._kv_dequantize(vq, vs, jnp.float32)
+    mask = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+    ref = L._attention(q, kf, vf, mask, jnp.float32)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 5e-3, rel
+
+
+def test_decode_attention_int8_declines_untileable():
+    q = jnp.zeros((2, 1, 4, 64), jnp.float32)  # D=64 < 128
+    kq = jnp.zeros((2, 4, 64, 256), jnp.int8)
+    vq = jnp.zeros((2, 4, 256, 64), jnp.int8)
+    ks = jnp.zeros((2, 4, 256), jnp.float32)
+    assert decode_attention_int8(q, kq, ks, vq, ks, jnp.ones(2, jnp.int32)) is None

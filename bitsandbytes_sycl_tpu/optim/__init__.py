@@ -139,3 +139,6 @@ __all__ = [
     "rmsprop", "rmsprop8bit", "rmsprop32bit",
     "adagrad", "adagrad8bit", "adagrad32bit",
 ]
+
+# --- AnalysisAdam: quantization-error diagnostic (reference optim/adam.py:214) 
+from .analysis import AnalysisAdamState, analysis_adam  # noqa: E402,F401

@@ -241,3 +241,22 @@ def test_optim8_pallas_nan_gradient_leaves_state():
         s2.reshape(nb, bs), am2, scalars,
     )
     np.testing.assert_allclose(np.asarray(po).ravel(), np.asarray(p), atol=0)
+
+
+def test_analysis_adam_tracks_quantization_error():
+    from bitsandbytes_sycl_tpu.optim import analysis_adam
+
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(4096,)), jnp.float32)}
+    opt = analysis_adam(1e-3)
+    st = opt.init(params)
+    p = params
+    for _ in range(3):
+        g = {"w": jnp.sin(p["w"])}
+        up, st = opt.update(g, st, p)
+        p = optax.apply_updates(p, up)
+    s = st.inner["w"]
+    assert int(s["counts"]) == 3 * 4096
+    # 8-bit dynamic quantization of the update: small but nonzero error
+    mean_abs = float(s["abserr"]) / int(s["counts"])
+    assert 0 < mean_abs < 1e-4
+    assert bool(jnp.all(jnp.isfinite(p["w"])))

@@ -201,6 +201,25 @@ def _use_fused_decode_attn(cfg: LlamaConfig) -> bool:
     return on_tpu()
 
 
+def _cache_write(arr: jax.Array, li: int, upd: jax.Array, starts: jax.Array, pos_axis: int) -> jax.Array:
+    """Write `upd` (B, ...) into the stacked cache `arr` (L, B, ...) at
+    per-batch position offsets `starts` (B,) along `pos_axis` (axis index
+    within the per-(L,B) subarray). Positions MUST be contiguous per batch
+    (true for both prefill [0..T) and decode [p, p+1)).
+
+    Implemented as B dynamic_update_slice ops: XLA keeps them in-place
+    under jit. The advanced-indexing scatter this replaces lowers to a
+    Scatter HLO — catastrophic on TPU for the transposed K cache whose
+    scattered runs are 1 element long.
+    """
+    B = upd.shape[0]
+    for b in range(B):
+        idx = [li, b] + [0] * (arr.ndim - 2)
+        idx[2 + pos_axis] = starts[b]
+        arr = jax.lax.dynamic_update_slice(arr, upd[b][None, None].astype(arr.dtype), tuple(idx))
+    return arr
+
+
 def _kv_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(B, T, H, D) -> int8 codes + per-(token,head) absmax."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
@@ -259,6 +278,7 @@ def llama_forward(
     cache: Optional[Dict] = None,
     positions: Optional[jax.Array] = None,  # (B, T) absolute positions
     seq_lens: Optional[jax.Array] = None,  # (B,) valid cache length BEFORE this call
+    psum_axis: Optional[str] = None,  # mesh axis for TP row-parallel reductions
 ) -> Tuple[jax.Array, Optional[Dict]]:
     """Returns (logits (B, T, vocab), updated cache).
 
@@ -298,27 +318,22 @@ def llama_forward(
 
         attn = None
         if use_cache:
-            # head-major scatter indices: (B, Hkv, T) broadcast
-            bi = jnp.arange(B)[:, None, None]
-            hi = jnp.arange(cfg.num_kv_heads)[None, :, None]
-            pi = positions[:, None, :]
+            starts = positions[:, 0]  # contiguous positions per batch
             if cfg.kv_quant:
                 kq, ks = _kv_quantize(k)
                 vq, vs = _kv_quantize(v)
-                # K stored transposed (B,H,D,S): scatter with a D index axis
-                bi4 = jnp.arange(B)[:, None, None, None]
-                hi4 = jnp.arange(cfg.num_kv_heads)[None, :, None, None]
-                di4 = jnp.arange(cfg.hd)[None, None, :, None]
-                pi4 = positions[:, None, None, :]
-                new_cache["k"] = new_cache["k"].at[li, bi4, hi4, di4, pi4].set(
-                    kq.transpose(0, 2, 3, 1)  # (B,Hkv,D,T)
+                # K stored transposed (B,H,D,S): positions land on axis 2
+                new_cache["k"] = _cache_write(
+                    new_cache["k"], li, kq.transpose(0, 2, 3, 1), starts, pos_axis=2
                 )
-                new_cache["v"] = new_cache["v"].at[li, bi, hi, pi].set(vq.transpose(0, 2, 1, 3))
-                new_cache["k_scale"] = new_cache["k_scale"].at[li, bi, hi, pi].set(
-                    ks.transpose(0, 2, 1)
+                new_cache["v"] = _cache_write(
+                    new_cache["v"], li, vq.transpose(0, 2, 1, 3), starts, pos_axis=1
                 )
-                new_cache["v_scale"] = new_cache["v_scale"].at[li, bi, hi, pi].set(
-                    vs.transpose(0, 2, 1)
+                new_cache["k_scale"] = _cache_write(
+                    new_cache["k_scale"], li, ks.transpose(0, 2, 1), starts, pos_axis=1
+                )
+                new_cache["v_scale"] = _cache_write(
+                    new_cache["v_scale"], li, vs.transpose(0, 2, 1), starts, pos_axis=1
                 )
                 if T == 1 and _use_fused_decode_attn(cfg):
                     from ..ops.attention import decode_attention_int8
@@ -340,11 +355,13 @@ def llama_forward(
                         new_cache["v"][li], new_cache["v_scale"][li], cfg.dtype
                     ).transpose(0, 2, 1, 3)
             else:
-                new_cache["k"] = new_cache["k"].at[li, bi, hi, pi].set(
-                    k.astype(cfg.dtype).transpose(0, 2, 1, 3)
+                new_cache["k"] = _cache_write(
+                    new_cache["k"], li, k.astype(cfg.dtype).transpose(0, 2, 1, 3),
+                    starts, pos_axis=1,
                 )
-                new_cache["v"] = new_cache["v"].at[li, bi, hi, pi].set(
-                    v.astype(cfg.dtype).transpose(0, 2, 1, 3)
+                new_cache["v"] = _cache_write(
+                    new_cache["v"], li, v.astype(cfg.dtype).transpose(0, 2, 1, 3),
+                    starts, pos_axis=1,
                 )
                 k_full = new_cache["k"][li].transpose(0, 2, 1, 3)
                 v_full = new_cache["v"][li].transpose(0, 2, 1, 3)
@@ -355,13 +372,21 @@ def llama_forward(
             attn = _attention(q, k_full, v_full, mask, cfg.dtype)
         attn = attn.astype(cfg.dtype)
         attn = attn.reshape(B, T, cfg.num_heads * cfg.hd)
-        x = x + apply_linear(attn, layer["o_proj"], cfg)
+        o = apply_linear(attn, layer["o_proj"], cfg)
+        if psum_axis is not None:  # row-parallel o_proj partial sums
+            o = jax.lax.psum(o, psum_axis)
+        x = x + o
 
         h = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
         gate = apply_linear(h, layer["gate_proj"], cfg)
         up = apply_linear(h, layer["up_proj"], cfg)
-        x = x + apply_linear(jax.nn.silu(gate.astype(jnp.float32)).astype(cfg.dtype) * up,
-                             layer["down_proj"], cfg)
+        d = apply_linear(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(cfg.dtype) * up,
+            layer["down_proj"], cfg,
+        )
+        if psum_axis is not None:  # row-parallel down_proj partial sums
+            d = jax.lax.psum(d, psum_axis)
+        x = x + d
 
     x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
     if cfg.tie_embeddings or "lm_head" not in params:

@@ -1,0 +1,170 @@
+"""Tensor-parallel quantized Llama forward — shard_map over a "model" axis.
+
+The reference is single-device (SURVEY.md §2.3: no collectives anywhere);
+this implements the BASELINE.json configs[4] layout: Megatron-style TP
+with quantized weights sharded CONGRUENTLY with their scales:
+
+- q/k/v/gate/up: column-parallel (output heads / ffn channels sharded)
+- o/down: row-parallel (input sharded), partial sums reduced with one
+  `psum` per projection over ICI
+- int8 KV cache: sharded over the kv-head axis — attention is fully local
+- embed / norms / lm_head: replicated (logits identical on every device)
+
+Per decode step the only communication is 2 psums of the (B, T, hidden)
+activation per layer — the quantized weights and the KV cache never move.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.llama import LlamaConfig, llama_forward
+from ..ops.common import QLinearWeight
+from .mesh import qweight_pspec, qweight_sharding, retile_qweight_row_tp
+
+__all__ = ["llama_param_specs", "shard_llama_params", "kv_cache_specs", "llama_forward_tp"]
+
+# projection -> TP sharding direction
+_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_ROW = ("o_proj", "down_proj")
+
+
+def _proj_spec(name: str, w, axis: str):
+    if isinstance(w, QLinearWeight):
+        if name in _COL:
+            return qweight_pspec(w, "col", axis)
+        if name in _ROW:
+            return qweight_pspec(w, "row", axis)
+        return jax.tree.map(lambda _: P(), w)
+    if isinstance(w, dict) and "CB" in w:
+        if name in _COL:
+            return {"CB": P(axis, None), "SCB": P(axis)}
+        if name in _ROW:
+            # per-output-row scales stay replicated when K is sharded
+            return {"CB": P(None, axis), "SCB": P()}
+        return jax.tree.map(lambda _: P(), w)
+    # unquantized fp weight (N, K)
+    if name in _COL:
+        return P(axis, None)
+    if name in _ROW:
+        return P(None, axis)
+    return P()
+
+
+def llama_param_specs(params: Dict, cfg: LlamaConfig, axis: str = "model") -> Dict:
+    """PartitionSpec pytree matching the param pytree."""
+    specs = {
+        "embed": P(),
+        "final_norm": P(),
+        "layers": [],
+    }
+    for layer in params["layers"]:
+        ls = {}
+        for name, w in layer.items():
+            if name.endswith("_proj"):
+                ls[name] = _proj_spec(name, w, axis)
+            else:
+                ls[name] = P()
+        specs["layers"].append(ls)
+    if "lm_head" in params:
+        specs["lm_head"] = jax.tree.map(lambda _: P(), params["lm_head"])
+    return specs
+
+
+def shard_llama_params(params: Dict, cfg: LlamaConfig, mesh: Mesh, axis: str = "model") -> Dict:
+    tp = mesh.shape[axis]
+    # row-parallel planar weights need contiguous-K retiling first
+    params = dict(params)
+    params["layers"] = [
+        {
+            name: (
+                retile_qweight_row_tp(w, tp)
+                if name in _ROW and isinstance(w, QLinearWeight) and tp > 1
+                else w
+            )
+            for name, w in layer.items()
+        }
+        for layer in params["layers"]
+    ]
+    specs = llama_param_specs(params, cfg, axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def kv_cache_specs(cfg: LlamaConfig, axis: str = "model") -> Dict:
+    """Cache sharded over the kv-head dim (dim 2 of every leaf)."""
+    if cfg.kv_quant:
+        return {
+            "k": P(None, None, axis),
+            "v": P(None, None, axis),
+            "k_scale": P(None, None, axis),
+            "v_scale": P(None, None, axis),
+        }
+    return {"k": P(None, None, axis), "v": P(None, None, axis)}
+
+
+def _localize(obj, tp: int):
+    """Rebuild QLinearWeight metadata for per-device shards: shard_map
+    hands the body local leaves but dataclass meta (logical N, K) still
+    describes the global weight."""
+    if isinstance(obj, QLinearWeight):
+        K = obj.packed.shape[0] * 2
+        N = obj.packed.shape[1]
+        return QLinearWeight(
+            packed=obj.packed, absmax=obj.absmax, shape=(N, K),
+            blocksize=obj.blocksize, quant_type=obj.quant_type, dtype=obj.dtype,
+        )
+    if isinstance(obj, dict):
+        return {k: _localize(v, tp) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_localize(v, tp) for v in obj]
+    return obj
+
+
+def llama_forward_tp(
+    params: Dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,
+    cache: Optional[Dict],
+    positions: jax.Array,
+    mesh: Mesh,
+    axis: str = "model",
+) -> Tuple[jax.Array, Optional[Dict]]:
+    """TP forward: params/cache pre-sharded per llama_param_specs /
+    kv_cache_specs; tokens/positions replicated. Returns replicated
+    logits and the sharded updated cache."""
+    tp = mesh.shape[axis]
+    cfg_local = dataclasses.replace(
+        cfg,
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        intermediate_size=cfg.intermediate_size // tp,
+        head_dim=cfg.hd,
+    )
+    pspecs = llama_param_specs(params, cfg, axis)
+    cspecs = kv_cache_specs(cfg, axis) if cache is not None else None
+
+    def body(params_l, tokens, cache_l, positions):
+        params_l = _localize(params_l, tp)
+        logits, new_cache = llama_forward(
+            params_l, cfg_local, tokens, cache_l, positions, psum_axis=axis
+        )
+        return logits, new_cache
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(pspecs, P(), cspecs, P()),
+        out_specs=(P(), cspecs),
+        check_rep=False,
+    )
+    return fn(params, tokens, cache, positions)

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.common import QLinearWeight
 
 __all__ = [
+    "retile_qweight_row_tp",
     "make_mesh",
     "initialize_distributed",
     "qweight_pspec",
@@ -126,3 +127,42 @@ def shard_qweight(
                 f"({2 * qw.blocksize}) so absmax blocks never cross shards"
             )
     return jax.device_put(qw, qweight_sharding(qw, mesh, dim, axis))
+
+
+def retile_qweight_row_tp(qw: QLinearWeight, tp: int) -> QLinearWeight:
+    """Lossless repack for ROW (input-K) tensor-parallel sharding of a
+    planar-packed weight.
+
+    The planar layout (ops/common.py) stores element k in byte row k for
+    k < K/2 (hi nibble) and in byte row k - K/2 (lo nibble) otherwise, so
+    slicing byte rows [d*K/(2tp), (d+1)*K/(2tp)) hands device d TWO
+    disjoint half-ranges of K — not the contiguous [d*K/tp, (d+1)*K/tp)
+    that a row-parallel matmul's local activations cover. This rebuilds
+    the packed/absmax arrays so each device's slice is a self-consistent
+    local planar pack of its contiguous K range. Sharding specs are
+    unchanged (P(axis, None) / P(None, axis, None)).
+    """
+    import jax.numpy as jnp
+
+    N, K = qw.shape
+    bs = qw.blocksize
+    Kd = K // tp
+    if Kd % (2 * bs) != 0:
+        raise ValueError(f"K/tp ({Kd}) must be divisible by 2*blocksize ({2 * bs})")
+    hi = (qw.packed >> 4).astype(jnp.uint8)  # elements [0, K/2), (K/2, N)
+    lo = (qw.packed & 0xF).astype(jnp.uint8)  # elements [K/2, K)
+    codes = jnp.concatenate([hi, lo], axis=0)  # (K, N) element-ordered
+    amax = qw.absmax.reshape(K // bs, N)  # block-ordered along K
+    packs, amaxs = [], []
+    for d in range(tp):
+        cd = codes[d * Kd : (d + 1) * Kd]
+        packs.append((cd[: Kd // 2] << 4 | cd[Kd // 2 :]).astype(jnp.uint8))
+        amaxs.append(amax[d * Kd // bs : (d + 1) * Kd // bs].reshape(2, Kd // (2 * bs), N))
+    return QLinearWeight(
+        packed=jnp.concatenate(packs, axis=0),
+        absmax=jnp.concatenate(amaxs, axis=1),
+        shape=(N, K),
+        blocksize=bs,
+        quant_type=qw.quant_type,
+        dtype=qw.dtype,
+    )

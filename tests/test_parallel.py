@@ -131,3 +131,53 @@ def test_dp_tp_2d_mesh_col(setup):
     xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
     y = tp_matmul_4bit_col(xs, qws, mesh, gather_output=True, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# TP-sharded full-model forward (parallel/llama_tp.py)
+# ---------------------------------------------------------------------------
+
+
+def test_llama_forward_tp_matches_single_device(setup):
+    import dataclasses
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_params, llama_forward, init_kv_cache,
+    )
+    from bitsandbytes_sycl_tpu.parallel.llama_tp import (
+        shard_llama_params, llama_forward_tp, kv_cache_specs,
+    )
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=128,
+        max_seq_len=128, quant="nf4", kv_quant=True, dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh({"model": 4})
+    sp = shard_llama_params(params, cfg, mesh)
+
+    B, T = 2, 8
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 256, (B, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+    cache = init_kv_cache(cfg, B)
+    cache_sh = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, kv_cache_specs(cfg)
+    )
+
+    logits_tp, cache_tp = llama_forward_tp(sp, cfg, toks, cache_sh, pos, mesh)
+    logits_1d, cache_1d = llama_forward(params, cfg, toks, cache, pos)
+
+    np.testing.assert_allclose(
+        np.asarray(logits_tp, np.float32), np.asarray(logits_1d, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    # decode step on the sharded cache
+    posd = jnp.full((B, 1), T, jnp.int32)
+    ld_tp, _ = llama_forward_tp(sp, cfg, toks[:, -1:], cache_tp, posd, mesh)
+    ld_1d, _ = llama_forward(params, cfg, toks[:, -1:], cache_1d, posd)
+    np.testing.assert_allclose(
+        np.asarray(ld_tp, np.float32), np.asarray(ld_1d, np.float32), rtol=2e-2, atol=2e-2
+    )

@@ -212,4 +212,10 @@ def _nk_tiles(w: QLinearWeight, N: int, K: int):
         if half % c == 0:
             tkb = c
             break
+    if tkb is None and half % w.blocksize == 0 and tn and half * tn <= 4 * 1024 * 1024:
+        # K not a multiple of 8 blocks (e.g. llama down_proj K=5632,
+        # half=2816=44 blocks): take the whole half-plane as one K step —
+        # the absmax tile then EQUALS the array dim, which Pallas allows
+        # even when not 8-aligned
+        tkb = half
     return tn, tkb

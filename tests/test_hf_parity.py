@@ -1,0 +1,61 @@
+"""HF-transformers parity — the reference's test_int8_hf equivalent
+(tests_pvc/test_int8_hf.py loads GPT-J with load_in_8bit and generates;
+here: build a tiny HF Llama, import through checkpoints.load_llama_from_hf,
+and compare logits against transformers' own CPU forward)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from bitsandbytes_sycl_tpu.checkpoints import load_llama_from_hf
+from bitsandbytes_sycl_tpu.models.llama import llama_forward
+import dataclasses
+
+
+@pytest.fixture(scope="module")
+def hf_model(tmp_path_factory):
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    d = tmp_path_factory.mktemp("hf_llama")
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 12))
+    with torch.no_grad():
+        ref_logits = model(toks).logits.float().numpy()
+    return str(d), toks.numpy(), ref_logits
+
+
+def test_hf_import_fp_parity(hf_model):
+    """quant='none' import must reproduce transformers logits closely
+    (fp32 vs our bf16-configurable compute; use f32 here for tightness)."""
+    model_dir, toks, ref = hf_model
+    cfg, params = load_llama_from_hf(model_dir)
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_llama_from_hf(model_dir, cfg=cfg)
+    logits, _ = llama_forward(params, cfg, jnp.asarray(toks))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+
+def test_hf_import_nf4_close(hf_model):
+    """NF4-quantized import stays within 4-bit quantization noise of the
+    fp reference (random tiny init => logits are near-zero-mean; use a
+    norm-relative bound)."""
+    model_dir, toks, ref = hf_model
+    cfg, _ = load_llama_from_hf(model_dir)
+    cfg = dataclasses.replace(cfg, quant="nf4", dtype=jnp.float32)
+    _, params = load_llama_from_hf(model_dir, cfg=cfg)
+    logits, _ = llama_forward(params, cfg, jnp.asarray(toks))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.25, rel

@@ -1,0 +1,193 @@
+"""Pipeline parallelism — GPipe-style microbatch pipeline over a "stage"
+mesh axis with `ppermute` boundary transfers.
+
+SURVEY.md §2.3 plans PP as the >1-host scaling path when TP alone is
+insufficient (layer stages ride DCN, whose lower bandwidth only has to
+carry one (micro_B, T, hidden) activation per stage boundary per tick,
+not weights). The reference has no distributed code at all.
+
+Design: layers are partitioned contiguously into S stages; each stage's
+quantized weights are stacked on a leading stage axis and sharded
+P("stage") so every device holds only its own layers. The classic
+(n_micro + S - 1)-tick schedule runs inside one shard_map: each tick,
+every stage runs its layer block on its current microbatch while the
+boundary activations rotate one stage forward via ppermute — compute and
+ICI/DCN transfer overlap across ticks under XLA's latency-hiding
+scheduler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.llama import LlamaConfig, llama_forward
+
+__all__ = ["stack_stage_params", "llama_forward_pp"]
+
+
+def _stack_leaves(layer_dicts: List[Dict]):
+    """Stack a list of per-layer pytrees into one pytree with a leading
+    axis (used twice: layers-per-stage, then stages)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_dicts)
+
+
+def stack_stage_params(params: Dict, cfg: LlamaConfig, n_stages: int, mesh: Mesh, axis: str = "stage"):
+    """Partition layers contiguously into n_stages, stack each stage's
+    layers, then stack stages on a leading axis sharded P(stage).
+    Embed/final_norm/lm_head are replicated (first/last stage use them).
+
+    Returns (stage_params, per_layer_struct) where stage_params leaves
+    have shape (n_stages, layers_per_stage, ...).
+    """
+    L = cfg.num_layers
+    assert L % n_stages == 0, f"num_layers {L} % n_stages {n_stages} != 0"
+    per = L // n_stages
+    stages = []
+    for s in range(n_stages):
+        stages.append(_stack_leaves(params["layers"][s * per : (s + 1) * per]))
+    stacked = _stack_leaves(stages)  # leading dims (n_stages, per, ...)
+    sharded = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(axis))), stacked
+    )
+    rest = {k: v for k, v in params.items() if k != "layers"}
+    rest = jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), rest)
+    return sharded, rest
+
+
+def llama_forward_pp(
+    stage_layers,
+    rest: Dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # (B, T); B % n_micro == 0
+    mesh: Mesh,
+    n_micro: int,
+    axis: str = "stage",
+) -> jax.Array:
+    """Cacheless pipelined forward (prefill/training-style): returns
+    logits (B, T, vocab), replicated.
+
+    Each tick every stage processes one microbatch through its layer
+    block (a lax.scan over the stacked per-stage layers), then boundary
+    activations ppermute one stage forward.
+    """
+    S = mesh.shape[axis]
+    B, T = tokens.shape
+    assert B % n_micro == 0
+    mb = B // n_micro
+    H = cfg.hidden_size
+    cfg1 = dataclasses.replace(cfg, num_layers=1)
+
+    lspecs = jax.tree.map(lambda _: P(axis), stage_layers)
+    rspecs = jax.tree.map(lambda _: P(), rest)
+
+    def body(layers_l, rest_l, tokens):
+        sid = jax.lax.axis_index(axis)
+        # drop the stage axis shard_map leaves: (1, per, ...) -> (per, ...)
+        layers_l = jax.tree.map(lambda x: x[0], layers_l)
+
+        def run_block(x):
+            """Run this stage's `per` layers on activations x (mb, T, H)."""
+
+            def one(x, layer):
+                params1 = {"layers": [layer], "embed": rest_l["embed"],
+                           "final_norm": rest_l["final_norm"]}
+                # reuse llama_forward's layer body via a single-layer call
+                # on pre-embedded activations: bypass embed/head by calling
+                # the internal layer computation
+                return _run_single_layer(params1["layers"][0], cfg1, x), None
+
+            x, _ = jax.lax.scan(one, x, layers_l)
+            return x
+
+        micros = tokens.reshape(n_micro, mb, T)
+        embed = rest_l["embed"]
+
+        def embed_mb(i):
+            return jnp.take(embed, micros[i], axis=0).astype(cfg.dtype)
+
+        buf = jnp.zeros((mb, T, H), cfg.dtype)  # stage input register
+        outs = jnp.zeros((n_micro, mb, T, H), cfg.dtype)
+
+        def tick(t, carry):
+            buf, outs = carry
+            # first stage injects microbatch t (if any remain)
+            inject = jnp.where(t < n_micro, t, 0)
+            x_in = jnp.where(sid == 0, embed_mb(inject), buf)
+            y = run_block(x_in)
+            # last stage collects microbatch (t - S + 1)
+            done_idx = jnp.clip(t - S + 1, 0, n_micro - 1)
+            collect = jnp.logical_and(sid == S - 1, t >= S - 1)
+            outs = jax.lax.dynamic_update_slice(
+                outs,
+                jnp.where(collect, y, outs[done_idx])[None],
+                (done_idx, 0, 0, 0),
+            )
+            # rotate boundary activations one stage forward
+            buf = jax.lax.ppermute(y, axis, [(i, (i + 1) % S) for i in range(S)])
+            return buf, outs
+
+        buf, outs = jax.lax.fori_loop(0, n_micro + S - 1, tick, (buf, outs))
+        # final norm + head on the last stage's collected activations;
+        # broadcast via masked psum (ppermute requires a permutation, not
+        # one-to-many) so logits come back replicated
+        if S > 1:
+            outs = jax.lax.psum(
+                jnp.where(sid == S - 1, outs, jnp.zeros_like(outs)), axis
+            )
+        x = outs.reshape(B, T, H)
+        x = _rms(x, rest_l["final_norm"], cfg.rms_eps)
+        if "lm_head" in rest_l:
+            from ..models.llama import apply_linear
+
+            logits = apply_linear(x, rest_l["lm_head"], cfg)
+        else:
+            logits = jnp.matmul(x, rest_l["embed"].T.astype(cfg.dtype))
+        return logits.astype(jnp.float32)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(lspecs, rspecs, P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return fn(stage_layers, rest, tokens)
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (n * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def _run_single_layer(layer, cfg1: LlamaConfig, x: jax.Array) -> jax.Array:
+    """One decoder layer on pre-embedded activations (B, T, H), cacheless
+    causal attention — mirrors the layer body of models.llama.llama_forward."""
+    from ..models.llama import _attention, _rms_norm, _rope, apply_linear
+
+    B, T, H = x.shape
+    positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+    mask = jnp.broadcast_to(jnp.tril(jnp.ones((T, T), bool))[None], (B, T, T))
+
+    h = _rms_norm(x, layer["input_norm"], cfg1.rms_eps)
+    q = apply_linear(h, layer["q_proj"], cfg1).reshape(B, T, cfg1.num_heads, cfg1.hd)
+    k = apply_linear(h, layer["k_proj"], cfg1).reshape(B, T, cfg1.num_kv_heads, cfg1.hd)
+    v = apply_linear(h, layer["v_proj"], cfg1).reshape(B, T, cfg1.num_kv_heads, cfg1.hd)
+    q = _rope(q, positions, cfg1.rope_theta)
+    k = _rope(k, positions, cfg1.rope_theta)
+    attn = _attention(q, k, v, mask, cfg1.dtype)
+    attn = attn.reshape(B, T, cfg1.num_heads * cfg1.hd)
+    x = x + apply_linear(attn, layer["o_proj"], cfg1)
+    h = _rms_norm(x, layer["post_attn_norm"], cfg1.rms_eps)
+    gate = apply_linear(h, layer["gate_proj"], cfg1)
+    up = apply_linear(h, layer["up_proj"], cfg1)
+    x = x + apply_linear(
+        jax.nn.silu(gate.astype(jnp.float32)).astype(cfg1.dtype) * up, layer["down_proj"], cfg1
+    )
+    return x

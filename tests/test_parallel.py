@@ -181,3 +181,28 @@ def test_llama_forward_tp_matches_single_device(setup):
     np.testing.assert_allclose(
         np.asarray(ld_tp, np.float32), np.asarray(ld_1d, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_llama_forward_pp_matches_single_device(setup):
+    """GPipe pipeline over 4 stages x 2 microbatches == plain forward."""
+    from bitsandbytes_sycl_tpu.models.llama import LlamaConfig, init_params, llama_forward
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from bitsandbytes_sycl_tpu.parallel.pipeline import stack_stage_params, llama_forward_pp
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_layers=4, num_heads=4, num_kv_heads=4, head_dim=64,
+        max_seq_len=64, quant="nf4", kv_quant=False, dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    mesh = make_mesh({"stage": 4})
+    stage_layers, rest = stack_stage_params(params, cfg, 4, mesh)
+
+    B, T = 4, 8
+    toks = jnp.asarray(np.random.default_rng(1).integers(0, 256, (B, T)), jnp.int32)
+    logits_pp = llama_forward_pp(stage_layers, rest, cfg, toks, mesh, n_micro=2)
+    logits_1d, _ = llama_forward(params, cfg, toks)
+    np.testing.assert_allclose(
+        np.asarray(logits_pp, np.float32), np.asarray(logits_1d, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

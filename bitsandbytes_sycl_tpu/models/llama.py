@@ -344,6 +344,15 @@ def llama_forward(
                         new_cache["v"][li], new_cache["v_scale"][li],
                         lengths=positions[:, 0] + 1,
                     )
+                elif T > 1 and _use_fused_decode_attn(cfg):
+                    from ..ops.attention import prefill_attention_int8
+
+                    # causal flash prefill over the just-written int8 cache
+                    attn = prefill_attention_int8(
+                        q, new_cache["k"][li], new_cache["k_scale"][li],
+                        new_cache["v"][li], new_cache["v_scale"][li],
+                        starts=starts,
+                    )
                 if attn is None:
                     # fallback: dequantize whole cache, kernel layouts ->
                     # seq-major (B,S,H,D)

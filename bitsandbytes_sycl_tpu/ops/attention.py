@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import interpret_mode
 
-__all__ = ["decode_attention_int8"]
+__all__ = ["decode_attention_int8", "prefill_attention_int8"]
 
 
 def _attn_kernel(
@@ -149,3 +149,142 @@ def decode_attention_int8(
         q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), lengths
     )
     return out.reshape(B, 1, Hq, D)
+
+
+# ---------------------------------------------------------------------------
+# flash PREFILL over the int8 KV cache: grid (B, H, q-tiles, kv-chunks)
+# with online-softmax carries in VMEM scratch. The XLA prefill path
+# materializes (B, H, T, S) f32 scores in HBM (~2 GB of traffic per layer
+# at T=S=2048); here score tiles never leave VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _prefill_kernel(
+    start_ref,  # scalar prefetch: (B,) int32 first absolute position per batch
+    q_ref, k_ref, ks_ref, v_ref, vs_ref,
+    o_ref,
+    m_ref, l_ref, acc_ref,
+    *, tq, ts, nkv, scale,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    si = pl.program_id(3)
+
+    @pl.when(si == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[:].reshape(tq, -1).astype(jnp.float32)  # (TQ, D)
+    k = k_ref[:].reshape(-1, ts).astype(jnp.float32)  # (D, TS) transposed
+    sc = jax.lax.dot_general(
+        q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TQ, TS)
+    sc = sc * (ks_ref[:].reshape(1, ts) * scale)
+
+    # causal mask in absolute positions: kv slot s is valid for query row r
+    # iff s <= start_b + qi*tq + r  (cache holds [0, start+T) after writes)
+    q_pos = start_ref[b] + qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 0)
+    k_pos = si * ts + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 1)
+    sc = jnp.where(k_pos <= q_pos, sc, -1e30)
+
+    m_prev = m_ref[:]  # (TQ, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    w = jnp.exp(sc - m_new)  # (TQ, TS)
+    l_ref[:] = l_ref[:] * corr + jnp.sum(w, axis=1, keepdims=True)
+    m_ref[:] = m_new
+
+    v = v_ref[:].reshape(ts, -1).astype(jnp.float32)  # (TS, D)
+    wv = w * (vs_ref[:].reshape(1, ts) * jnp.float32(1.0 / 127.0))
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        wv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(si == nkv - 1)
+    def _():
+        l = l_ref[:]
+        inv = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
+        o_ref[:] = (acc_ref[:] * inv).reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("tq", "ts"))
+def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts):
+    B, Hq, T, D = q4.shape
+    S, Hkv = vq.shape[2], vq.shape[1]
+    nq, nkv = T // tq, S // ts
+    rep = Hq // Hkv
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hq, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, D), lambda b, h, qi, si, L: (b, h, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, D, ts), lambda b, h, qi, si, L, _r=rep: (b, h // _r, 0, si), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, ts), lambda b, h, qi, si, L, _r=rep: (b, h // _r, 0, si), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, ts, D), lambda b, h, qi, si, L, _r=rep: (b, h // _r, si, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, ts), lambda b, h, qi, si, L, _r=rep: (b, h // _r, 0, si), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tq, D), lambda b, h, qi, si, L: (b, h, qi, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel, tq=tq, ts=ts, nkv=nkv, scale=1.0 / (float(np.sqrt(D)) * 127.0)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, T, D), q4.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * T * S * D,
+            bytes_accessed=2 * B * S * Hkv * D + B * Hq * T * D * 4,
+            transcendentals=B * Hq * T * S,
+        ),
+        interpret=interpret_mode(),
+    )(starts.astype(jnp.int32), q4, kq, ks4, vq, vs4)
+
+
+def prefill_attention_int8(
+    q: jax.Array,  # (B, T, Hq, D)
+    kq: jax.Array,  # (B, Hkv, D, S) int8
+    ks: jax.Array,  # (B, Hkv, S)
+    vq: jax.Array,  # (B, Hkv, S, D) int8
+    vs: jax.Array,  # (B, Hkv, S)
+    starts: jax.Array,  # (B,) absolute position of query row 0 per batch
+    tq: int = 256,
+    ts: int = 512,
+) -> Optional[jax.Array]:
+    """Causal flash attention over the int8 KV cache for prefill (T > 1).
+    Returns (B, T, Hq, D) or None if untileable (caller falls back)."""
+    B, T, Hq, D = q.shape
+    Hkv, S = vq.shape[1], vq.shape[2]
+    if D % 128 != 0 or Hq % Hkv != 0:
+        return None
+    tq = min(tq, T)
+    while T % tq != 0 and tq > 8:
+        tq //= 2
+    ts = min(ts, S)
+    while S % ts != 0 and ts >= 256:
+        ts //= 2
+    if T % tq != 0 or S % ts != 0 or tq < 8 or ts < 128:
+        return None
+    q4 = q.transpose(0, 2, 1, 3)  # (B, Hq, T, D)
+    out = _prefill_attn_call(
+        q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), starts, tq, ts
+    )
+    return out.transpose(0, 2, 1, 3)

@@ -232,3 +232,33 @@ def test_decode_attention_int8_declines_untileable():
     vq = jnp.zeros((2, 4, 256, 64), jnp.int8)
     ks = jnp.zeros((2, 4, 256), jnp.float32)
     assert decode_attention_int8(q, kq, ks, vq, ks, jnp.ones(2, jnp.int32)) is None
+
+
+@pytest.mark.parametrize("gqa", [1, 2])
+def test_prefill_attention_int8_matches_dequant_path(gqa):
+    from bitsandbytes_sycl_tpu.ops.attention import prefill_attention_int8
+
+    B, T, S, Hkv, D = 2, 32, 256, 2, 128
+    Hq = Hkv * gqa
+    rng = np.random.default_rng(gqa + 10)
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    kq, ks = L._kv_quantize(k)
+    vq, vs = L._kv_quantize(v)
+    starts = jnp.asarray([0, 37], jnp.int32)  # batch 1 continues from pos 37
+
+    kqt, ksh = kq.transpose(0, 2, 3, 1), ks.transpose(0, 2, 1)
+    vqh, vsh = vq.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1)
+    out = prefill_attention_int8(q, kqt, ksh, vqh, vsh, starts, tq=16, ts=128)
+    assert out is not None and out.shape == (B, T, Hq, D)
+
+    kf = L._kv_dequantize(kq, ks, jnp.float32)
+    vf = L._kv_dequantize(vq, vs, jnp.float32)
+    # reference causal-with-offset mask: s <= start_b + t
+    s_ids = jnp.arange(S)[None, None, :]
+    q_pos = (starts[:, None] + jnp.arange(T)[None, :])[:, :, None]
+    mask = s_ids <= q_pos
+    ref = L._attention(q, kf, vf, mask, jnp.float32)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 5e-3, rel

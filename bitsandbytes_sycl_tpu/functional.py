@@ -50,6 +50,7 @@ __all__ = [
     "gemv_4bit",
     "matmul_4bit_ref",
     "optimizer_update_32bit",
+    "optimizer_update_8bit",
     "optimizer_update_8bit_blockwise",
     "percentile_clipping",
     "histogram_scatter_add_2d",
@@ -925,6 +926,48 @@ def optimizer_update_8bit_blockwise(
     c1, a1 = requant1(new_s1)
     out_p = new_p[:n].reshape(p.shape).astype(p.dtype)
     return out_p, c1[:n].reshape(state1.shape), a1, None, None
+
+
+def optimizer_update_8bit(
+    optimizer_name: str,
+    g: jax.Array,
+    p: jax.Array,
+    state1: jax.Array,
+    state2: Optional[jax.Array],
+    beta1: float,
+    beta2: float,
+    eps: float,
+    step: int,
+    lr: float,
+    qmap1: Optional[jax.Array] = None,
+    qmap2: Optional[jax.Array] = None,
+    max1: Optional[jax.Array] = None,
+    max2: Optional[jax.Array] = None,
+    weight_decay: float = 0.0,
+    gnorm_scale: float = 1.0,
+    codec: Optional[str] = None,
+):
+    """Non-blockwise (global-max) 8-bit optimizer step — the reference's
+    static-quantization kernels N8 (kernel_quant.cpp:2034-2652,
+    functional.py:1621-1751). Per-tensor dynamic quantization is exactly
+    blockwise quantization with one block spanning the tensor, so this
+    delegates with blocksize=n; `max1`/`max2` are the reference's
+    per-tensor scale scalars (shape (1,)).
+
+    Returns (p, state1, new_max1, state2, new_max2).
+    """
+    n = int(np.prod(g.shape))
+    bs = ((n + 2047) // 2048) * 2048  # one block covering the tensor
+    m1 = max1.reshape(1) if max1 is not None else jnp.zeros((1,), jnp.float32)
+    m2 = max2.reshape(1) if max2 is not None else (
+        jnp.zeros((1,), jnp.float32) if state2 is not None else None
+    )
+    return optimizer_update_8bit_blockwise(
+        optimizer_name, g, p, state1, m1, state2, m2, qmap1, qmap2,
+        beta1, beta2, eps, step, lr,
+        weight_decay=weight_decay, gnorm_scale=gnorm_scale,
+        blocksize=bs, codec=codec,
+    )
 
 
 def percentile_clipping(

@@ -260,3 +260,25 @@ def test_analysis_adam_tracks_quantization_error():
     mean_abs = float(s["abserr"]) / int(s["counts"])
     assert 0 < mean_abs < 1e-4
     assert bool(jnp.all(jnp.isfinite(p["w"])))
+
+
+def test_optimizer_update_8bit_global_max():
+    """Non-blockwise (per-tensor max) 8-bit update: parity-named wrapper
+    (reference functional.py:1621, kernels N8)."""
+    rng = np.random.default_rng(5)
+    n = 4096
+    g = jnp.asarray(rng.normal(size=(n,)) * 0.01, jnp.float32)
+    p = jnp.asarray(rng.normal(size=(n,)) * 0.1, jnp.float32)
+    s1 = jnp.zeros((n,), jnp.uint8)
+    s2 = jnp.zeros((n,), jnp.uint8)
+    out = F.optimizer_update_8bit(
+        "adam", g, p, s1, s2, 0.9, 0.999, 1e-8, 1, 1e-3, codec="dynamic",
+    )
+    new_p, c1, nm1, c2, nm2 = out
+    assert nm1.shape[0] == 1 and float(nm1[0]) > 0
+    # one step from zero state: m = (1-b1) g -> new_max1 == max|m|
+    np.testing.assert_allclose(float(nm1[0]), float(jnp.max(jnp.abs(0.1 * g))), rtol=1e-5)
+    # decoded param update matches the fp32 formula within 8-bit noise
+    ref_p, _, _ = F.optimizer_update_32bit("adam", g, p, jnp.zeros_like(g), jnp.zeros_like(g),
+                                           0.9, 0.999, 1e-8, 1, 1e-3)
+    np.testing.assert_allclose(np.asarray(new_p), np.asarray(ref_p), atol=5e-5)

@@ -109,3 +109,44 @@ def test_replace_linear():
     params = {"dense": {"kernel": jnp.ones((64, 128))}, "norm": jnp.ones((64,))}
     q = utils.replace_linear(params, quant_type="nf4")
     assert "packed" in q["dense"]["kernel"]
+
+
+def test_optimizer_resume_roundtrip_mid_training(tmp_path):
+    """Reference test_optimizer8bit.py:174-210: save the full training
+    state mid-run, restore, and verify continued training is bit-identical
+    to the uninterrupted run (uint8 states + absmax survive the trip)."""
+    import optax
+    from bitsandbytes_sycl_tpu import optim as bnb_optim
+    from bitsandbytes_sycl_tpu.checkpoints import load_checkpoint, save_checkpoint
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(8192,)) * 0.1, jnp.float32)}
+    opt = bnb_optim.adam(optim_bits=8, learning_rate=1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = {"w": jnp.sin(p["w"])}
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s
+
+    for _ in range(10):
+        params, state = step(params, state)
+
+    save_checkpoint(str(tmp_path / "ckpt"), {"params": params, "opt": state})
+    restored = load_checkpoint(str(tmp_path / "ckpt"), {"params": params, "opt": state})
+
+    p_cont, s_cont = params, state
+    p_rest, s_rest = restored["params"], restored["opt"]
+    # restored state arrays must be exactly what was saved
+    assert np.array_equal(
+        np.asarray(jax.tree.leaves(s_rest)[0]), np.asarray(jax.tree.leaves(s_cont)[0])
+    )
+    for _ in range(10):
+        p_cont, s_cont = step(p_cont, s_cont)
+        p_rest, s_rest = step(p_rest, s_rest)
+    np.testing.assert_array_equal(np.asarray(p_cont["w"]), np.asarray(p_rest["w"]))
+    u8 = [l for l in jax.tree.leaves(s_cont.inner) if l.dtype == jnp.uint8]
+    u8r = [l for l in jax.tree.leaves(s_rest.inner) if l.dtype == jnp.uint8]
+    for a, b in zip(u8, u8r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

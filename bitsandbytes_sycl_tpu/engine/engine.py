@@ -187,3 +187,30 @@ class InferenceEngine:
                     results[rid] = self.slot_tokens[b][plen:]
             fill()
         return [results[i] for i in range(len(prompts))]
+
+
+    # ------------------------------------------------------------- recovery
+    def snapshot(self) -> Dict:
+        """Checkpointable engine state: the (quantized) KV cache plus the
+        host-side scheduler state — SURVEY.md §5's "restartable decode
+        loop with checkpointed KV-cache" (the reference has no failure
+        story: host launchers std::exit(1) on error, op_quant.cpp:916).
+        Pair with checkpoints.save_checkpoint for durable snapshots."""
+        return {
+            "cache": self.cache,
+            "seq_lens": self.seq_lens.copy(),
+            "active": self.active.copy(),
+            "slot_tokens": [list(t) for t in self.slot_tokens],
+            "slot_budget": self.slot_budget.copy(),
+            "last_tokens": self._last_tokens.copy(),
+        }
+
+    def restore(self, snap: Dict) -> None:
+        """Resume decoding from a snapshot (same model/engine config):
+        in-flight requests continue from their exact positions."""
+        self.cache = jax.tree_util.tree_map(jnp.asarray, snap["cache"])
+        self.seq_lens = np.asarray(snap["seq_lens"], np.int32).copy()
+        self.active = np.asarray(snap["active"], bool).copy()
+        self.slot_tokens = [list(t) for t in snap["slot_tokens"]]
+        self.slot_budget = np.asarray(snap["slot_budget"], np.int32).copy()
+        self._last_tokens = np.asarray(snap["last_tokens"], np.int32).copy()

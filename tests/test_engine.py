@@ -83,3 +83,28 @@ def test_slot_reuse_isolation(setup):
     out1 = eng.generate([[9, 8, 7]], max_new_tokens=5)[0]
     out2 = eng.generate([[9, 8, 7]], max_new_tokens=5)[0]
     assert out1 == out2
+
+
+def test_engine_snapshot_restore_resumes_identically():
+    """Kill-and-resume: decoding after restore() must produce the same
+    tokens as the uninterrupted engine (greedy sampling)."""
+    cfg = LlamaConfig.tiny(quant="nf4", kv_quant=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    e1 = InferenceEngine(cfg, params, EngineConfig(max_batch=2, max_new_tokens=12,
+                                                   prefill_buckets=(16, 32)))
+    rng = np.random.default_rng(3)
+    e1.add_request(list(rng.integers(0, cfg.vocab_size, 9)))
+    e1.add_request(list(rng.integers(0, cfg.vocab_size, 14)))
+    for _ in range(4):
+        e1.step()
+    snap = e1.snapshot()
+
+    # uninterrupted continuation
+    ref_steps = [dict(e1.step()) for _ in range(5)]
+
+    # fresh engine resumed from the snapshot
+    e2 = InferenceEngine(cfg, params, EngineConfig(max_batch=2, max_new_tokens=12,
+                                                   prefill_buckets=(16, 32)))
+    e2.restore(snap)
+    got_steps = [dict(e2.step()) for _ in range(5)]
+    assert got_steps == ref_steps

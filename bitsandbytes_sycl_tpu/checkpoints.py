@@ -28,6 +28,7 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "load_llama_from_hf",
+    "load_gptj_from_hf",
 ]
 
 _VALID_QS_KEYS = (
@@ -255,3 +256,60 @@ def _read_hf_tensors(model_dir: str) -> Dict[str, np.ndarray]:
                 out[k] = v.float().numpy()
         return out
     raise FileNotFoundError(f"no safetensors/bin weights in {model_dir}")
+
+
+def load_gptj_from_hf(model_dir: str, cfg=None, quant: str = "nf4"):
+    """Load a HuggingFace GPT-J checkpoint directory and quantize into our
+    param tree (the reference's integration test model,
+    tests_pvc/test_int8_hf.py). Returns (cfg, params)."""
+    import json
+
+    from .models.gptj import GPTJConfig
+    from .models.llama import _quantize_linear
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    if cfg is None:
+        cfg = GPTJConfig(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["n_embd"],
+            num_layers=hf["n_layer"],
+            num_heads=hf["n_head"],
+            rotary_dim=hf.get("rotary_dim", 64),
+            max_seq_len=min(hf.get("n_positions", 2048), 4096),
+            ln_eps=hf.get("layer_norm_epsilon", 1e-5),
+            quant=quant,
+        )
+    tensors = _read_hf_tensors(model_dir)
+
+    def get(name):
+        return jnp.asarray(np.asarray(tensors[name], np.float32))
+
+    layers = []
+    for li in range(cfg.num_layers):
+        pre = f"transformer.h.{li}."
+        layers.append({
+            "ln_w": get(pre + "ln_1.weight"),
+            "ln_b": get(pre + "ln_1.bias"),
+            "q_proj": _quantize_linear(get(pre + "attn.q_proj.weight"), cfg),
+            "k_proj": _quantize_linear(get(pre + "attn.k_proj.weight"), cfg),
+            "v_proj": _quantize_linear(get(pre + "attn.v_proj.weight"), cfg),
+            "out_proj": _quantize_linear(get(pre + "attn.out_proj.weight"), cfg),
+            "fc_in": _quantize_linear(get(pre + "mlp.fc_in.weight"), cfg),
+            "fc_in_b": get(pre + "mlp.fc_in.bias"),
+            "fc_out": _quantize_linear(get(pre + "mlp.fc_out.weight"), cfg),
+            "fc_out_b": get(pre + "mlp.fc_out.bias"),
+        })
+    params = {
+        "wte": get("transformer.wte.weight").astype(cfg.dtype),
+        "layers": layers,
+        "ln_f_w": get("transformer.ln_f.weight"),
+        "ln_f_b": get("transformer.ln_f.bias"),
+        "lm_head": _quantize_linear(get("lm_head.weight"), cfg),
+        "lm_head_b": (
+            get("lm_head.bias")
+            if "lm_head.bias" in tensors
+            else jnp.zeros((cfg.vocab_size,), jnp.float32)
+        ),
+    }
+    return cfg, params

@@ -1,0 +1,242 @@
+"""GPT-J family decoder with k-bit quantized weights.
+
+The reference's only real-model integration test loads GPT-J with
+load_in_8bit (tests_pvc/test_int8_hf.py:1-20) — this is that model
+family, TPU-native: parallel attention+MLP blocks off one LayerNorm,
+interleaved ("rotate_every_two") rotary on the first rotary_dim dims,
+MHA, biased projections in the MLP/head. Reuses the quantized-linear
+dispatch, int8 KV cache layout and flash attention kernels from
+models.llama.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .llama import (
+    _cache_write,
+    _kv_dequantize,
+    _kv_quantize,
+    _quantize_linear,
+    _use_fused_decode_attn,
+    apply_linear,
+)
+
+__all__ = ["GPTJConfig", "init_gptj_params", "gptj_forward", "init_gptj_kv_cache"]
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTJConfig:
+    vocab_size: int = 50400
+    hidden_size: int = 4096
+    num_layers: int = 28
+    num_heads: int = 16
+    rotary_dim: int = 64
+    max_seq_len: int = 2048
+    ln_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    quant: str = "nf4"
+    blocksize: int = 64
+    llm_int8_threshold: float = 6.0
+    kv_quant: bool = True
+
+    @property
+    def hd(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    # shims so the shared quantized-linear dispatch works unchanged
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_heads
+
+    @classmethod
+    def tiny(cls, **kw):
+        d = dict(vocab_size=256, hidden_size=256, num_layers=2, num_heads=2,
+                 rotary_dim=32, max_seq_len=128)
+        d.update(kw)
+        return cls(**d)
+
+
+def _ln(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+
+
+def _rope_interleaved(x: jax.Array, positions: jax.Array, rotary_dim: int) -> jax.Array:
+    """GPT-J rotary: rotate_every_two on the first rotary_dim dims
+    (pairs (0,1),(2,3),...), rest passed through."""
+    B, T, H, D = x.shape
+    r = rotary_dim
+    xr, xp = x[..., :r].astype(jnp.float32), x[..., r:]
+    freqs = 1.0 / (10000.0 ** (jnp.arange(0, r, 2, dtype=jnp.float32) / r))
+    ang = positions.astype(jnp.float32)[:, :, None] * freqs[None, None, :]  # (B,T,r/2)
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1 = xr[..., 0::2]
+    x2 = xr[..., 1::2]
+    ro = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1).reshape(B, T, H, r)
+    return jnp.concatenate([ro.astype(x.dtype), xp], axis=-1)
+
+
+def init_gptj_kv_cache(cfg: GPTJConfig, batch: int) -> Dict:
+    """Same head-major layout as llama (K transposed) so the flash
+    kernels apply unchanged."""
+    L, B, S, H, D = cfg.num_layers, batch, cfg.max_seq_len, cfg.num_heads, cfg.hd
+    if cfg.kv_quant:
+        return {
+            "k": jnp.zeros((L, B, H, D, S), jnp.int8),
+            "v": jnp.zeros((L, B, H, S, D), jnp.int8),
+            "k_scale": jnp.zeros((L, B, H, S), jnp.float32),
+            "v_scale": jnp.zeros((L, B, H, S), jnp.float32),
+        }
+    return {
+        "k": jnp.zeros((L, B, H, S, D), cfg.dtype),
+        "v": jnp.zeros((L, B, H, S, D), cfg.dtype),
+    }
+
+
+def init_gptj_params(cfg: GPTJConfig, key: jax.Array) -> Dict:
+    keys = jax.random.split(key, cfg.num_layers + 2)
+
+    def dense(k, shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[1]))
+        return jax.random.normal(k, shape, jnp.float32) * scale
+
+    h, ff = cfg.hidden_size, 4 * cfg.hidden_size
+    layers = []
+    for li in range(cfg.num_layers):
+        lk = jax.random.split(keys[li], 6)
+        layers.append({
+            "ln_w": jnp.ones((h,), jnp.float32),
+            "ln_b": jnp.zeros((h,), jnp.float32),
+            "q_proj": _quantize_linear(dense(lk[0], (h, h)), cfg),
+            "k_proj": _quantize_linear(dense(lk[1], (h, h)), cfg),
+            "v_proj": _quantize_linear(dense(lk[2], (h, h)), cfg),
+            "out_proj": _quantize_linear(dense(lk[3], (h, h)), cfg),
+            "fc_in": _quantize_linear(dense(lk[4], (ff, h)), cfg),
+            "fc_in_b": jnp.zeros((ff,), jnp.float32),
+            "fc_out": _quantize_linear(dense(lk[5], (h, ff)), cfg),
+            "fc_out_b": jnp.zeros((h,), jnp.float32),
+        })
+    return {
+        "wte": dense(keys[-2], (cfg.vocab_size, h), scale=0.02).astype(cfg.dtype),
+        "layers": layers,
+        "ln_f_w": jnp.ones((h,), jnp.float32),
+        "ln_f_b": jnp.zeros((h,), jnp.float32),
+        "lm_head": _quantize_linear(dense(keys[-1], (cfg.vocab_size, h), scale=0.02), cfg),
+        "lm_head_b": jnp.zeros((cfg.vocab_size,), jnp.float32),
+    }
+
+
+def gptj_forward(
+    params: Dict,
+    cfg: GPTJConfig,
+    tokens: jax.Array,  # (B, T)
+    cache: Optional[Dict] = None,
+    positions: Optional[jax.Array] = None,
+    seq_lens: Optional[jax.Array] = None,  # unused; engine-signature parity
+) -> Tuple[jax.Array, Optional[Dict]]:
+    """Same contract as llama_forward: (logits, updated cache)."""
+    B, T = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+    x = jnp.take(params["wte"], tokens, axis=0).astype(cfg.dtype)
+    use_cache = cache is not None
+    S = cfg.max_seq_len if use_cache else T
+    if use_cache:
+        mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]
+    else:
+        mask = jnp.broadcast_to(jnp.tril(jnp.ones((T, T), bool))[None], (B, T, T))
+
+    new_cache = dict(cache) if use_cache else None
+    for li, layer in enumerate(params["layers"]):
+        h = _ln(x, layer["ln_w"], layer["ln_b"], cfg.ln_eps)
+        q = apply_linear(h, layer["q_proj"], cfg).reshape(B, T, cfg.num_heads, cfg.hd)
+        k = apply_linear(h, layer["k_proj"], cfg).reshape(B, T, cfg.num_heads, cfg.hd)
+        v = apply_linear(h, layer["v_proj"], cfg).reshape(B, T, cfg.num_heads, cfg.hd)
+        q = _rope_interleaved(q, positions, cfg.rotary_dim)
+        k = _rope_interleaved(k, positions, cfg.rotary_dim)
+
+        attn = None
+        if use_cache:
+            starts = positions[:, 0]
+            if cfg.kv_quant:
+                kq, ks = _kv_quantize(k)
+                vq, vs = _kv_quantize(v)
+                new_cache["k"] = _cache_write(
+                    new_cache["k"], li, kq.transpose(0, 2, 3, 1), starts, pos_axis=2
+                )
+                new_cache["v"] = _cache_write(
+                    new_cache["v"], li, vq.transpose(0, 2, 1, 3), starts, pos_axis=1
+                )
+                new_cache["k_scale"] = _cache_write(
+                    new_cache["k_scale"], li, ks.transpose(0, 2, 1), starts, pos_axis=1
+                )
+                new_cache["v_scale"] = _cache_write(
+                    new_cache["v_scale"], li, vs.transpose(0, 2, 1), starts, pos_axis=1
+                )
+                if _use_fused_decode_attn(cfg):
+                    if T == 1:
+                        from ..ops.attention import decode_attention_int8
+
+                        attn = decode_attention_int8(
+                            q, new_cache["k"][li], new_cache["k_scale"][li],
+                            new_cache["v"][li], new_cache["v_scale"][li],
+                            lengths=positions[:, 0] + 1,
+                        )
+                    else:
+                        from ..ops.attention import prefill_attention_int8
+
+                        attn = prefill_attention_int8(
+                            q, new_cache["k"][li], new_cache["k_scale"][li],
+                            new_cache["v"][li], new_cache["v_scale"][li],
+                            starts=starts,
+                        )
+                if attn is None:
+                    k_full = _kv_dequantize(
+                        new_cache["k"][li].transpose(0, 1, 3, 2),
+                        new_cache["k_scale"][li], cfg.dtype,
+                    ).transpose(0, 2, 1, 3)
+                    v_full = _kv_dequantize(
+                        new_cache["v"][li], new_cache["v_scale"][li], cfg.dtype
+                    ).transpose(0, 2, 1, 3)
+            else:
+                new_cache["k"] = _cache_write(
+                    new_cache["k"], li, k.astype(cfg.dtype).transpose(0, 2, 1, 3),
+                    starts, pos_axis=1,
+                )
+                new_cache["v"] = _cache_write(
+                    new_cache["v"], li, v.astype(cfg.dtype).transpose(0, 2, 1, 3),
+                    starts, pos_axis=1,
+                )
+                k_full = new_cache["k"][li].transpose(0, 2, 1, 3)
+                v_full = new_cache["v"][li].transpose(0, 2, 1, 3)
+        else:
+            k_full, v_full = k, v
+
+        if attn is None:
+            from .llama import _attention
+
+            attn = _attention(q, k_full, v_full, mask, cfg.dtype)
+        attn = attn.astype(cfg.dtype).reshape(B, T, cfg.hidden_size)
+        attn_out = apply_linear(attn, layer["out_proj"], cfg)
+
+        # parallel MLP off the SAME LayerNorm output (GPT-J block)
+        ff = apply_linear(h, layer["fc_in"], cfg) + layer["fc_in_b"].astype(cfg.dtype)
+        ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=True).astype(cfg.dtype)
+        ff = apply_linear(ff, layer["fc_out"], cfg) + layer["fc_out_b"].astype(cfg.dtype)
+
+        x = x + attn_out + ff
+
+    x = _ln(x, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
+    logits = apply_linear(x, params["lm_head"], cfg).astype(jnp.float32)
+    logits = logits + params["lm_head_b"].astype(jnp.float32)
+    return logits, new_cache

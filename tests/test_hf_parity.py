@@ -59,3 +59,65 @@ def test_hf_import_nf4_close(hf_model):
     got = np.asarray(logits, np.float32)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 0.25, rel
+
+
+# ---------------------------------------------------------------------------
+# GPT-J (the reference's actual integration-test model family)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hf_gptj(tmp_path_factory):
+    cfg = transformers.GPTJConfig(
+        vocab_size=256, n_embd=256, n_layer=2, n_head=2, rotary_dim=32,
+        n_positions=128, n_inner=None,
+    )
+    torch.manual_seed(1)
+    model = transformers.GPTJForCausalLM(cfg).eval()
+    d = tmp_path_factory.mktemp("hf_gptj")
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 10))
+    with torch.no_grad():
+        ref_logits = model(toks).logits.float().numpy()
+    return str(d), toks.numpy(), ref_logits
+
+
+def test_hf_gptj_fp_parity(hf_gptj):
+    import dataclasses as dc
+    from bitsandbytes_sycl_tpu.checkpoints import load_gptj_from_hf
+    from bitsandbytes_sycl_tpu.models.gptj import gptj_forward
+
+    model_dir, toks, ref = hf_gptj
+    cfg, _ = load_gptj_from_hf(model_dir)
+    cfg = dc.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_gptj_from_hf(model_dir, cfg=cfg)
+    logits, _ = gptj_forward(params, cfg, jnp.asarray(toks))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+
+def test_hf_gptj_nf4_and_cache_decode(hf_gptj):
+    import dataclasses as dc
+    from bitsandbytes_sycl_tpu.checkpoints import load_gptj_from_hf
+    from bitsandbytes_sycl_tpu.models.gptj import gptj_forward, init_gptj_kv_cache
+
+    model_dir, toks, ref = hf_gptj
+    cfg, _ = load_gptj_from_hf(model_dir)
+    cfg = dc.replace(cfg, quant="nf4", dtype=jnp.float32, kv_quant=True)
+    _, params = load_gptj_from_hf(model_dir, cfg=cfg)
+    B, T = toks.shape
+    # cacheless forward within quantization noise of transformers
+    logits, _ = gptj_forward(params, cfg, jnp.asarray(toks))
+    rel = np.linalg.norm(np.asarray(logits) - ref) / np.linalg.norm(ref)
+    assert rel < 0.25, rel
+    # prefill + decode through the int8 cache matches the cacheless forward
+    cache = init_gptj_kv_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T - 1), (B, T - 1))
+    _, cache = gptj_forward(params, cfg, jnp.asarray(toks[:, :-1]), cache, pos)
+    posd = jnp.full((B, 1), T - 1, jnp.int32)
+    ld, _ = gptj_forward(params, cfg, jnp.asarray(toks[:, -1:]), cache, posd)
+    rel2 = np.linalg.norm(np.asarray(ld[:, 0]) - np.asarray(logits[:, -1])) / np.linalg.norm(
+        np.asarray(logits[:, -1])
+    )
+    assert rel2 < 0.05, rel2

@@ -49,14 +49,28 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 class InferenceEngine:
-    """Continuous-batching decode over a quantized llama."""
+    """Continuous-batching decode over a quantized decoder model.
 
-    def __init__(self, model_cfg: LlamaConfig, params: Dict, engine_cfg: EngineConfig = EngineConfig()):
+    Model-agnostic: any forward with the (params, cfg, tokens, cache,
+    positions) -> (logits, cache) contract works — llama_forward
+    (default) and models.gptj.gptj_forward both do. Pass matching
+    forward_fn/init_cache_fn for non-llama families."""
+
+    def __init__(
+        self,
+        model_cfg: LlamaConfig,
+        params: Dict,
+        engine_cfg: EngineConfig = EngineConfig(),
+        forward_fn=None,
+        init_cache_fn=None,
+    ):
         self.mcfg = model_cfg
         self.ecfg = engine_cfg
         self.params = params
+        fwd = forward_fn or llama_forward
+        init_cache = init_cache_fn or init_kv_cache
         B = engine_cfg.max_batch
-        self.cache = init_kv_cache(model_cfg, B)
+        self.cache = init_cache(model_cfg, B)
         self.seq_lens = np.zeros((B,), np.int32)  # host-side slot lengths
         self.active = np.zeros((B,), bool)
         self.slot_tokens: List[List[int]] = [[] for _ in range(B)]
@@ -70,9 +84,9 @@ class InferenceEngine:
         def prefill_fn(params, tokens, true_len):
             """tokens (1, Tpad) -> (last valid logits (1, vocab), cache1)."""
             T = tokens.shape[1]
-            cache1 = init_kv_cache(mcfg, 1)
+            cache1 = init_cache(mcfg, 1)
             pos = jnp.broadcast_to(jnp.arange(T), (1, T))
-            logits, cache1 = llama_forward(params, mcfg, tokens, cache1, pos)
+            logits, cache1 = fwd(params, mcfg, tokens, cache1, pos)
             last = jnp.take_along_axis(
                 logits, (true_len - 1).reshape(1, 1, 1), axis=1
             )[:, 0]
@@ -90,7 +104,7 @@ class InferenceEngine:
         @jax.jit
         def decode_fn(params, cache, tokens, positions):
             """tokens (B, 1), positions (B, 1) -> (logits (B, vocab), cache)."""
-            logits, cache = llama_forward(params, mcfg, tokens, cache, positions)
+            logits, cache = fwd(params, mcfg, tokens, cache, positions)
             return logits[:, 0], cache
 
         self._prefill = prefill_fn

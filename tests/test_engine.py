@@ -108,3 +108,18 @@ def test_engine_snapshot_restore_resumes_identically():
     e2.restore(snap)
     got_steps = [dict(e2.step()) for _ in range(5)]
     assert got_steps == ref_steps
+
+
+def test_engine_serves_gptj():
+    from bitsandbytes_sycl_tpu.models.gptj import (
+        GPTJConfig, gptj_forward, init_gptj_kv_cache, init_gptj_params,
+    )
+
+    cfg = GPTJConfig.tiny(kv_quant=True, quant="nf4")
+    params = init_gptj_params(cfg, jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        cfg, params, EngineConfig(max_batch=2, max_new_tokens=8, prefill_buckets=(16,)),
+        forward_fn=gptj_forward, init_cache_fn=init_gptj_kv_cache,
+    )
+    outs = eng.generate([[1, 2, 3], [5, 6, 7, 8, 9]])
+    assert [len(o) for o in outs] == [8, 8]

@@ -206,3 +206,26 @@ def test_llama_forward_pp_matches_single_device(setup):
         np.asarray(logits_pp, np.float32), np.asarray(logits_1d, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_ring_attention_matches_single_device(setup):
+    """Sequence-parallel ring attention == plain causal attention."""
+    from bitsandbytes_sycl_tpu.models.llama import _attention
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from bitsandbytes_sycl_tpu.parallel.ring import ring_attention
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B, S, H, D = 2, 64, 4, 128
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+
+    mesh = make_mesh({"sp": 8})
+    sh = NamedSharding(mesh, P(None, "sp"))
+    qs, ks, vs = (jax.device_put(a, sh) for a in (q, k, v))
+    out = ring_attention(qs, ks, vs, mesh)
+
+    mask = jnp.broadcast_to(jnp.tril(jnp.ones((S, S), bool))[None], (B, S, S))
+    ref = _attention(q, k, v, mask, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -86,12 +86,27 @@ def _quantize_linear(W: jax.Array, cfg: LlamaConfig):
     return W.astype(cfg.dtype)
 
 
-def apply_linear(x: jax.Array, w, cfg: LlamaConfig) -> jax.Array:
+def _lora_for(lora, li: int, name: str):
+    if lora is None:
+        return None
+    return lora[li].get(name)
+
+
+def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None) -> jax.Array:
     if isinstance(w, QLinearWeight):
-        return matmul_4bit_fused(x, w, compute_dtype=cfg.dtype)
-    if isinstance(w, dict) and "CB" in w:
-        return F.llm_int8_matmul(x, w["CB"], w["SCB"], threshold=cfg.llm_int8_threshold)
-    return jnp.matmul(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+        out = matmul_4bit_fused(x, w, compute_dtype=cfg.dtype)
+    elif isinstance(w, dict) and "CB" in w:
+        out = F.llm_int8_matmul(x, w["CB"], w["SCB"], threshold=cfg.llm_int8_threshold)
+    else:
+        out = jnp.matmul(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
+    if lora is not None:
+        # QLoRA adapter: frozen quantized base + trainable low-rank delta
+        # (x @ A^T) @ B^T * (alpha / r); fp32 math, cast at the end
+        xa = jnp.matmul(x.astype(jnp.float32), lora["A"].T.astype(jnp.float32))
+        out = out + (
+            jnp.matmul(xa, lora["B"].T.astype(jnp.float32)) * lora["scale"]
+        ).astype(out.dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -279,6 +294,7 @@ def llama_forward(
     positions: Optional[jax.Array] = None,  # (B, T) absolute positions
     seq_lens: Optional[jax.Array] = None,  # (B,) valid cache length BEFORE this call
     psum_axis: Optional[str] = None,  # mesh axis for TP row-parallel reductions
+    lora: Optional[list] = None,  # per-layer {proj_name: {A,B,scale}} adapters
 ) -> Tuple[jax.Array, Optional[Dict]]:
     """Returns (logits (B, T, vocab), updated cache).
 
@@ -310,9 +326,9 @@ def llama_forward(
     new_cache = dict(cache) if use_cache else None
     for li, layer in enumerate(params["layers"]):
         h = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
-        q = apply_linear(h, layer["q_proj"], cfg).reshape(B, T, cfg.num_heads, cfg.hd)
-        k = apply_linear(h, layer["k_proj"], cfg).reshape(B, T, cfg.num_kv_heads, cfg.hd)
-        v = apply_linear(h, layer["v_proj"], cfg).reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        q = apply_linear(h, layer["q_proj"], cfg, _lora_for(lora, li, "q_proj")).reshape(B, T, cfg.num_heads, cfg.hd)
+        k = apply_linear(h, layer["k_proj"], cfg, _lora_for(lora, li, "k_proj")).reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        v = apply_linear(h, layer["v_proj"], cfg, _lora_for(lora, li, "v_proj")).reshape(B, T, cfg.num_kv_heads, cfg.hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
@@ -381,17 +397,17 @@ def llama_forward(
             attn = _attention(q, k_full, v_full, mask, cfg.dtype)
         attn = attn.astype(cfg.dtype)
         attn = attn.reshape(B, T, cfg.num_heads * cfg.hd)
-        o = apply_linear(attn, layer["o_proj"], cfg)
+        o = apply_linear(attn, layer["o_proj"], cfg, _lora_for(lora, li, "o_proj"))
         if psum_axis is not None:  # row-parallel o_proj partial sums
             o = jax.lax.psum(o, psum_axis)
         x = x + o
 
         h = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
-        gate = apply_linear(h, layer["gate_proj"], cfg)
-        up = apply_linear(h, layer["up_proj"], cfg)
+        gate = apply_linear(h, layer["gate_proj"], cfg, _lora_for(lora, li, "gate_proj"))
+        up = apply_linear(h, layer["up_proj"], cfg, _lora_for(lora, li, "up_proj"))
         d = apply_linear(
             jax.nn.silu(gate.astype(jnp.float32)).astype(cfg.dtype) * up,
-            layer["down_proj"], cfg,
+            layer["down_proj"], cfg, _lora_for(lora, li, "down_proj"),
         )
         if psum_axis is not None:  # row-parallel down_proj partial sums
             d = jax.lax.psum(d, psum_axis)

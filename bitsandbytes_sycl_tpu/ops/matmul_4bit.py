@@ -164,6 +164,7 @@ def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb, dec
     )(x, x, w.packed, w.absmax, bias_arr)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def matmul_4bit_fused(
     x: jax.Array,
     w: QLinearWeight,
@@ -175,7 +176,44 @@ def matmul_4bit_fused(
 
     x: (..., K); W logical (N, K). Returns (..., N) in compute_dtype.
     Falls back to the jnp reference path for shapes the kernel can't tile.
+    Differentiable in x and bias (QLoRA training through frozen quantized
+    weights); the packed weight gets a zero cotangent, matching the
+    reference's MatMul4Bit backward (autograd/_functions.py:520-540).
     """
+    return _matmul_4bit_fused_impl(x, w, bias, compute_dtype, decode_dtype)
+
+
+def _mm4f_fwd(x, w, bias, compute_dtype, decode_dtype):
+    out = _matmul_4bit_fused_impl(x, w, bias, compute_dtype, decode_dtype)
+    return out, (x, w, bias)
+
+
+def _mm4f_bwd(compute_dtype, decode_dtype, res, g):
+    x, w, bias = res
+    # grad_x = g @ dequant(W): the fused kernel computes x @ W^T only, so
+    # the backward uses the dequant path (training-only cost)
+    gf = g.astype(jnp.float32)
+    Wd = w.dequantize().astype(jnp.float32)
+    grad_x = jnp.matmul(gf, Wd, preferred_element_type=jnp.float32).astype(x.dtype)
+    zero_w = jax.tree.map(
+        lambda a: (
+            jnp.zeros_like(a)
+            if jnp.issubdtype(jnp.result_type(a), jnp.inexact)
+            else np.zeros(jnp.shape(a), dtype=jax.dtypes.float0)
+        ),
+        w,
+    )
+    grad_b = None if bias is None else gf.reshape(-1, g.shape[-1]).sum(0).astype(bias.dtype)
+    return grad_x, zero_w, grad_b
+
+
+def _matmul_4bit_fused_impl(
+    x: jax.Array,
+    w: QLinearWeight,
+    bias: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+    decode_dtype=None,
+) -> jax.Array:
     N, K = w.shape
     lead = x.shape[:-1]
     M = int(np.prod(lead)) if lead else 1
@@ -219,3 +257,6 @@ def _nk_tiles(w: QLinearWeight, N: int, K: int):
         # even when not 8-aligned
         tkb = half
     return tn, tkb
+
+
+matmul_4bit_fused.defvjp(_mm4f_fwd, _mm4f_bwd)

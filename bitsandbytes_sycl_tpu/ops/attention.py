@@ -46,78 +46,75 @@ def _attn_kernel(
     len_ref,  # scalar prefetch: (B,) int32 valid lengths
     q_ref, k_ref, ks_ref, v_ref, vs_ref,
     o_ref,
-    *, S, scale,
+    *, S, R, scale,
 ):
     b = pl.program_id(0)
 
     # f32 dot operands: Mosaic mis-lowers skinny bf16 dots
     # ('vector.broadcast' bf16->f32 verification failure); the kernel is
-    # bandwidth-bound so the MXU precision tier doesn't matter
-    q = q_ref[:].reshape(1, -1).astype(jnp.float32)  # (1, D)
+    # bandwidth-bound so the MXU precision tier doesn't matter.
+    # R = GQA group size: all R query heads sharing this kv head attend in
+    # one step, so each kv tile is fetched from HBM exactly ONCE (a
+    # per-q-head grid refetches it R times).
+    q = q_ref[:].reshape(R, -1).astype(jnp.float32)  # (R, D)
     k = k_ref[:].reshape(-1, S).astype(jnp.float32)  # (D, S) transposed
-    # (1,S) score row; per-token K absmax applied post-dot:
+    # (R,S) score rows; per-token K absmax applied post-dot:
     # q·(k_i8*s) = s*(q·k_i8); `scale` folds 1/(sqrt(D)*127)
     sc = jax.lax.dot_general(
         q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     sc = sc * (ks_ref[:].reshape(1, S) * scale)
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
     sc = jnp.where(pos < len_ref[b], sc, -1e30)
 
-    m = jnp.max(sc)
-    w = jnp.exp(sc - m)  # (1, S)
-    l = jnp.sum(w)
+    m = jnp.max(sc, axis=1, keepdims=True)  # (R, 1)
+    w = jnp.exp(sc - m)  # (R, S)
+    l = jnp.sum(w, axis=1, keepdims=True)
     inv = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
 
     v = v_ref[:].reshape(S, -1).astype(jnp.float32)  # (S, D)
-    # fold per-token V absmax and the 1/l normalizer into the weight row:
+    # fold per-token V absmax and the 1/l normalizer into the weight rows:
     # (w/l)·(v_i8*s) = (w*s*inv/127)·v_i8
-    wv = w * (vs_ref[:].reshape(1, S) * (jnp.float32(1.0 / 127.0) * inv))
+    wv = w * (vs_ref[:].reshape(1, S) * jnp.float32(1.0 / 127.0)) * inv
     o = jax.lax.dot_general(
         wv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (1, D)
+    )  # (R, D)
     o_ref[:] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 @jax.jit
 def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths):
-    B, Hq, _one, D = q4.shape
+    # q4 is grouped (B, Hkv, rep, D): q heads [h*rep, (h+1)*rep) share kv
+    # head h, so the grid runs per KV head and each kv tile is read once
+    B, Hkv, rep, D = q4.shape
     S = vq.shape[2]
-    Hkv = vq.shape[1]
-    rep = Hq // Hkv  # GQA: q head h reads kv head h // rep
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hq),
+        grid=(B, Hkv),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, D, S), lambda b, h, L, _r=rep: (b, h // _r, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, S), lambda b, h, L, _r=rep: (b, h // _r, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, S, D), lambda b, h, L, _r=rep: (b, h // _r, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, S), lambda b, h, L, _r=rep: (b, h // _r, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, 1, rep, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, S), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, S), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, S), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, rep, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
     )
-    kernel = functools.partial(_attn_kernel, S=S, scale=1.0 / (float(np.sqrt(D)) * 127.0))
+    kernel = functools.partial(
+        _attn_kernel, S=S, R=rep, scale=1.0 / (float(np.sqrt(D)) * 127.0)
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, 1, D), q4.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q4.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * Hq * S * D,
-            bytes_accessed=2 * B * S * Hkv * D + 8 * B * S * Hkv + B * Hq * D * 4,
-            transcendentals=B * Hq * S,
+            flops=4 * B * Hkv * rep * S * D,
+            bytes_accessed=2 * B * S * Hkv * D + 8 * B * S * Hkv + B * Hkv * rep * D * 4,
+            transcendentals=B * Hkv * rep * S,
         ),
         interpret=interpret_mode(),
     )(lengths.astype(jnp.int32), q4, kq, ks4, vq, vs4)
@@ -144,7 +141,8 @@ def decode_attention_int8(
         return None
     if S * D > 8 * 1024 * 1024:  # whole-S int8 tiles (K+V) must fit VMEM
         return None
-    q4 = q.reshape(B, Hq, 1, D)  # (B,1,Hq,D) -> head-major, T=1
+    # group q heads by their kv head: (B,1,Hq,D) -> (B, Hkv, rep, D)
+    q4 = q.reshape(B, Hkv, Hq // Hkv, D)
     out = _decode_attn_call(
         q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), lengths
     )

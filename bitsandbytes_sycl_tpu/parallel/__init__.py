@@ -15,6 +15,10 @@ from .mesh import (
     qweight_sharding,
     shard_qweight,
 )
+from . import llama_tp, pipeline, ring
+from .llama_tp import kv_cache_specs, llama_forward_tp, llama_param_specs, shard_llama_params
+from .pipeline import llama_forward_pp, stack_stage_params
+from .ring import ring_attention
 from .collectives import (
     tp_all_gather_matmul_4bit,
     tp_matmul_4bit_col,
@@ -24,6 +28,9 @@ from .collectives import (
 )
 
 __all__ = [
+    "llama_tp", "pipeline", "ring",
+    "kv_cache_specs", "llama_forward_tp", "llama_param_specs", "shard_llama_params",
+    "llama_forward_pp", "stack_stage_params", "ring_attention",
     "make_mesh",
     "initialize_distributed",
     "qweight_pspec",

@@ -82,7 +82,16 @@ def _quantize_linear(W: jax.Array, cfg: LlamaConfig):
         return quantize_4bit_native(W, blocksize=cfg.blocksize, quant_type=cfg.quant)
     if cfg.quant == "int8":
         CB, SCB = F.int8_vectorwise_quant(W)
-        return {"CB": CB, "SCB": SCB}
+        out = {"CB": CB, "SCB": SCB}
+        if cfg.llm_int8_threshold > 0.0:
+            # static outlier columns predicted from weight statistics —
+            # the reference's OutlierTracer flow (utils.py:42-104); 3x
+            # faster than per-call activation top_k (see functional.py)
+            from ..utils import find_outlier_dims
+
+            idx = find_outlier_dims(W, reduction_dim=0, topk=min(32, W.shape[1]))
+            out["outliers"] = F.llm_int8_prepare_outliers(CB, SCB, idx)
+        return out
     return W.astype(cfg.dtype)
 
 
@@ -96,7 +105,10 @@ def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None) -> jax.Array:
     if isinstance(w, QLinearWeight):
         out = matmul_4bit_fused(x, w, compute_dtype=cfg.dtype)
     elif isinstance(w, dict) and "CB" in w:
-        out = F.llm_int8_matmul(x, w["CB"], w["SCB"], threshold=cfg.llm_int8_threshold)
+        out = F.llm_int8_matmul(
+            x, w["CB"], w["SCB"], threshold=cfg.llm_int8_threshold,
+            outliers=w.get("outliers"),
+        )
     else:
         out = jnp.matmul(x, w.T, preferred_element_type=jnp.float32).astype(cfg.dtype)
     if lora is not None:

@@ -44,9 +44,15 @@ def _proj_spec(name: str, w, axis: str):
         return jax.tree.map(lambda _: P(), w)
     if isinstance(w, dict) and "CB" in w:
         if name in _COL:
-            return {"CB": P(axis, None), "SCB": P(axis)}
+            spec = {"CB": P(axis, None), "SCB": P(axis)}
+            if "outliers" in w:
+                # sidecar: x replicated under col-parallel; subB (budget, N)
+                # shards on N with the weight rows
+                spec["outliers"] = {"idx": P(), "keep": P(), "subB": P(None, axis)}
+            return spec
         if name in _ROW:
             # per-output-row scales stay replicated when K is sharded
+            # (outliers were stripped by shard_llama_params for row weights)
             return {"CB": P(None, axis), "SCB": P()}
         return jax.tree.map(lambda _: P(), w)
     # unquantized fp weight (N, K)
@@ -80,16 +86,18 @@ def llama_param_specs(params: Dict, cfg: LlamaConfig, axis: str = "model") -> Di
 def shard_llama_params(params: Dict, cfg: LlamaConfig, mesh: Mesh, axis: str = "model") -> Dict:
     tp = mesh.shape[axis]
     # row-parallel planar weights need contiguous-K retiling first
+    def _prep(name, w):
+        if name in _ROW and isinstance(w, QLinearWeight) and tp > 1:
+            return retile_qweight_row_tp(w, tp)
+        if name in _ROW and isinstance(w, dict) and "outliers" in w:
+            # static outlier sidecar indexes global K columns; drop it for
+            # row-parallel weights (dynamic detection still applies)
+            return {k: v for k, v in w.items() if k != "outliers"}
+        return w
+
     params = dict(params)
     params["layers"] = [
-        {
-            name: (
-                retile_qweight_row_tp(w, tp)
-                if name in _ROW and isinstance(w, QLinearWeight) and tp > 1
-                else w
-            )
-            for name, w in layer.items()
-        }
+        {name: _prep(name, w) for name, w in layer.items()}
         for layer in params["layers"]
     ]
     specs = llama_param_specs(params, cfg, axis)

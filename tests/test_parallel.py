@@ -229,3 +229,33 @@ def test_ring_attention_matches_single_device(setup):
     mask = jnp.broadcast_to(jnp.tril(jnp.ones((S, S), bool))[None], (B, S, S))
     ref = _attention(q, k, v, mask, jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_llama_forward_tp_int8(setup):
+    """TP with int8 weights (incl. static outlier sidecars on col-parallel
+    projections; stripped on row-parallel) matches single-device."""
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_params, llama_forward, init_kv_cache,
+    )
+    from bitsandbytes_sycl_tpu.parallel.llama_tp import (
+        shard_llama_params, llama_forward_tp, kv_cache_specs,
+    )
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=128,
+        max_seq_len=64, quant="int8", kv_quant=False, dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    mesh = make_mesh({"model": 4})
+    sp = shard_llama_params(params, cfg, mesh)
+    B, T = 2, 8
+    toks = jnp.asarray(np.random.default_rng(7).integers(0, 256, (B, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+    lt, _ = llama_forward_tp(sp, cfg, toks, None, pos, mesh)
+    l1, _ = llama_forward(params, cfg, toks)
+    # row-parallel projections fall back to dynamic outliers (per-shard
+    # activations) so small numeric drift vs single-device is expected
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(l1), rtol=5e-2, atol=5e-2)

@@ -221,6 +221,45 @@ def model_decode():
     _emit("model_decode_4L2048h_nf4_int8kv_toks", B / t, "tok/s", 4000.0)
 
 
+def model7b_decode(quant="nf4"):
+    """Full-size Llama-7B decode (NOT in the default list: ~4 GB of weight
+    init + several minutes of compile). Measured round 1: NF4 207 tok/s,
+    int4 300, int8 339 (B=8, S=1024, int8 KV, one v5e)."""
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, init_params, llama_forward,
+    )
+
+    B, S = 8, 1024
+    cfg = LlamaConfig(max_seq_len=S, quant=quant, kv_quant=True, dtype=jnp.bfloat16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    np.asarray(params["final_norm"])
+    cache = init_kv_cache(cfg, B)
+    toks = jnp.ones((B, 1), jnp.int32)
+    pos0 = jnp.full((B, 1), S // 2, jnp.int32)
+
+    @jax.jit
+    def decode_n(params, cache, toks, pos, arr):
+        def step(carry, _):
+            cache, toks, pos = carry
+            logits, cache = llama_forward(params, cfg, toks, cache, pos)
+            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            return (cache, nxt.reshape(B, 1), pos + 1), ()
+
+        (cache, toks, pos), _ = jax.lax.scan(step, (cache, toks, pos), arr)
+        return toks
+
+    def run(n):
+        arr = jnp.zeros((n,))
+        np.asarray(decode_n(params, cache, toks, pos0, arr))
+        return min(
+            timeit.timeit(lambda: np.asarray(decode_n(params, cache, toks, pos0, arr)), number=1)
+            for _ in range(3)
+        )
+
+    t = (run(20) - run(5)) / 15
+    _emit(f"llama7b_{quant}_int8kv_decode_b8", B / t, "tok/s", 200.0)
+
+
 ALL = {
     "nf4_matmul": nf4_matmul,
     "int8_matmul": int8_matmul,
@@ -230,7 +269,9 @@ ALL = {
     "model_decode": model_decode,
 }
 
+EXTRA = {"model7b_decode": model7b_decode}  # opt-in: heavy
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
     for n in names:
-        ALL[n]()
+        (ALL | EXTRA)[n]()

@@ -71,7 +71,10 @@ def _attn_kernel(
     m = jnp.max(sc, axis=1, keepdims=True)  # (R, 1)
     w = jnp.exp(sc - m)  # (R, S)
     l = jnp.sum(w, axis=1, keepdims=True)
-    inv = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
+    # l >= 1 even for a fully-masked row (the max position contributes
+    # exp(0)), so guard on the actual valid length: len == 0 -> zeros,
+    # not the mean of the stale V cache
+    inv = jnp.where(len_ref[b] > 0, 1.0 / l, 0.0)
 
     v = v_ref[:].reshape(S, -1).astype(jnp.float32)  # (S, D)
     # fold per-token V absmax and the 1/l normalizer into the weight rows:
@@ -139,7 +142,7 @@ def decode_attention_int8(
     Hkv, S = vq.shape[1], vq.shape[2]
     if T != 1 or D % 128 != 0 or Hq % Hkv != 0 or S % 128 != 0:
         return None
-    if S * D > 8 * 1024 * 1024:  # whole-S int8 tiles (K+V) must fit VMEM
+    if 2 * S * D > 8 * 1024 * 1024:  # BOTH whole-S int8 tiles (K and V) stay resident
         return None
     # group q heads by their kv head: (B,1,Hq,D) -> (B, Hkv, rep, D)
     q4 = q.reshape(B, Hkv, Hq // Hkv, D)
@@ -203,9 +206,9 @@ def _prefill_kernel(
 
     @pl.when(si == nkv - 1)
     def _():
-        l = l_ref[:]
-        inv = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
-        o_ref[:] = (acc_ref[:] * inv).reshape(o_ref.shape).astype(o_ref.dtype)
+        # causal rows always have >= 1 valid slot (k_pos 0 <= q_pos), and
+        # online-softmax l >= 1 regardless, so a zero-guard would be dead
+        o_ref[:] = (acc_ref[:] / l_ref[:]).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("tq", "ts"))

@@ -38,7 +38,7 @@ import numpy as np
 from .. import codebooks
 from ..types import QuantState
 
-__all__ = ["on_tpu", "lut16", "QLinearWeight", "quantize_4bit_native", "to_kernel_layout"]
+__all__ = ["on_tpu", "lut16", "QLinearWeight", "quantize_4bit_native", "to_kernel_layout", "pick_tile", "safe_inv"]
 
 
 def on_tpu() -> bool:
@@ -48,6 +48,23 @@ def on_tpu() -> bool:
 def interpret_mode() -> bool:
     """Pallas kernels run interpreted off-TPU (CPU tests)."""
     return not on_tpu()
+
+
+def pick_tile(dim: int, candidates) -> Optional[int]:
+    """Largest candidate dividing dim, or None (dim == 0 is untileable:
+    0 % c == 0 would otherwise claim every candidate fits an empty axis)."""
+    if dim <= 0:
+        return None
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return None
+
+
+def safe_inv(x: jax.Array) -> jax.Array:
+    """1/x with 0 -> 0. The inner where keeps the untaken branch NaN-free
+    under XLA (plain where(x>0, 1/x, 0) still computes 1/0)."""
+    return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
 
 
 def lut16(idx: jax.Array, table, dtype=jnp.float32, bit_base: int = 0) -> jax.Array:

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import QLinearWeight, interpret_mode, lut16
+from .common import QLinearWeight, interpret_mode, lut16, pick_tile as _pick_tile
 
 __all__ = ["matmul_4bit_fused"]
 
@@ -96,13 +96,6 @@ def _mm4_kernel(
         if has_bias:
             out = out + bias_ref[:].astype(jnp.float32)  # (1, TN) broadcasts
         o_ref[:] = out.astype(out_dtype)
-
-
-def _pick_tile(dim: int, candidates) -> Optional[int]:
-    for c in candidates:
-        if dim % c == 0:
-            return c
-    return None
 
 
 @partial(jax.jit, static_argnames=("compute_dtype", "tm", "tn", "tkb", "decode_dtype"))
@@ -220,7 +213,7 @@ def _matmul_4bit_fused_impl(
     x2 = x.reshape(M, K).astype(compute_dtype)
 
     tn, tkb = _nk_tiles(w, N, K)
-    if tn is None or tkb is None or K % (2 * w.blocksize) != 0:
+    if M == 0 or tn is None or tkb is None or K % (2 * w.blocksize) != 0:
         # shapes the kernel can't tile: jnp reference path (XLA fuses)
         wd = w.dequantize().astype(compute_dtype)
         out = jnp.matmul(x2, wd.T, preferred_element_type=jnp.float32).astype(compute_dtype)

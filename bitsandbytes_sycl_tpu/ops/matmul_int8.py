@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import interpret_mode
+from .common import interpret_mode, pick_tile as _pick_tile, safe_inv
 
 __all__ = ["int8_matmul_fused"]
 
@@ -66,13 +66,6 @@ def _mm8_kernel(
         if has_bias:
             out = out + bias_ref[:].astype(jnp.float32)
         o_ref[:] = out.astype(out_dtype)
-
-
-def _pick_tile(dim: int, candidates) -> Optional[int]:
-    for c in candidates:
-        if dim % c == 0:
-            return c
-    return None
 
 
 @partial(jax.jit, static_argnames=("out_dtype", "tm", "tn", "tk"))
@@ -133,7 +126,7 @@ def int8_matmul_fused(
     # bf16 48us; M=256 fused 44us vs XLA 31us (in-kernel re-quantization of
     # the x tile repeats per N-tile, so its cost grows with M while XLA
     # quantizes once). Decode/small-batch -> fused; prefill -> XLA path.
-    if M > 128:
+    if M == 0 or M > 128:
         return None
 
     tn = _pick_tile(N, (512, 256, 128))
@@ -141,7 +134,9 @@ def int8_matmul_fused(
     if tn is None or tk is None:
         return None
 
-    inv = 127.0 * jnp.where(row_absmax > 0, 1.0 / row_absmax, 1.0).astype(jnp.float32)
+    # rows with absmax 0 are all-zero: any inv works (xq=0); epilogue's
+    # 1/inv stays finite with inv=127
+    inv = jnp.where(row_absmax > 0, 127.0 * safe_inv(row_absmax), 127.0).astype(jnp.float32)
 
     tm = _pick_tile(M, (256, 128, 64, 32, 16, 8))
     if tm is None:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import interpret_mode
+from .common import interpret_mode, safe_inv
 from .dynamic8 import dynamic_decode, dynamic_encode
 
 __all__ = ["optim8_blockwise_fused"]
@@ -36,8 +36,7 @@ _ROWS = 32  # blocks (rows of `blocksize`) per grid step
 
 def _requant_rows(s: jax.Array, signed: bool) -> Tuple[jax.Array, jax.Array]:
     amax = jnp.max(jnp.abs(s), axis=1, keepdims=True)
-    inv = jnp.where(amax > 0, 1.0 / jnp.where(amax > 0, amax, 1.0), 0.0)
-    return dynamic_encode(s * inv, signed=signed), amax
+    return dynamic_encode(s * safe_inv(amax), signed=signed), amax
 
 
 def _kernel2(

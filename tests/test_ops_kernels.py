@@ -262,3 +262,34 @@ def test_prefill_attention_int8_matches_dequant_path(gqa):
     ref = L._attention(q, kf, vf, mask, jnp.float32)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 5e-3, rel
+
+
+def test_decode_attention_zero_length_slot_outputs_zeros():
+    """A slot with 0 valid cache tokens must yield zeros, not the mean of
+    the (stale) V cache."""
+    B, S, H, D = 2, 128, 2, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    kq, ks = L._kv_quantize(k)
+    vq, vs = L._kv_quantize(v)
+    out = decode_attention_int8(
+        q, kq.transpose(0, 2, 3, 1), ks.transpose(0, 2, 1),
+        vq.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1),
+        jnp.asarray([0, 64], jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    assert float(jnp.abs(out[1]).max()) > 0
+
+
+def test_fused_matmuls_handle_empty_batch():
+    """M=0 must not crash the kernel entry points (CLAUDE.md convention:
+    untileable -> fall back / decline)."""
+    rng = np.random.default_rng(1)
+    W = jnp.asarray(rng.normal(size=(256, 512)), jnp.float32)
+    qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+    y = matmul_4bit_fused(jnp.zeros((0, 512), jnp.float32), qw, compute_dtype=jnp.float32)
+    assert y.shape == (0, 256)
+    CB, SCB = F.int8_vectorwise_quant(W)
+    assert int8_matmul_fused(jnp.zeros((0, 512)), CB, SCB, jnp.zeros((0,))) is None

@@ -122,9 +122,14 @@ class InferenceEngine:
             raise RuntimeError("no free slots; call step() until one frees")
         slot = slots[0]
         prompt = list(prompt_ids)
-        T = _bucket(len(prompt), self.ecfg.prefill_buckets)
         if len(prompt) > self.mcfg.max_seq_len - 1:
             raise ValueError("prompt longer than max_seq_len")
+        budget = self.ecfg.max_new_tokens if max_new_tokens is None else max_new_tokens
+        if budget < 1:
+            raise ValueError("max_new_tokens must be >= 1")
+        # bucket clamps to the cache length: the prefill pad may not exceed
+        # the KV sequence axis
+        T = min(_bucket(len(prompt), self.ecfg.prefill_buckets), self.mcfg.max_seq_len)
         padded = prompt + [0] * (T - len(prompt))
         tokens = jnp.asarray([padded], jnp.int32)
         last_logits, cache1 = self._prefill(self.params, tokens, jnp.asarray([len(prompt)], jnp.int32))
@@ -133,8 +138,12 @@ class InferenceEngine:
         self.slot_tokens[slot] = list(prompt) + [nxt]
         self.seq_lens[slot] = len(prompt)
         self._last_tokens[slot] = nxt
-        self.active[slot] = True
-        self.slot_budget[slot] = (max_new_tokens or self.ecfg.max_new_tokens) - 1
+        self.slot_budget[slot] = budget - 1
+        # the prefill already produced one token: it may exhaust the budget
+        # or be EOS — retire immediately in that case
+        self.active[slot] = not (
+            nxt == self.ecfg.eos_token or self.slot_budget[slot] <= 0
+        )
         return slot
 
     def _sample(self, logits: jax.Array) -> np.ndarray:
@@ -188,7 +197,10 @@ class InferenceEngine:
             while pending and self.free_slots():
                 rid, prompt = pending.pop(0)
                 slot = self.add_request(prompt, max_new_tokens)
-                slot_owner[slot] = rid
+                if self.active[slot]:
+                    slot_owner[slot] = rid
+                else:  # retired at prefill (budget 1 or first-token EOS)
+                    results[rid] = self.slot_tokens[slot][len(prompt):]
 
         fill()
         while self.active.any() or pending:
@@ -196,7 +208,9 @@ class InferenceEngine:
             self.step()
             for b in range(self.ecfg.max_batch):
                 if before[b] and not self.active[b]:
-                    rid = slot_owner.pop(b)
+                    rid = slot_owner.pop(b, None)
+                    if rid is None:  # slot activated outside this generate()
+                        continue
                     plen = len(prompts[rid])
                     results[rid] = self.slot_tokens[b][plen:]
             fill()
@@ -217,6 +231,7 @@ class InferenceEngine:
             "slot_tokens": [list(t) for t in self.slot_tokens],
             "slot_budget": self.slot_budget.copy(),
             "last_tokens": self._last_tokens.copy(),
+            "rng": np.asarray(jax.random.key_data(self._rng)).copy(),
         }
 
     def restore(self, snap: Dict) -> None:
@@ -228,3 +243,5 @@ class InferenceEngine:
         self.slot_tokens = [list(t) for t in snap["slot_tokens"]]
         self.slot_budget = np.asarray(snap["slot_budget"], np.int32).copy()
         self._last_tokens = np.asarray(snap["last_tokens"], np.int32).copy()
+        if "rng" in snap:  # sampled decoding resumes bit-identically too
+            self._rng = jax.random.wrap_key_data(jnp.asarray(snap["rng"]))

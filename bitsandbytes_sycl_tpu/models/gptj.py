@@ -87,19 +87,11 @@ def _rope_interleaved(x: jax.Array, positions: jax.Array, rotary_dim: int) -> ja
 
 def init_gptj_kv_cache(cfg: GPTJConfig, batch: int) -> Dict:
     """Same head-major layout as llama (K transposed) so the flash
-    kernels apply unchanged."""
-    L, B, S, H, D = cfg.num_layers, batch, cfg.max_seq_len, cfg.num_heads, cfg.hd
-    if cfg.kv_quant:
-        return {
-            "k": jnp.zeros((L, B, H, D, S), jnp.int8),
-            "v": jnp.zeros((L, B, H, S, D), jnp.int8),
-            "k_scale": jnp.zeros((L, B, H, S), jnp.float32),
-            "v_scale": jnp.zeros((L, B, H, S), jnp.float32),
-        }
-    return {
-        "k": jnp.zeros((L, B, H, S, D), cfg.dtype),
-        "v": jnp.zeros((L, B, H, S, D), cfg.dtype),
-    }
+    kernels apply unchanged — GPTJConfig exposes the num_kv_heads/hd
+    shims exactly so the llama cache builder works as-is."""
+    from .llama import init_kv_cache
+
+    return init_kv_cache(cfg, batch)
 
 
 def init_gptj_params(cfg: GPTJConfig, key: jax.Array) -> Dict:

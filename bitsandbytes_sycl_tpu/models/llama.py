@@ -304,7 +304,7 @@ def llama_forward(
     tokens: jax.Array,  # (B, T)
     cache: Optional[Dict] = None,
     positions: Optional[jax.Array] = None,  # (B, T) absolute positions
-    seq_lens: Optional[jax.Array] = None,  # (B,) valid cache length BEFORE this call
+    seq_lens: Optional[jax.Array] = None,  # unused: validity derives from positions (kept for API stability)
     psum_axis: Optional[str] = None,  # mesh axis for TP row-parallel reductions
     lora: Optional[list] = None,  # per-layer {proj_name: {A,B,scale}} adapters
 ) -> Tuple[jax.Array, Optional[Dict]]:

@@ -106,10 +106,11 @@ def tp_matmul_4bit_row(
     x_hi, x_lo = x[..., : K // 2], x[..., K // 2 :]
     wspec = qweight_pspec(qw, "row", axis)
     bias_arr = bias.astype(compute_dtype) if bias is not None else None
+    xspec = P(*([None] * (x.ndim - 1)), axis)  # shard the FEATURE (last) dim
     fn = shard_map(
         partial(local, bias_l=bias_arr) if bias is None else local,
         mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), wspec.packed, wspec.absmax)
+        in_specs=(xspec, xspec, wspec.packed, wspec.absmax)
         + ((P(),) if bias is not None else ()),
         out_specs=P(),
         check_vma=False,
@@ -195,10 +196,11 @@ def tp_matmul_int8_row(
         out = F.llm_int8_matmul(x_l, CB_l, SCB_l, threshold=threshold)
         return jax.lax.psum(out, axis)
 
+    xspec = P(*([None] * (x.ndim - 1)), axis)  # shard the FEATURE (last) dim
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P()),
+        in_specs=(xspec, P(None, axis), P()),
         out_specs=P(),
         check_vma=False,
     )

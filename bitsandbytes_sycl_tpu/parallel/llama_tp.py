@@ -151,6 +151,12 @@ def llama_forward_tp(
     kv_cache_specs; tokens/positions replicated. Returns replicated
     logits and the sharded updated cache."""
     tp = mesh.shape[axis]
+    if cfg.num_heads % tp or cfg.num_kv_heads % tp or cfg.intermediate_size % tp:
+        raise ValueError(
+            f"TP={tp} must divide num_heads({cfg.num_heads}), "
+            f"num_kv_heads({cfg.num_kv_heads}) and intermediate_size"
+            f"({cfg.intermediate_size})"
+        )
     cfg_local = dataclasses.replace(
         cfg,
         num_heads=cfg.num_heads // tp,

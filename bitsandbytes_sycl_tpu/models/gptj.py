@@ -18,14 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .llama import (
-    _cache_write,
-    _kv_dequantize,
-    _kv_quantize,
-    _quantize_linear,
-    _use_fused_decode_attn,
-    apply_linear,
-)
+from .llama import _quantize_linear, apply_linear, write_and_attend
 
 __all__ = ["GPTJConfig", "init_gptj_params", "gptj_forward", "init_gptj_kv_cache"]
 
@@ -157,67 +150,12 @@ def gptj_forward(
         q = _rope_interleaved(q, positions, cfg.rotary_dim)
         k = _rope_interleaved(k, positions, cfg.rotary_dim)
 
-        attn = None
         if use_cache:
-            starts = positions[:, 0]
-            if cfg.kv_quant:
-                kq, ks = _kv_quantize(k)
-                vq, vs = _kv_quantize(v)
-                new_cache["k"] = _cache_write(
-                    new_cache["k"], li, kq.transpose(0, 2, 3, 1), starts, pos_axis=2
-                )
-                new_cache["v"] = _cache_write(
-                    new_cache["v"], li, vq.transpose(0, 2, 1, 3), starts, pos_axis=1
-                )
-                new_cache["k_scale"] = _cache_write(
-                    new_cache["k_scale"], li, ks.transpose(0, 2, 1), starts, pos_axis=1
-                )
-                new_cache["v_scale"] = _cache_write(
-                    new_cache["v_scale"], li, vs.transpose(0, 2, 1), starts, pos_axis=1
-                )
-                if _use_fused_decode_attn(cfg):
-                    if T == 1:
-                        from ..ops.attention import decode_attention_int8
-
-                        attn = decode_attention_int8(
-                            q, new_cache["k"][li], new_cache["k_scale"][li],
-                            new_cache["v"][li], new_cache["v_scale"][li],
-                            lengths=positions[:, 0] + 1,
-                        )
-                    else:
-                        from ..ops.attention import prefill_attention_int8
-
-                        attn = prefill_attention_int8(
-                            q, new_cache["k"][li], new_cache["k_scale"][li],
-                            new_cache["v"][li], new_cache["v_scale"][li],
-                            starts=starts,
-                        )
-                if attn is None:
-                    k_full = _kv_dequantize(
-                        new_cache["k"][li].transpose(0, 1, 3, 2),
-                        new_cache["k_scale"][li], cfg.dtype,
-                    ).transpose(0, 2, 1, 3)
-                    v_full = _kv_dequantize(
-                        new_cache["v"][li], new_cache["v_scale"][li], cfg.dtype
-                    ).transpose(0, 2, 1, 3)
-            else:
-                new_cache["k"] = _cache_write(
-                    new_cache["k"], li, k.astype(cfg.dtype).transpose(0, 2, 1, 3),
-                    starts, pos_axis=1,
-                )
-                new_cache["v"] = _cache_write(
-                    new_cache["v"], li, v.astype(cfg.dtype).transpose(0, 2, 1, 3),
-                    starts, pos_axis=1,
-                )
-                k_full = new_cache["k"][li].transpose(0, 2, 1, 3)
-                v_full = new_cache["v"][li].transpose(0, 2, 1, 3)
+            attn, new_cache = write_and_attend(new_cache, li, q, k, v, positions, mask, cfg)
         else:
-            k_full, v_full = k, v
-
-        if attn is None:
             from .llama import _attention
 
-            attn = _attention(q, k_full, v_full, mask, cfg.dtype)
+            attn = _attention(q, k, v, mask, cfg.dtype)
         attn = attn.astype(cfg.dtype).reshape(B, T, cfg.hidden_size)
         attn_out = apply_linear(attn, layer["out_proj"], cfg)
 

@@ -298,6 +298,74 @@ def _attention(q, k, v, mask, dtype):
     return out.astype(dtype)
 
 
+
+def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
+    """Write this step's k/v into layer li of the cache and attend q over
+    the full cache — the shared decode/prefill attention block for every
+    model family (llama, gptj). Dispatches to the fused int8-KV flash
+    kernels on TPU with the dequantize-then-attend XLA fallback.
+    Returns (attn (B,T,Hq,hd), new_cache)."""
+    starts = positions[:, 0]  # contiguous positions per batch
+    T = q.shape[1]
+    attn = None
+    if cfg.kv_quant:
+        kq, ks = _kv_quantize(k)
+        vq, vs = _kv_quantize(v)
+        # K stored transposed (B,H,D,S): positions land on axis 2
+        new_cache["k"] = _cache_write(
+            new_cache["k"], li, kq.transpose(0, 2, 3, 1), starts, pos_axis=2
+        )
+        new_cache["v"] = _cache_write(
+            new_cache["v"], li, vq.transpose(0, 2, 1, 3), starts, pos_axis=1
+        )
+        new_cache["k_scale"] = _cache_write(
+            new_cache["k_scale"], li, ks.transpose(0, 2, 1), starts, pos_axis=1
+        )
+        new_cache["v_scale"] = _cache_write(
+            new_cache["v_scale"], li, vs.transpose(0, 2, 1), starts, pos_axis=1
+        )
+        if T == 1 and _use_fused_decode_attn(cfg):
+            from ..ops.attention import decode_attention_int8
+
+            # decode mask (s <= q_pos) == "cache valid up to pos+1"
+            attn = decode_attention_int8(
+                q, new_cache["k"][li], new_cache["k_scale"][li],
+                new_cache["v"][li], new_cache["v_scale"][li],
+                lengths=positions[:, 0] + 1,
+            )
+        elif T > 1 and _use_fused_decode_attn(cfg):
+            from ..ops.attention import prefill_attention_int8
+
+            # causal flash prefill over the just-written int8 cache
+            attn = prefill_attention_int8(
+                q, new_cache["k"][li], new_cache["k_scale"][li],
+                new_cache["v"][li], new_cache["v_scale"][li],
+                starts=starts,
+            )
+        if attn is not None:
+            return attn, new_cache
+        # fallback: dequantize whole cache, kernel layouts -> seq-major
+        k_full = _kv_dequantize(
+            new_cache["k"][li].transpose(0, 1, 3, 2),
+            new_cache["k_scale"][li], cfg.dtype,
+        ).transpose(0, 2, 1, 3)
+        v_full = _kv_dequantize(
+            new_cache["v"][li], new_cache["v_scale"][li], cfg.dtype
+        ).transpose(0, 2, 1, 3)
+    else:
+        new_cache["k"] = _cache_write(
+            new_cache["k"], li, k.astype(cfg.dtype).transpose(0, 2, 1, 3),
+            starts, pos_axis=1,
+        )
+        new_cache["v"] = _cache_write(
+            new_cache["v"], li, v.astype(cfg.dtype).transpose(0, 2, 1, 3),
+            starts, pos_axis=1,
+        )
+        k_full = new_cache["k"][li].transpose(0, 2, 1, 3)
+        v_full = new_cache["v"][li].transpose(0, 2, 1, 3)
+    return _attention(q, k_full, v_full, mask, cfg.dtype), new_cache
+
+
 def llama_forward(
     params: Dict,
     cfg: LlamaConfig,
@@ -344,69 +412,10 @@ def llama_forward(
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
-        attn = None
         if use_cache:
-            starts = positions[:, 0]  # contiguous positions per batch
-            if cfg.kv_quant:
-                kq, ks = _kv_quantize(k)
-                vq, vs = _kv_quantize(v)
-                # K stored transposed (B,H,D,S): positions land on axis 2
-                new_cache["k"] = _cache_write(
-                    new_cache["k"], li, kq.transpose(0, 2, 3, 1), starts, pos_axis=2
-                )
-                new_cache["v"] = _cache_write(
-                    new_cache["v"], li, vq.transpose(0, 2, 1, 3), starts, pos_axis=1
-                )
-                new_cache["k_scale"] = _cache_write(
-                    new_cache["k_scale"], li, ks.transpose(0, 2, 1), starts, pos_axis=1
-                )
-                new_cache["v_scale"] = _cache_write(
-                    new_cache["v_scale"], li, vs.transpose(0, 2, 1), starts, pos_axis=1
-                )
-                if T == 1 and _use_fused_decode_attn(cfg):
-                    from ..ops.attention import decode_attention_int8
-
-                    # decode mask (s <= q_pos) == "cache valid up to pos+1"
-                    attn = decode_attention_int8(
-                        q, new_cache["k"][li], new_cache["k_scale"][li],
-                        new_cache["v"][li], new_cache["v_scale"][li],
-                        lengths=positions[:, 0] + 1,
-                    )
-                elif T > 1 and _use_fused_decode_attn(cfg):
-                    from ..ops.attention import prefill_attention_int8
-
-                    # causal flash prefill over the just-written int8 cache
-                    attn = prefill_attention_int8(
-                        q, new_cache["k"][li], new_cache["k_scale"][li],
-                        new_cache["v"][li], new_cache["v_scale"][li],
-                        starts=starts,
-                    )
-                if attn is None:
-                    # fallback: dequantize whole cache, kernel layouts ->
-                    # seq-major (B,S,H,D)
-                    k_full = _kv_dequantize(
-                        new_cache["k"][li].transpose(0, 1, 3, 2),
-                        new_cache["k_scale"][li], cfg.dtype,
-                    ).transpose(0, 2, 1, 3)
-                    v_full = _kv_dequantize(
-                        new_cache["v"][li], new_cache["v_scale"][li], cfg.dtype
-                    ).transpose(0, 2, 1, 3)
-            else:
-                new_cache["k"] = _cache_write(
-                    new_cache["k"], li, k.astype(cfg.dtype).transpose(0, 2, 1, 3),
-                    starts, pos_axis=1,
-                )
-                new_cache["v"] = _cache_write(
-                    new_cache["v"], li, v.astype(cfg.dtype).transpose(0, 2, 1, 3),
-                    starts, pos_axis=1,
-                )
-                k_full = new_cache["k"][li].transpose(0, 2, 1, 3)
-                v_full = new_cache["v"][li].transpose(0, 2, 1, 3)
+            attn, new_cache = write_and_attend(new_cache, li, q, k, v, positions, mask, cfg)
         else:
-            k_full, v_full = k, v
-
-        if attn is None:
-            attn = _attention(q, k_full, v_full, mask, cfg.dtype)
+            attn = _attention(q, k, v, mask, cfg.dtype)
         attn = attn.astype(cfg.dtype)
         attn = attn.reshape(B, T, cfg.num_heads * cfg.hd)
         o = apply_linear(attn, layer["o_proj"], cfg, _lora_for(lora, li, "o_proj"))

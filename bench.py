@@ -11,15 +11,27 @@ value        = bf16_matmul_time / fused_nf4_time for a 4096x4096 decode
                fp16-roofline tokens/s; 1.0 = parity, 3.56 = ideal 4-bit).
 vs_baseline  = value / 0.90 (the north-star threshold).
 
-Methodology: the axon tunnel adds ~25ms per dispatch and the chip is
-shared, so each op is timed as min-over-reps of (t(hi_iters) -
-t(lo_iters)) / (hi - lo) with the op chained inside one jitted
-lax.fori_loop — pure device time, no dispatch overhead, robust to noise.
+Methodology (CLAUDE.md "Measuring on the axon TPU"):
+- np.asarray on the output forces completion (block_until_ready is a
+  no-op on the axon backend — the round-1 bench failure).
+- Large arrays go through jit ARGUMENTS (captured constants serialize
+  into the remote Mosaic compile request: HTTP 413).
+- The weight is made loop-variant (absmax * (1 + 1e-30*i)) so XLA cannot
+  hoist the dequant out of the timing loop; every output element is
+  consumed via jnp.mean into the carry so nothing is DCE'd.
+- The tunnel adds ~25-35 ms/dispatch: time as min-over-reps of
+  (t(hi_iters) - t(lo_iters)) / (hi - lo), chained inside one jit.
+- The whole run retries with backoff on transient TPU errors
+  (FAILED_PRECONDITION when another process briefly held the chip), and
+  degrades to a smaller shape rather than exiting non-zero.
 """
 
+import dataclasses
 import json
 import sys
+import time
 import timeit
+import traceback
 
 import jax
 
@@ -31,53 +43,85 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
-from bitsandbytes_sycl_tpu.ops import matmul_4bit_fused, quantize_4bit_native
 
-N = K = 4096
-M = 8
-# work must dwarf the ~25ms tunnel dispatch jitter: 2000 iters ~ 100-200ms
-LO_ITERS, HI_ITERS, REPS = 200, 2000, 5
+M = 8  # decode batch
 
 
-def measure(op, x):
+def _measure(op, x, *arrs, lo=200, hi=1200, reps=4):
+    """Pure device time per op application (see module docstring)."""
+
     def runner(iters):
         @jax.jit
-        def rr(x):
+        def rr(x, *arrs):
             def body(i, x):
-                return op(x)[:, :K] * 1e-3 + x
+                return x + jnp.mean(op(x, i, *arrs)).astype(x.dtype) * 1e-6
 
             return jax.lax.fori_loop(0, iters, body, x)
 
-        rr(x).block_until_ready()
+        np.asarray(rr(x, *arrs))  # warm compile + force completion
         return min(
-            timeit.timeit(lambda: rr(x).block_until_ready(), number=1) for _ in range(REPS)
+            timeit.timeit(lambda: np.asarray(rr(x, *arrs)), number=1) for _ in range(reps)
         )
 
-    return (runner(HI_ITERS) - runner(LO_ITERS)) / (HI_ITERS - LO_ITERS)
+    return (runner(hi) - runner(lo)) / (hi - lo)
+
+
+def run_once(n):
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit_fused, quantize_4bit_native
+
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.normal(size=(n, n)) * 0.02, jnp.float32)
+    qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+    Wb = W.astype(jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(M, n)), jnp.bfloat16)
+
+    t_bf16 = _measure(lambda x, i, w: x @ ((1.0 + 1e-30 * i) * w.T), x, Wb)
+    t_nf4 = _measure(
+        lambda x, i, pk, am: matmul_4bit_fused(
+            x, dataclasses.replace(qw, packed=pk, absmax=am * (1.0 + 1e-30 * i))
+        ),
+        x, qw.packed, qw.absmax,
+    )
+    return t_bf16 / t_nf4
 
 
 def main():
-    rng = np.random.default_rng(0)
-    W = jnp.asarray(rng.normal(size=(N, K)) * 0.02, jnp.float32)
-    qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
-    Wb = W.astype(jnp.bfloat16)
-    x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
-
-    t_bf16 = measure(lambda x: x @ Wb.T, x)
-    t_nf4 = measure(lambda x: matmul_4bit_fused(x, qw), x)
-
-    value = t_bf16 / t_nf4
+    last_err = None
+    # (shape, attempts): full shape first, degraded shape as a fallback so a
+    # transient failure still yields a valid JSON line
+    for n, attempts in ((4096, 3), (2048, 2), (1024, 1)):
+        for a in range(attempts):
+            try:
+                value = run_once(n)
+                rec = {
+                    "metric": f"nf4_fused_decode_speed_vs_bf16_matmul_{n}",
+                    "value": round(float(value), 4),
+                    "unit": "x (1.0=bf16 parity, 3.56=ideal 4-bit)",
+                    "vs_baseline": round(float(value) / 0.90, 4),
+                }
+                if n != 4096:
+                    rec["degraded_from"] = 4096
+                print(json.dumps(rec), flush=True)
+                return 0
+            except Exception as e:  # transient tunnel/chip errors: back off
+                last_err = e
+                traceback.print_exc(file=sys.stderr)
+                time.sleep(10 * (a + 1))
+    # never exit non-zero with no JSON: emit a sentinel record
     print(
         json.dumps(
             {
                 "metric": "nf4_fused_decode_speed_vs_bf16_matmul_4096",
-                "value": round(float(value), 4),
-                "unit": "x (1.0=bf16 parity, 3.56=ideal 4-bit)",
-                "vs_baseline": round(float(value) / 0.90, 4),
+                "value": 0.0,
+                "unit": "x (benchmark failed; see stderr)",
+                "vs_baseline": 0.0,
+                "error": repr(last_err)[:200],
             }
-        )
+        ),
+        flush=True,
     )
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -105,7 +105,15 @@ def matmul_4bit(
     logical shape (out, in) like a bnb Linear4bit weight; computes
     A @ W^T + bias. Gradients flow to A (and bias) only — quantized
     weights are frozen, like the reference (grad_B unsupported,
-    _functions.py:536)."""
+    _functions.py:536).
+
+    Concrete (non-traced) weights auto-route to the fused Pallas kernel
+    via a cached one-time repack, mirroring the reference's batch-1
+    dispatch to gemv_4bit (_functions.py:565-575) but for every batch
+    size; matmul_4bit_kernel's custom_vjp keeps it differentiable in A."""
+    qw = F._route_fused_4bit(A, data, quant_state)
+    if qw is not None:
+        return matmul_4bit_kernel(A, qw, bias)
     return _matmul_4bit_vjp(A, data, quant_state, bias)
 
 

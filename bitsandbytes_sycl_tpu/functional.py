@@ -585,9 +585,68 @@ def matmul_4bit_ref(A: jax.Array, data: jax.Array, quant_state: QuantState, bias
     return out
 
 
+_KERNEL_LAYOUT_CACHE: dict = {}
+
+
+def _cached_kernel_layout(data: jax.Array, quant_state: QuantState):
+    """Repack a concrete bnb-format weight into kernel layout ONCE, keyed
+    by the packed array's identity (weakref-guarded against id reuse).
+    The reference re-dispatches per call (_functions.py:565-575); here the
+    one-time repack makes every later call hit the fused kernel with zero
+    per-call overhead."""
+    import weakref
+
+    from .ops.common import to_kernel_layout
+
+    key = (id(data), id(quant_state.absmax))
+    hit = _KERNEL_LAYOUT_CACHE.get(key)
+    if hit is not None:
+        dref, aref, qw = hit
+        if dref() is data and aref() is quant_state.absmax:
+            return qw
+    qw = to_kernel_layout(data, quant_state)
+    try:
+        drop = lambda _: _KERNEL_LAYOUT_CACHE.pop(key, None)
+        _KERNEL_LAYOUT_CACHE[key] = (
+            weakref.ref(data, drop),
+            weakref.ref(quant_state.absmax, drop),
+            qw,
+        )
+    except TypeError:
+        pass  # not weakref-able (e.g. np arrays): recompute next time
+    return qw
+
+
+def _route_fused_4bit(A, data, quant_state: QuantState):
+    """Fused-kernel dispatch for bnb-format 4-bit weights: returns the
+    cached QLinearWeight when the fused path applies, else None.
+
+    The reference auto-routes batch-1 inference to its fused GEMV
+    (autograd/_functions.py:565-575); the TPU kernel handles any batch,
+    so the only conditions are (a) the weight is a concrete array (a
+    traced weight can't be repacked host-side — callers inside jit pass
+    weights as arguments, where the dequant path fuses fine), and (b) the
+    kernel layout's divisibility constraint holds."""
+    if isinstance(data, jax.core.Tracer) or isinstance(quant_state.absmax, jax.core.Tracer):
+        return None
+    if quant_state.shape is None or len(quant_state.shape) != 2:
+        return None
+    N, K = quant_state.shape
+    if K % (2 * quant_state.blocksize) != 0 or A.shape[-1] != K:
+        return None
+    return _cached_kernel_layout(data, quant_state)
+
+
 def gemv_4bit(A: jax.Array, data: jax.Array, quant_state: QuantState, bias=None) -> jax.Array:
-    """Batch-1 fused dequant matvec. The jnp build fuses under XLA; the
-    Pallas kernel in ops/matmul_4bit.py replaces it on TPU."""
+    """Fused dequant matvec/matmul (reference functional.py:1961-2060,
+    kernel launch at :2008). Auto-routes to the Pallas kernel
+    (ops/matmul_4bit.py) for concrete weights; traced weights take the
+    XLA-fused dequant path."""
+    qw = _route_fused_4bit(A, data, quant_state)
+    if qw is not None:
+        from .ops import matmul_4bit_fused
+
+        return matmul_4bit_fused(A, qw, bias, compute_dtype=jnp.result_type(A))
     return matmul_4bit_ref(A, data, quant_state, bias)
 
 

@@ -64,12 +64,54 @@ def test_matmul_4bit_fused_bias(weight):
 
 
 def test_matmul_4bit_fused_fallback_shapes():
-    """K not tileable -> silently uses the jnp path."""
+    """K=96 isn't divisible by 2*64 -> quantize_4bit_native refuses."""
     W = jnp.asarray(np.random.default_rng(1).normal(size=(64, 96)), jnp.float32)
-    qw = quantize_4bit_native(W, blocksize=48 // 1, quant_type="nf4") if False else None
-    # K=96 isn't divisible by 2*64 -> quantize_4bit_native refuses
     with pytest.raises(ValueError):
         quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+
+
+def test_gemv_4bit_auto_routes_to_fused_kernel(weight):
+    """Concrete bnb-format weights hit the fused kernel through a cached
+    one-time repack (reference auto-dispatch, _functions.py:565-575)."""
+    packed, qs = F.quantize_4bit(weight, blocksize=64, quant_type="nf4")
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(1, 1024)), jnp.float32)
+    qw = F._route_fused_4bit(x, packed, qs)
+    assert isinstance(qw, QLinearWeight)
+    assert F._route_fused_4bit(x, packed, qs) is qw  # cache hit, same object
+    y = F.gemv_4bit(x, packed, qs)
+    ref = np.asarray(x) @ np.asarray(F.dequantize_4bit(packed, qs), np.float32).T
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_matmul_4bit_routed_grad(weight):
+    """autograd.matmul_4bit routes to the kernel and stays differentiable."""
+    from bitsandbytes_sycl_tpu.autograd import matmul_4bit
+
+    packed, qs = F.quantize_4bit(weight, blocksize=64, quant_type="nf4")
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(8, 1024)), jnp.float32)
+    y = matmul_4bit(x, packed, qs)
+    ref = np.asarray(x) @ np.asarray(F.dequantize_4bit(packed, qs), np.float32).T
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+    g = jax.grad(lambda x: matmul_4bit(x, packed, qs).sum())(x)
+    gref = np.ones((8, 256), np.float32) @ np.asarray(F.dequantize_4bit(packed, qs), np.float32)
+    np.testing.assert_allclose(np.asarray(g), gref, rtol=5e-2, atol=5e-3)
+
+
+def test_gemv_4bit_traced_weight_falls_back(weight):
+    """Inside jit the weight is a tracer: the dequant path must be taken
+    (no host-side repack), with identical results."""
+    import dataclasses
+
+    packed, qs = F.quantize_4bit(weight, blocksize=64, quant_type="nf4")
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(2, 1024)), jnp.float32)
+
+    @jax.jit
+    def f(x, p, am):
+        return F.gemv_4bit(x, p, dataclasses.replace(qs, absmax=am))
+
+    y = f(x, packed, qs.absmax)
+    ref = np.asarray(x) @ np.asarray(F.dequantize_4bit(packed, qs), np.float32).T
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
 
 
 def test_matmul_4bit_kernel_grad(weight):

@@ -35,6 +35,7 @@ class GPTJConfig:
     dtype: Any = jnp.bfloat16
     quant: str = "nf4"
     blocksize: int = 64
+    compress_stats: bool = False  # 8-bit scales decoded in-kernel
     llm_int8_threshold: float = 6.0
     kv_quant: bool = True
 

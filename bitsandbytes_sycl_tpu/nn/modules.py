@@ -72,7 +72,8 @@ class Linear4bit(nn.Module):
                 from ..ops import quantize_4bit_native
 
                 return {"qweight": quantize_4bit_native(
-                    w, blocksize=self.blocksize, quant_type=self.quant_type
+                    w, blocksize=self.blocksize, quant_type=self.quant_type,
+                    compress_statistics=self.compress_statistics,
                 )}
             packed, qs = F.quantize_4bit(
                 w.astype(self.quant_dtype),

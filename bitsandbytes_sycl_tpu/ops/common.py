@@ -19,6 +19,13 @@ blocks of `blocksize` along K, is stored for kernels as:
   This makes row (K) sharding congruent: P("model", None) on packed pairs
   with P(None, "model", None) on absmax — every device gets matching
   byte rows and scale blocks for its two K-slices.
+- compressed statistics (the reference's nested/double quantization,
+  functional.py:1243-1257): ``absmax`` is instead uint8 dynamic-map codes
+  with f32 ``absmax_scale``/``absmax_offset`` sidecars of shape (2, 1, N)
+  — one (range, mean) pair per (plane, output column), so the secondary
+  level shards congruently too (column sharding splits N; row sharding
+  replicates the tiny sidecars). Scales decode arithmetically in-kernel
+  (ops/dynamic8.py — no gather), cutting scale HBM traffic 4x vs f32.
 
 This requires K % (2*blocksize) == 0 — true for every transformer dim;
 other shapes fall back to the jnp reference path.
@@ -38,7 +45,17 @@ import numpy as np
 from .. import codebooks
 from ..types import QuantState
 
-__all__ = ["on_tpu", "lut16", "QLinearWeight", "quantize_4bit_native", "to_kernel_layout", "pick_tile", "safe_inv"]
+__all__ = [
+    "on_tpu",
+    "lut16",
+    "QLinearWeight",
+    "quantize_4bit_native",
+    "to_kernel_layout",
+    "pick_tile",
+    "safe_inv",
+    "compress_absmax",
+    "decode_absmax",
+]
 
 
 def on_tpu() -> bool:
@@ -97,9 +114,36 @@ def lut16(idx: jax.Array, table, dtype=jnp.float32, bit_base: int = 0) -> jax.Ar
     return level(vals, 3)
 
 
+def compress_absmax(absmax: jax.Array):
+    """Compress f32 per-plane scales (2, nbh, N) to uint8 dynamic-map codes
+    + per-(plane, column) f32 (range, mean) sidecars of shape (2, 1, N).
+
+    The reference's nested statistics (functional.py:1243-1257) subtract a
+    scalar mean offset and requantize absmax 8-bit blockwise (blocksize
+    256, dynamic signed map); here the secondary blocking is per output
+    column — the TPU-layout-native grouping, so the sidecars shard with N
+    and the codes decode identically on every row shard.
+    """
+    from .dynamic8 import dynamic_encode
+
+    a = absmax.astype(jnp.float32)
+    offset = jnp.mean(a, axis=1, keepdims=True)  # (2, 1, N)
+    centered = a - offset
+    scale = jnp.max(jnp.abs(centered), axis=1, keepdims=True)  # (2, 1, N)
+    codes = dynamic_encode(centered * safe_inv(scale), signed=True)
+    return codes, scale, offset
+
+
+def decode_absmax(codes: jax.Array, scale: jax.Array, offset: jax.Array) -> jax.Array:
+    """Inverse of compress_absmax; pure elementwise (inlines into Pallas)."""
+    from .dynamic8 import dynamic_decode
+
+    return dynamic_decode(codes, signed=True) * scale + offset
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["packed", "absmax"],
+    data_fields=["packed", "absmax", "absmax_scale", "absmax_offset"],
     meta_fields=["shape", "blocksize", "quant_type", "dtype"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -107,15 +151,29 @@ class QLinearWeight:
     """Kernel-layout 4-bit linear weight (see module docstring)."""
 
     packed: jax.Array  # uint8 (K//2, N), transposed planar
-    absmax: jax.Array  # f32 (2, K//(2*blocksize), N), per-plane scales
+    absmax: jax.Array  # f32 (2, K//(2*blocksize), N) scales, or uint8 codes
     shape: Tuple[int, int]  # (N, K)
     blocksize: int
     quant_type: str
     dtype: str  # original dtype name
+    # compressed statistics only (absmax is uint8 codes): per-(plane,
+    # column) f32 (2, 1, N) range / mean sidecars
+    absmax_scale: Optional[jax.Array] = None
+    absmax_offset: Optional[jax.Array] = None
+
+    @property
+    def compressed(self) -> bool:
+        return self.absmax_scale is not None
 
     @property
     def code(self) -> np.ndarray:
         return codebooks.get_4bit_type(self.quant_type, blocksize=self.blocksize)
+
+    def scales_f32(self) -> jax.Array:
+        """Per-plane f32 scales (2, nbh, N), decoding compression if any."""
+        if self.compressed:
+            return decode_absmax(self.absmax, self.absmax_scale, self.absmax_offset)
+        return self.absmax
 
     def dequantize(self) -> jax.Array:
         N, K = self.shape
@@ -123,17 +181,24 @@ class QLinearWeight:
         hi = lut16(b >> 4, self.code)  # elements [0, K/2)
         lo = lut16(b & 0xF, self.code)  # elements [K/2, K)
         w_t = jnp.concatenate([hi, lo], axis=0)  # (K, N)
-        scale = jnp.repeat(self.absmax.reshape(K // self.blocksize, N), self.blocksize, axis=0)
+        amax = self.scales_f32()
+        scale = jnp.repeat(amax.reshape(K // self.blocksize, N), self.blocksize, axis=0)
         return (w_t * scale).T.astype(jnp.dtype(self.dtype))  # (N, K)
 
 
 def quantize_4bit_native(
-    W: jax.Array, blocksize: int = 64, quant_type: str = "nf4"
+    W: jax.Array,
+    blocksize: int = 64,
+    quant_type: str = "nf4",
+    compress_statistics: bool = False,
 ) -> QLinearWeight:
     """Quantize a (N, K) weight directly into kernel layout.
 
     Matches the reference's numerics exactly (same codebooks, same
     round-to-nearest midpoint rule) — only the storage order differs.
+    compress_statistics stores the per-block scales as 8-bit dynamic-map
+    codes (the reference's nested quantization, functional.py:1243-1257)
+    decoded in-kernel — 4x less scale HBM traffic.
     """
     from .. import functional as F
 
@@ -145,23 +210,46 @@ def quantize_4bit_native(
     blocks = Wf.reshape(N, K // blocksize, blocksize)
     absmax = jnp.max(jnp.abs(blocks), axis=2)  # (N, K//bs)
     normed = blocks * F._safe_inv(absmax)[:, :, None]
+    amax = absmax.T.reshape(2, K // (2 * blocksize), N)
+    am_scale = am_offset = None
+    if compress_statistics:
+        amax, am_scale, am_offset = compress_absmax(amax)
+        # re-normalize against the DECODED scales so the nibble codes
+        # absorb the scale-quantization error where they can
+        dec = decode_absmax(amax, am_scale, am_offset)
+        absmax_d = dec.reshape(K // blocksize, N).T  # (N, K//bs)
+        normed = blocks * F._safe_inv(absmax_d)[:, :, None]
+        normed = jnp.clip(normed, -1.0, 1.0)
     codes = F._encode_nearest(normed.reshape(N, K), mids, order)
     packed = (codes[:, : K // 2].T << 4 | codes[:, K // 2 :].T).astype(jnp.uint8)
     return QLinearWeight(
         packed=packed,
-        absmax=absmax.T.reshape(2, K // (2 * blocksize), N),
+        absmax=amax,
         shape=(N, K),
         blocksize=blocksize,
         quant_type=quant_type,
         dtype=str(jnp.result_type(W).name),
+        absmax_scale=am_scale,
+        absmax_offset=am_offset,
     )
 
 
-def to_kernel_layout(data: jax.Array, quant_state: QuantState) -> QLinearWeight:
+def to_kernel_layout(
+    data: jax.Array, quant_state: QuantState, compress: Optional[bool] = None
+) -> QLinearWeight:
     """Lossless repack of a bnb-format 4-bit weight (paired flat packing +
-    flat absmax, functional.py:1124-1269) into kernel layout."""
+    flat absmax, functional.py:1124-1269) into kernel layout.
+
+    `compress` keeps the scales 8-bit in kernel layout (default: inherit
+    the QuantState's own nested/compressed setting). The nibble codes are
+    always preserved exactly; compressed scales are re-encoded in the
+    kernel-native per-column grouping (see compress_absmax) — same codec,
+    same precision class as the bnb nested format they came from.
+    """
     from .. import functional as F
 
+    if compress is None:
+        compress = quant_state.nested
     N, K = quant_state.shape
     n = N * K
     codes = F.unpack_4bit(data.reshape(-1), n).reshape(N, K)
@@ -169,13 +257,19 @@ def to_kernel_layout(data: jax.Array, quant_state: QuantState) -> QLinearWeight:
         jnp.uint8
     )
     absmax = quant_state.dequant_absmax().reshape(N, K // quant_state.blocksize)
+    amax = absmax.T.reshape(2, K // (2 * quant_state.blocksize), N)
+    am_scale = am_offset = None
+    if compress:
+        amax, am_scale, am_offset = compress_absmax(amax)
     return QLinearWeight(
         packed=packed,
-        absmax=absmax.T.reshape(2, K // (2 * quant_state.blocksize), N),
+        absmax=amax,
         shape=(N, K),
         blocksize=quant_state.blocksize,
         quant_type=quant_state.quant_type,
         dtype=quant_state.dtype,
+        absmax_scale=am_scale,
+        absmax_offset=am_offset,
     )
 
 
@@ -190,7 +284,7 @@ def from_kernel_layout(w: QLinearWeight) -> Tuple[jax.Array, QuantState]:
     codes = jnp.concatenate([hi.T, lo.T], axis=1).reshape(-1)  # (N*K,) element order
     packed = F.pack_4bit(codes)
     qs = QuantState(
-        absmax=w.absmax.reshape(K // w.blocksize, N).T.reshape(-1),
+        absmax=w.scales_f32().reshape(K // w.blocksize, N).T.reshape(-1),
         code=jnp.asarray(w.code),
         shape=(N, K),
         dtype=w.dtype,

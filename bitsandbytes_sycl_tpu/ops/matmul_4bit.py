@@ -64,9 +64,13 @@ def _decode_plane(b: jax.Array, code, quant_type: str, dtype=jnp.float32, shift:
 
 
 def _mm4_kernel(
-    x_hi_ref, x_lo_ref, w_ref, s_ref, bias_ref, o_ref, acc_ref,
-    *, code, quant_type, blocksize, nk, out_dtype, has_bias, decode_dtype,
+    x_hi_ref, x_lo_ref, w_ref, s_ref, *rest,
+    code, quant_type, blocksize, nk, out_dtype, has_bias, decode_dtype, compressed,
 ):
+    if compressed:
+        s2_ref, off_ref, bias_ref, o_ref, acc_ref = rest
+    else:
+        bias_ref, o_ref, acc_ref = rest
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -79,9 +83,17 @@ def _mm4_kernel(
     b = w_ref[:].astype(ity)  # (TKB, TN) bytes
     w_hi = _decode_plane(b, code, quant_type, decode_dtype, shift=4)
     w_lo = _decode_plane(b, code, quant_type, decode_dtype, shift=0)
+    if compressed:
+        # uint8 dynamic-map codes -> f32 scales, in-VMEM (arithmetic codec,
+        # ops/dynamic8.py; ~20 VPU ops on 1/blocksize of the elements)
+        from .common import decode_absmax
+
+        s = decode_absmax(s_ref[:], s2_ref[:], off_ref[:])  # (2, TKB//bs, TN)
+    else:
+        s = s_ref[:]
     # per-block per-plane scale: (TKB//bs, TN) -> (TKB, TN) sublane repeat
-    s_hi = jnp.repeat(s_ref[0].astype(decode_dtype), blocksize, axis=0)
-    s_lo = jnp.repeat(s_ref[1].astype(decode_dtype), blocksize, axis=0)
+    s_hi = jnp.repeat(s[0].astype(decode_dtype), blocksize, axis=0)
+    s_lo = jnp.repeat(s[1].astype(decode_dtype), blocksize, axis=0)
     whs = (w_hi * s_hi).astype(x_hi_ref.dtype)
     wls = (w_lo * s_lo).astype(x_lo_ref.dtype)
     acc_ref[:] += jax.lax.dot_general(
@@ -117,6 +129,7 @@ def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb, dec
             and jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
         )
         decode_dtype = jnp.bfloat16 if use16 else jnp.float32
+    compressed = w.compressed
     kernel = functools.partial(
         _mm4_kernel,
         code=tuple(float(v) for v in w.code),
@@ -126,27 +139,40 @@ def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb, dec
         out_dtype=compute_dtype,
         has_bias=bias is not None,
         decode_dtype=decode_dtype,
+        compressed=compressed,
     )
     bias_arr = (bias if bias is not None else jnp.zeros((N,), jnp.float32)).reshape(1, N)
 
     flops = 2 * M * N * K
-    bytes_accessed = M * K * 2 + N * K // 2 + (N * K // bs) * 4 + M * N * 2
+    scale_bytes = (N * K // bs) * (1 if compressed else 4) + (N * 16 if compressed else 0)
+    bytes_accessed = M * K * 2 + N * K // 2 + scale_bytes + M * N * 2
+
+    in_specs = [
+        # x hi-plane slice [0, K/2) and lo-plane slice [K/2, K)
+        pl.BlockSpec((tm, tkb), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (tm, tkb), lambda m, n, k, _half=nk: (m, k + _half), memory_space=pltpu.VMEM
+        ),
+        # transposed planar weight bytes (K//2, N)
+        pl.BlockSpec((tkb, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+        # per-plane absmax (2, K//(2*bs), N): one tile covers hi+lo
+        pl.BlockSpec((2, tkb // bs, tn), lambda m, n, k: (0, k, n), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, x, w.packed, w.absmax]
+    if compressed:
+        # per-(plane, column) range/mean sidecars (2, 1, N)
+        in_specs += [
+            pl.BlockSpec((2, 1, tn), lambda m, n, k: (0, 0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, tn), lambda m, n, k: (0, 0, n), memory_space=pltpu.VMEM),
+        ]
+        operands += [w.absmax_scale, w.absmax_offset]
+    in_specs.append(pl.BlockSpec((1, tn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM))
+    operands.append(bias_arr)
 
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # x hi-plane slice [0, K/2) and lo-plane slice [K/2, K)
-            pl.BlockSpec((tm, tkb), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tm, tkb), lambda m, n, k, _half=nk: (m, k + _half), memory_space=pltpu.VMEM
-            ),
-            # transposed planar weight bytes (K//2, N)
-            pl.BlockSpec((tkb, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            # per-plane absmax (2, K//(2*bs), N): one tile covers hi+lo
-            pl.BlockSpec((2, tkb // bs, tn), lambda m, n, k: (0, k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), compute_dtype),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
@@ -154,7 +180,7 @@ def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb, dec
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret_mode(),
-    )(x, x, w.packed, w.absmax, bias_arr)
+    )(*operands)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -130,6 +130,7 @@ def _localize(obj, tp: int):
         return QLinearWeight(
             packed=obj.packed, absmax=obj.absmax, shape=(N, K),
             blocksize=obj.blocksize, quant_type=obj.quant_type, dtype=obj.dtype,
+            absmax_scale=obj.absmax_scale, absmax_offset=obj.absmax_offset,
         )
     if isinstance(obj, dict):
         return {k: _localize(v, tp) for k, v in obj.items()}

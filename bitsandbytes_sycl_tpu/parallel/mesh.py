@@ -76,13 +76,15 @@ def initialize_distributed(
 
 
 def _dim_specs(dim: str, axis: str):
-    # packed is (K//2, N); absmax is (2, K//(2*bs), N)
+    # packed (K//2, N); absmax (2, K//(2*bs), N); compressed-stat sidecars
+    # (2, 1, N) shard with N under col, replicate under row (they are
+    # per-column reductions over ALL K blocks, identical on every K shard)
     if dim == "col":
-        return P(None, axis), P(None, None, axis)
+        return P(None, axis), P(None, None, axis), P(None, None, axis)
     if dim == "row":
-        return P(axis, None), P(None, axis, None)
+        return P(axis, None), P(None, axis, None), P()
     if dim == "replicated":
-        return P(), P()
+        return P(), P(), P()
     raise ValueError(dim)
 
 
@@ -96,8 +98,11 @@ def qweight_pspec(qw: QLinearWeight, dim: str, axis: str = "model") -> QLinearWe
     """
     import dataclasses
 
-    p_packed, p_absmax = _dim_specs(dim, axis)
-    return dataclasses.replace(qw, packed=p_packed, absmax=p_absmax)
+    p_packed, p_absmax, p_side = _dim_specs(dim, axis)
+    side = {}
+    if qw.absmax_scale is not None:
+        side = {"absmax_scale": p_side, "absmax_offset": p_side}
+    return dataclasses.replace(qw, packed=p_packed, absmax=p_absmax, **side)
 
 
 def qweight_sharding(
@@ -105,9 +110,18 @@ def qweight_sharding(
 ) -> QLinearWeight:
     import dataclasses
 
-    p_packed, p_absmax = _dim_specs(dim, axis)
+    p_packed, p_absmax, p_side = _dim_specs(dim, axis)
+    side = {}
+    if qw.absmax_scale is not None:
+        side = {
+            "absmax_scale": NamedSharding(mesh, p_side),
+            "absmax_offset": NamedSharding(mesh, p_side),
+        }
     return dataclasses.replace(
-        qw, packed=NamedSharding(mesh, p_packed), absmax=NamedSharding(mesh, p_absmax)
+        qw,
+        packed=NamedSharding(mesh, p_packed),
+        absmax=NamedSharding(mesh, p_absmax),
+        **side,
     )
 
 
@@ -152,17 +166,29 @@ def retile_qweight_row_tp(qw: QLinearWeight, tp: int) -> QLinearWeight:
     hi = (qw.packed >> 4).astype(jnp.uint8)  # elements [0, K/2), (K/2, N)
     lo = (qw.packed & 0xF).astype(jnp.uint8)  # elements [K/2, K)
     codes = jnp.concatenate([hi, lo], axis=0)  # (K, N) element-ordered
-    amax = qw.absmax.reshape(K // bs, N)  # block-ordered along K
+    amax = qw.scales_f32().reshape(K // bs, N)  # block-ordered along K
     packs, amaxs = [], []
     for d in range(tp):
         cd = codes[d * Kd : (d + 1) * Kd]
         packs.append((cd[: Kd // 2] << 4 | cd[Kd // 2 :]).astype(jnp.uint8))
         amaxs.append(amax[d * Kd // bs : (d + 1) * Kd // bs].reshape(2, Kd // (2 * bs), N))
+    new_amax = jnp.concatenate(amaxs, axis=1)
+    am_scale = am_offset = None
+    if qw.compressed:
+        # re-encode against the retiled plane grouping: the per-(plane,
+        # column) stats are computed over the GLOBAL dim-1 range, so they
+        # replicate across row shards and every device decodes its slice
+        # with the same sidecars (one extra half-step of scale noise)
+        from ..ops.common import compress_absmax
+
+        new_amax, am_scale, am_offset = compress_absmax(new_amax)
     return QLinearWeight(
         packed=jnp.concatenate(packs, axis=0),
-        absmax=jnp.concatenate(amaxs, axis=1),
+        absmax=new_amax,
         shape=(N, K),
         blocksize=bs,
         quant_type=qw.quant_type,
         dtype=qw.dtype,
+        absmax_scale=am_scale,
+        absmax_offset=am_offset,
     )

@@ -148,6 +148,93 @@ def test_qlinearweight_is_pytree(weight):
     assert qw2.blocksize == 64 and qw2.quant_type == "nf4"
 
 
+# --- compressed statistics (nested absmax, reference functional.py:1243-1257) ---
+
+
+def test_compress_absmax_roundtrip(weight):
+    from bitsandbytes_sycl_tpu.ops.common import compress_absmax, decode_absmax
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    codes, scale, offset = compress_absmax(qw.absmax)
+    assert codes.dtype == jnp.uint8 and scale.shape == (2, 1, 256) == offset.shape
+    dec = np.asarray(decode_absmax(codes, scale, offset))
+    ref = np.asarray(qw.absmax)
+    # dynamic-map half-step of the per-column range
+    rng = np.asarray(scale).max()
+    assert np.abs(dec - ref).max() <= 0.008 * rng + 1e-7
+
+
+def test_quantize_native_compressed_accuracy(weight):
+    """Compressed scales must stay inside the reference NF4 accuracy
+    envelope (mean abs matmul err < 0.115, tests_pvc/autograd.py:389)."""
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4", compress_statistics=True)
+    assert qw.compressed and qw.absmax.dtype == jnp.uint8
+    d = np.asarray(qw.dequantize(), np.float32)
+    w = np.asarray(weight)
+    raw = np.asarray(
+        quantize_4bit_native(weight, blocksize=64, quant_type="nf4").dequantize(), np.float32
+    )
+    # scale compression adds at most ~1% on top of NF4's own error
+    assert np.abs(d - w).mean() <= np.abs(raw - w).mean() * 1.05
+
+
+@pytest.mark.parametrize("quant_type", ["nf4", "int4"])
+@pytest.mark.parametrize("M", [1, 8])
+def test_matmul_4bit_fused_compressed(weight, quant_type, M):
+    qw = quantize_4bit_native(
+        weight, blocksize=64, quant_type=quant_type, compress_statistics=True
+    )
+    rng = np.random.default_rng(M)
+    x = jnp.asarray(rng.normal(size=(M, 1024)), jnp.float32)
+    y = matmul_4bit_fused(x, qw, compute_dtype=jnp.float32)
+    ref = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_to_kernel_layout_inherits_nested(weight):
+    """A nested bnb QuantState stays 8-bit in kernel layout (the round-1
+    layout eagerly decompressed to f32, losing the bandwidth win)."""
+    packed, qs = F.quantize_4bit(weight, blocksize=64, quant_type="nf4", compress_statistics=True)
+    assert qs.nested
+    qw = to_kernel_layout(packed, qs)
+    assert qw.compressed and qw.absmax.dtype == jnp.uint8
+    d_kernel = np.asarray(qw.dequantize(), np.float32)
+    d_bnb = np.asarray(F.dequantize_4bit(packed, qs), np.float32)
+    # same codec precision class, different grouping: small scale noise only
+    denom = np.abs(d_bnb).max()
+    assert np.abs(d_kernel - d_bnb).max() <= 0.02 * denom
+
+
+def test_compressed_pspec_and_row_retile(weight):
+    from bitsandbytes_sycl_tpu.parallel.mesh import qweight_pspec, retile_qweight_row_tp
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4", compress_statistics=True)
+    spec = qweight_pspec(qw, "col")
+    assert spec.absmax_scale is not None  # sidecars got specs, not arrays
+    ref = np.asarray(qw.dequantize(), np.float32)  # (N, K)
+    tp = 4
+    rt = retile_qweight_row_tp(qw, tp)
+    assert rt.compressed
+    # each device's slice is a self-consistent local planar pack of its
+    # contiguous K range (sidecars replicated); validate slice by slice
+    N, K = qw.shape
+    Kd = K // tp
+    for d in range(tp):
+        local = QLinearWeight(
+            packed=rt.packed[d * Kd // 2 : (d + 1) * Kd // 2],
+            absmax=rt.absmax[:, d * Kd // (2 * 64) : (d + 1) * Kd // (2 * 64)],
+            shape=(N, Kd),
+            blocksize=64,
+            quant_type="nf4",
+            dtype=rt.dtype,
+            absmax_scale=rt.absmax_scale,
+            absmax_offset=rt.absmax_offset,
+        )
+        dloc = np.asarray(local.dequantize(), np.float32)
+        # nibbles exact; scales re-encode once more (one extra half-step)
+        assert np.abs(dloc - ref[:, d * Kd : (d + 1) * Kd]).max() <= 0.02 * np.abs(ref).max()
+
+
 # ---------------------------------------------------------------------------
 # fused LLM.int8() kernel (ops/matmul_int8.py)
 # ---------------------------------------------------------------------------

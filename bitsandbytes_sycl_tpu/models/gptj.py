@@ -36,6 +36,7 @@ class GPTJConfig:
     quant: str = "nf4"
     blocksize: int = 64
     compress_stats: bool = False  # 8-bit scales decoded in-kernel
+    absmax_dtype: str = "bfloat16"  # scale storage; bf16 is free (see llama)
     llm_int8_threshold: float = 6.0
     kv_quant: bool = True
 

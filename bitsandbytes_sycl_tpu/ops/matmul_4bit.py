@@ -68,7 +68,7 @@ def _mm4_kernel(
     code, quant_type, blocksize, nk, out_dtype, has_bias, decode_dtype, compressed,
 ):
     if compressed:
-        s2_ref, off_ref, bias_ref, o_ref, acc_ref = rest
+        stats_ref, bias_ref, o_ref, acc_ref, s_scr_ref = rest
     else:
         bias_ref, o_ref, acc_ref = rest
     k = pl.program_id(2)
@@ -76,6 +76,16 @@ def _mm4_kernel(
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        if compressed:
+            # decode the WHOLE scale strip for this n-tile once (the codes
+            # block is k-invariant, so it's DMA'd once per (m,n) too);
+            # per-k work then reads f32 scratch — repeating the uint8
+            # relayout+decode every k step measured ~12 us slower at 4096²
+            from .common import decode_absmax
+
+            s_scr_ref[:] = decode_absmax(
+                s_ref[:], stats_ref[:, 0:1, :], stats_ref[:, 1:2, :]
+            )
 
     # 16-bit decode keeps masks and selects on (16,128)-tiled lanes (2x VPU
     # packing); 32-bit ints for f32 decode
@@ -84,11 +94,8 @@ def _mm4_kernel(
     w_hi = _decode_plane(b, code, quant_type, decode_dtype, shift=4)
     w_lo = _decode_plane(b, code, quant_type, decode_dtype, shift=0)
     if compressed:
-        # uint8 dynamic-map codes -> f32 scales, in-VMEM (arithmetic codec,
-        # ops/dynamic8.py; ~20 VPU ops on 1/blocksize of the elements)
-        from .common import decode_absmax
-
-        s = decode_absmax(s_ref[:], s2_ref[:], off_ref[:])  # (2, TKB//bs, TN)
+        nb = w_ref.shape[0] // blocksize  # blocks per k step
+        s = s_scr_ref[:, pl.ds(k * nb, nb), :]  # (2, TKB//bs, TN)
     else:
         s = s_ref[:]
     # per-block per-plane scale: (TKB//bs, TN) -> (TKB, TN) sublane repeat
@@ -147,6 +154,7 @@ def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb, dec
     scale_bytes = (N * K // bs) * (1 if compressed else 4) + (N * 16 if compressed else 0)
     bytes_accessed = M * K * 2 + N * K // 2 + scale_bytes + M * N * 2
 
+    nbh = (K // 2) // bs  # scale rows per plane
     in_specs = [
         # x hi-plane slice [0, K/2) and lo-plane slice [K/2, K)
         pl.BlockSpec((tm, tkb), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
@@ -155,17 +163,23 @@ def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb, dec
         ),
         # transposed planar weight bytes (K//2, N)
         pl.BlockSpec((tkb, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-        # per-plane absmax (2, K//(2*bs), N): one tile covers hi+lo
-        pl.BlockSpec((2, tkb // bs, tn), lambda m, n, k: (0, k, n), memory_space=pltpu.VMEM),
+        # per-plane absmax (2, K//(2*bs), N): compressed loads the whole
+        # k-invariant strip (decoded once into scratch); raw tiles per k
+        pl.BlockSpec((2, nbh, tn), lambda m, n, k: (0, 0, n), memory_space=pltpu.VMEM)
+        if compressed
+        else pl.BlockSpec((2, tkb // bs, tn), lambda m, n, k: (0, k, n), memory_space=pltpu.VMEM),
     ]
     operands = [x, x, w.packed, w.absmax]
+    scratch = [pltpu.VMEM((tm, tn), jnp.float32)]
     if compressed:
-        # per-(plane, column) range/mean sidecars (2, 1, N)
-        in_specs += [
-            pl.BlockSpec((2, 1, tn), lambda m, n, k: (0, 0, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, tn), lambda m, n, k: (0, 0, n), memory_space=pltpu.VMEM),
-        ]
-        operands += [w.absmax_scale, w.absmax_offset]
+        # range/mean sidecars packed into one (2, 2, N) block (separate
+        # (2,1,N) blocks each DMA 8x their bytes from sublane padding)
+        stats = jnp.concatenate([w.absmax_scale, w.absmax_offset], axis=1)
+        in_specs.append(
+            pl.BlockSpec((2, 2, tn), lambda m, n, k: (0, 0, n), memory_space=pltpu.VMEM)
+        )
+        operands.append(stats)
+        scratch.append(pltpu.VMEM((2, nbh, tn), jnp.float32))
     in_specs.append(pl.BlockSpec((1, tn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM))
     operands.append(bias_arr)
 
@@ -175,7 +189,7 @@ def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb, dec
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), compute_dtype),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),

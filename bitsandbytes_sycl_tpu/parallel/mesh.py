@@ -172,7 +172,8 @@ def retile_qweight_row_tp(qw: QLinearWeight, tp: int) -> QLinearWeight:
         cd = codes[d * Kd : (d + 1) * Kd]
         packs.append((cd[: Kd // 2] << 4 | cd[Kd // 2 :]).astype(jnp.uint8))
         amaxs.append(amax[d * Kd // bs : (d + 1) * Kd // bs].reshape(2, Kd // (2 * bs), N))
-    new_amax = jnp.concatenate(amaxs, axis=1)
+    # bf16-stored scales round-trip exactly (scales_f32 is a widening cast)
+    new_amax = jnp.concatenate(amaxs, axis=1).astype(qw.absmax.dtype if not qw.compressed else jnp.float32)
     am_scale = am_offset = None
     if qw.compressed:
         # re-encode against the retiled plane grouping: the per-(plane,

@@ -205,6 +205,24 @@ def test_to_kernel_layout_inherits_nested(weight):
     assert np.abs(d_kernel - d_bnb).max() <= 0.02 * denom
 
 
+def test_bf16_absmax_storage(weight):
+    """bf16 scale storage: half the scale memory, raw kernel path (the
+    kernel casts scales to its decode dtype anyway — measured free)."""
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4", absmax_dtype=jnp.bfloat16)
+    assert qw.absmax.dtype == jnp.bfloat16 and not qw.compressed
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(8, 1024)), jnp.float32)
+    y = matmul_4bit_fused(x, qw, compute_dtype=jnp.float32)
+    ref = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+    # accuracy stays within ~bf16 rounding of the f32-scale path
+    raw = np.asarray(
+        quantize_4bit_native(weight, blocksize=64, quant_type="nf4").dequantize(), np.float32
+    )
+    d = np.asarray(qw.dequantize(), np.float32)
+    w = np.asarray(weight)
+    assert np.abs(d - w).mean() <= np.abs(raw - w).mean() * 1.01
+
+
 def test_compressed_pspec_and_row_retile(weight):
     from bitsandbytes_sycl_tpu.parallel.mesh import qweight_pspec, retile_qweight_row_tp
 

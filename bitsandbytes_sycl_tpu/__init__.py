@@ -15,7 +15,7 @@ Typical use::
     y = bnb.matmul_4bit(x, packed, qs)
 """
 
-from . import codebooks, functional, legacy
+from . import codebooks, functional, legacy, research
 from .autograd import (
     MatmulLtState,
     bmm_cublas,

@@ -114,6 +114,25 @@ def _encode_nearest(x: jax.Array, mids: jax.Array, order: jax.Array) -> jax.Arra
     return order[rank].astype(jnp.uint8)
 
 
+def _encode_stochastic(
+    x: jax.Array, sorted_code: jax.Array, order: jax.Array, key: jax.Array
+) -> jax.Array:
+    """Stochastic codebook encode: round to the bracketing entries with
+    probability proportional to proximity (expectation-unbiased) — the
+    reference's STOCHASTIC template path (kernel_quant.cpp:1229-1365,
+    dQuantize<1> consuming a per-element rand)."""
+    last = sorted_code.shape[0] - 1
+    lo_rank = jnp.clip(jnp.searchsorted(sorted_code, x, side="right") - 1, 0, last)
+    hi_rank = jnp.minimum(lo_rank + 1, last)
+    lo = sorted_code[lo_rank]
+    hi = sorted_code[hi_rank]
+    span = hi - lo
+    p = jnp.where(span > 0, (x - lo) / jnp.where(span > 0, span, 1.0), 0.0)
+    u = jax.random.uniform(key, x.shape, dtype=jnp.float32)
+    rank = jnp.where(u < jnp.clip(p, 0.0, 1.0), hi_rank, lo_rank)
+    return order[rank].astype(jnp.uint8)
+
+
 def pack_4bit(codes: jax.Array) -> jax.Array:
     """Pack flat 4-bit codes (uint8 in [0,16)) two per byte: element 2i in
     the high nibble, 2i+1 low (reference kernel_quant.cpp:1337-1348)."""
@@ -161,6 +180,7 @@ def quantize_blockwise(
     blocksize: int = 4096,
     nested: bool = False,
     quant_type: str = "dynamic",
+    key: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, QuantState]:
     """Blockwise 8-bit quantization with per-block float32 absmax.
 
@@ -168,11 +188,17 @@ def quantize_blockwise(
     With `nested=True` the absmax vector itself is mean-offset and
     re-quantized 8-bit blockwise at blocksize 256
     (reference functional.py:897-908).
+    Passing a PRNG `key` rounds STOCHASTICALLY between the bracketing
+    codebook entries (the reference's STOCHASTIC template path,
+    kernel_quant.cpp:1229-1365) — expectation-unbiased, the right mode
+    for accumulating small gradient-sized updates into 8-bit state.
     """
     table, _sorted, order, mids = _code_arrays(code, quant_type)
     blocks, absmax, n = _blockwise_stats(A, blocksize)
     normed = blocks * _safe_inv(absmax)[:, None]
-    if code is None and quant_type in ("dynamic", "dynamic_unsigned"):
+    if key is not None:
+        codes = _encode_stochastic(normed, _sorted, order, key)
+    elif code is None and quant_type in ("dynamic", "dynamic_unsigned"):
         # arithmetic minifloat codec — no searchsorted (ops/dynamic8.py);
         # the dynamic maps are ascending-sorted so codes are identical
         from .ops.dynamic8 import dynamic_encode
@@ -669,10 +695,6 @@ def _adam2(g, p, s1, s2, beta1, beta2, eps, step, lr, weight_decay):
     return p, s1, s2
 
 
-def _ademamix2(g, p, s1, s2, beta1, beta2, eps, step, lr, weight_decay):
-    raise NotImplementedError
-
-
 def _momentum1(g, p, s1, beta1, eps, step, lr, weight_decay):
     """(kernel_quant.cpp:1964-1970)"""
     if weight_decay > 0.0:
@@ -732,37 +754,68 @@ def optimizer_update_32bit(
     lr: float = 1e-3,
     weight_decay: float = 0.0,
     gnorm_scale: float = 1.0,
-    unorm_scale: Optional[jax.Array] = None,
+    max_unorm: float = 0.0,
     skip_zeros: bool = False,
 ):
     """32-bit fused optimizer step (reference kernel_quant.cpp:1500-2032).
 
-    Returns (p, state1, state2). `unorm_scale` implements max_unorm update
-    clipping (LAMB/LARS trust-ratio style) computed by the caller.
+    Returns (p, state1, state2). `max_unorm > 0` enables the reference's
+    trust-ratio clipping (kPreconditionOptimizer32bit* unorm machinery,
+    kernel_quant.cpp:1506-1614 + host param_norm, used by LAMB/LARS):
+    the RAW (lr-less) update norm is clipped to max_unorm * ||p|| before
+    the learning rate is applied — same two-pass math, fused in one jit.
     """
     gf = g.astype(jnp.float32) * gnorm_scale
     pf = p.astype(jnp.float32)
     if skip_zeros:
         nonzero = gf != 0.0
+
+    def _clip(u):
+        """update_scale for the raw update u (kOptimizer32bit* pass 2)."""
+        if max_unorm <= 0.0:
+            return 1.0
+        unorm = jnp.linalg.norm(u)
+        pnorm = jnp.linalg.norm(pf)
+        limit = max_unorm * pnorm
+        return jnp.where(unorm > limit, limit / jnp.maximum(unorm, 1e-12), 1.0)
+
     if optimizer_name in OPTIMIZER_FUNCS_2STATE:
-        new_p, new_s1, new_s2 = _adam2(
-            gf, pf, state1.astype(jnp.float32), state2.astype(jnp.float32),
-            beta1, beta2, eps, step, lr, weight_decay,
-        )
-        if unorm_scale is not None:
-            # re-apply with scaled step: p' = p + us * (new_p_raw - p)
-            delta = new_p - pf * (1.0 - lr * weight_decay if weight_decay > 0 else 1.0)
-            new_p = pf + unorm_scale * delta
+        s1 = state1.astype(jnp.float32)
+        s2 = state2.astype(jnp.float32)
+        c1 = 1.0 - beta1**step
+        c2 = jnp.sqrt(1.0 - beta2**step)
+        new_s1 = s1 * beta1 + (1.0 - beta1) * gf
+        new_s2 = s2 * beta2 + (1.0 - beta2) * gf * gf
+        u = new_s1 / (jnp.sqrt(new_s2) + eps * c2)  # (kernel_quant.cpp:1722-1734)
+        new_p = pf - (lr * c2 / c1) * _clip(u) * u
+        if weight_decay > 0.0:
+            new_p = new_p * (1.0 - lr * weight_decay)
         if skip_zeros:
             new_p = jnp.where(nonzero, new_p, pf)
             new_s1 = jnp.where(nonzero, new_s1, state1)
             new_s2 = jnp.where(nonzero, new_s2, state2)
         return new_p.astype(p.dtype), new_s1, new_s2
-    fn = OPTIMIZER_FUNCS_1STATE[optimizer_name]
-    if optimizer_name == "lion":
-        new_p, new_s1 = fn(gf, pf, state1.astype(jnp.float32), beta1, beta2, eps, step, lr, weight_decay)
+
+    s1 = state1.astype(jnp.float32)
+    gw = gf + pf * weight_decay if weight_decay > 0.0 else gf
+    if optimizer_name == "momentum":
+        new_s1 = jnp.where(step == 1, gw, s1 * beta1 + gw)
+        u = new_s1
+        new_p = pf - lr * _clip(u) * u
+    elif optimizer_name == "lion":
+        u = jnp.sign(s1 * beta1 + (1.0 - beta1) * gw)
+        new_p = pf - lr * _clip(u) * u
+        new_s1 = s1 * beta2 + (1.0 - beta2) * gw
+    elif optimizer_name == "rmsprop":
+        new_s1 = s1 * beta1 + (1.0 - beta1) * gw * gw
+        u = gw / (jnp.sqrt(new_s1) + eps)
+        new_p = pf - lr * _clip(u) * u
+    elif optimizer_name == "adagrad":
+        new_s1 = s1 + gw * gw
+        u = gw / (jnp.sqrt(new_s1) + eps)
+        new_p = pf - lr * _clip(u) * u
     else:
-        new_p, new_s1 = fn(gf, pf, state1.astype(jnp.float32), beta1, eps, step, lr, weight_decay)
+        raise NotImplementedError(optimizer_name)
     if skip_zeros:
         new_p = jnp.where(nonzero, new_p, pf)
         new_s1 = jnp.where(nonzero, new_s1, state1)

@@ -26,6 +26,7 @@ import numpy as np
 from .. import functional as F
 from ..autograd import matmul_4bit as _matmul_4bit
 from ..autograd import matmul_8bit_lt, matmul_8bit_train
+from ..ops.common import safe_inv as _safe_inv_scalar
 from ..types import QuantState
 
 __all__ = [
@@ -222,14 +223,22 @@ class StableEmbedding(nn.Module):
 
 
 class OutlierAwareLinear(nn.Module):
-    """Linear that quantizes its weight per forward with outlier columns
-    held in higher precision (reference nn/modules.py:824-848 quantizes
-    based on OutlierTracer statistics; here outliers come from the weight's
-    own column absmax, jit-compatible)."""
+    """Linear whose weight is int8-quantized EXCEPT the outlier input
+    dims, which stay in compute precision.
+
+    The reference class is abstract (nn/modules.py:824-848: forward
+    resolves outlier dims via OutlierTracer and delegates to overridable
+    quantize_weight / forward_with_outliers); the tracer's detection rule
+    is utils.find_outlier_dims — the z-score of the per-dim std
+    (utils.py:84-104, zscore=4.0 default). This is the concrete TPU
+    subclass: same detection rule expressed as a jit-compatible mask,
+    int8 row-wise weight quantization on the non-outlier columns, and an
+    exact fp sidecar over the outlier columns.
+    """
 
     features: int
     use_bias: bool = True
-    outlier_threshold: float = 3.0  # z-score-ish multiple of col std
+    zscore: float = 4.0  # find_outlier_dims default (utils.py:84)
     compute_dtype: Any = jnp.bfloat16
     kernel_init: Callable = default_kernel_init
 
@@ -242,19 +251,29 @@ class OutlierAwareLinear(nn.Module):
             if self.use_bias
             else None
         )
-        from ..utils import find_outlier_dims
+        # find_outlier_dims rule (utils.py:94-101), as a static-shape mask:
+        # z-score of the per-input-dim std over output rows
+        std = jnp.std(W, axis=0)
+        zstd = (std - jnp.mean(std)) * _safe_inv_scalar(jnp.std(std))
+        outlier = zstd > self.zscore  # (in_features,) bool
+        keep = (~outlier).astype(jnp.float32)
 
-        thr = self.outlier_threshold * jnp.std(jnp.abs(W)) + jnp.mean(jnp.abs(W))
-        x2 = x.reshape(-1, in_features).astype(self.compute_dtype)
-        out = matmul_8bit_train(x2, W.astype(self.compute_dtype), float(0.0), bias)
-        # outlier-aware: correct columns whose absmax exceeds the data-driven
-        # threshold with an fp sidecar
-        col_absmax = jnp.max(jnp.abs(W), axis=0)
-        mask = (col_absmax >= thr).astype(self.compute_dtype)
-        CB, SCB = F.int8_vectorwise_quant(W)
+        # int8 row-wise quantization of the non-outlier part
+        CB, SCB = F.int8_vectorwise_quant(W * keep[None, :])
         Wq = (CB.astype(jnp.float32) * (SCB[:, None] / 127.0)).astype(self.compute_dtype)
-        corr = jnp.matmul(x2 * mask[None, :], (W.astype(self.compute_dtype) - Wq).T)
-        out = out + corr
+
+        x2 = x.reshape(-1, in_features).astype(self.compute_dtype)
+        out = jnp.matmul(x2, Wq.T, preferred_element_type=jnp.float32).astype(
+            self.compute_dtype
+        )
+        # exact sidecar over outlier dims (forward_with_outliers contract)
+        om = outlier.astype(self.compute_dtype)
+        out = out + jnp.matmul(
+            x2 * om[None, :], (W.astype(self.compute_dtype) * om[None, :]).T,
+            preferred_element_type=jnp.float32,
+        ).astype(self.compute_dtype)
+        if bias is not None:
+            out = out + bias
         return out.reshape(*x.shape[:-1], self.features)
 
 

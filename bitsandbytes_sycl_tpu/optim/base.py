@@ -126,10 +126,6 @@ def make_optimizer(
                 s_new["gnorm_vec"], gnorm_scale = F.percentile_clipping(
                     gnorm, s["gnorm_vec"], count, percentile_clipping
                 )
-            unorm_scale = None
-            if max_unorm > 0.0:
-                # LAMB/LARS trust ratio: computed from the raw update below
-                pass
             if s["state1"].dtype == jnp.uint8:
                 bs = _blocksize_for(p)
                 out = F.optimizer_update_8bit_blockwise(
@@ -153,23 +149,26 @@ def make_optimizer(
                     s["state1"], s.get("state2"),
                     beta1, beta2, eps, count, lr,
                     weight_decay=weight_decay, gnorm_scale=gnorm_scale,
-                    unorm_scale=unorm_scale,
+                    # reference trust-ratio semantics live inside the
+                    # update (raw lr-less norm vs max_unorm * ||p||)
+                    max_unorm=max_unorm,
                 )
                 s_new["state1"] = s1
                 if name in _2STATE:
                     s_new["state2"] = s2
             delta = (new_p.astype(jnp.float32) - p.astype(jnp.float32))
-            if max_unorm > 0.0:
-                # trust-ratio clip of the whole-tensor update norm
-                # (reference kPreconditionOptimizer32bit* unorm machinery)
+            if max_unorm > 0.0 and s["state1"].dtype == jnp.uint8:
+                # the reference's 8-bit BLOCKWISE kernels carry no unorm
+                # machinery (it exists only in the 32-bit and 8-bit-static
+                # paths, kernel_quant.cpp:1506,2034) — approximate with a
+                # post-hoc clip of the realized update so LAMB-with-8bit
+                # still bounds its step
                 unorm = jnp.linalg.norm(delta)
                 pnorm = jnp.linalg.norm(p.astype(jnp.float32))
-                scale = jnp.where(
-                    unorm > max_unorm * pnorm + eps,
-                    (max_unorm * pnorm + eps) / jnp.maximum(unorm, 1e-12),
-                    1.0,
+                limit = max_unorm * pnorm * lr
+                delta = delta * jnp.where(
+                    unorm > limit, limit / jnp.maximum(unorm, 1e-12), 1.0
                 )
-                delta = delta * scale
             new_updates.append(delta.astype(p.dtype))
             new_inner.append(s_new)
 

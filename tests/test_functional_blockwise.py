@@ -158,3 +158,34 @@ def test_quantstate_is_pytree():
     qs2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert qs2.blocksize == qs.blocksize and qs2.quant_type == "nf4"
     assert qs2.nested
+
+
+def test_stochastic_rounding_unbiased():
+    """key= enables stochastic rounding (reference STOCHASTIC path,
+    kernel_quant.cpp:1229): codes land on the bracketing entries and the
+    dequantized EXPECTATION beats round-to-nearest's bias."""
+    val = 0.30103  # sits between dynamic-map entries
+    # first element 1.0 pins the block absmax so `val` stays off-grid
+    a = jnp.full((4096,), val, jnp.float32).at[0].set(1.0)
+    q_rtn, qs = F.quantize_blockwise(a, blocksize=4096)
+    d_rtn = float(np.asarray(F.dequantize_blockwise(q_rtn, qs))[1])
+    # round-to-nearest: every `val` element gets the same code
+    assert np.unique(np.asarray(q_rtn)[1:]).size == 1
+
+    means = []
+    for seed in range(8):
+        q, qs2 = F.quantize_blockwise(a, blocksize=4096, key=jax.random.PRNGKey(seed))
+        codes = np.unique(np.asarray(q)[1:])
+        assert codes.size == 2  # exactly the two bracketing entries
+        means.append(np.asarray(F.dequantize_blockwise(q, qs2))[1:].mean())
+    # expectation over stochastic draws is closer to the value than the
+    # deterministic rounding of this (deliberately off-center) input
+    assert abs(np.mean(means) - val) < abs(d_rtn - val) * 0.5
+
+
+def test_stochastic_rounding_custom_code():
+    code = jnp.asarray(np.linspace(-1, 1, 256), jnp.float32)
+    a = jnp.asarray(np.random.default_rng(8).normal(size=(1024,)) * 0.5, jnp.float32)
+    q, qs = F.quantize_blockwise(a, code=code, blocksize=256, key=jax.random.PRNGKey(0))
+    d = np.asarray(F.dequantize_blockwise(q, qs))
+    assert np.abs(d - np.asarray(a)).mean() < 0.02

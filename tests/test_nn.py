@@ -135,3 +135,63 @@ def test_simple_nn_training_loss_decreases():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+def test_outlier_aware_linear():
+    """OutlierAwareLinear (reference nn/modules.py:824-848 + the
+    OutlierTracer's find_outlier_dims z-score rule, utils.py:84-104):
+    outlier input dims stay high-precision, so accuracy with an injected
+    outlier column must beat plain int8 row-wise quantization."""
+    from bitsandbytes_sycl_tpu.nn import OutlierAwareLinear
+    from bitsandbytes_sycl_tpu import functional as F
+
+    rng = np.random.default_rng(0)
+    W = rng.normal(size=(64, 256)).astype(np.float32) * 0.02
+    W[:, 17] *= 40.0  # one outlier input dim (std z-score >> 4)
+    x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+
+    m = OutlierAwareLinear(features=64, use_bias=False, compute_dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    variables = {"params": {"weight": jnp.asarray(W)}}
+    y = m.apply(variables, x)
+
+    ref = np.asarray(x) @ W.T
+    # plain int8 row-wise quantization of the full W for comparison
+    CB, SCB = F.int8_vectorwise_quant(jnp.asarray(W))
+    Wq = np.asarray(CB, np.float32) * (np.asarray(SCB)[:, None] / 127.0)
+    err_plain = np.abs(np.asarray(x) @ Wq.T - ref).mean()
+    err_aware = np.abs(np.asarray(y) - ref).mean()
+    assert err_aware < err_plain * 0.5, (err_aware, err_plain)
+
+
+def test_switchback_linear_bnb():
+    """SwitchBackLinearBnb (reference nn/modules.py:851-884): int8
+    forward within the LLM.int8 accuracy envelope; backward is the
+    straight fp path (grads match the fp linear's)."""
+    from bitsandbytes_sycl_tpu.nn import SwitchBackLinearBnb
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 128)), jnp.float32)
+    m = SwitchBackLinearBnb(features=32, use_bias=True, compute_dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    W = np.asarray(variables["params"]["weight"], np.float32)
+    b = np.asarray(variables["params"]["bias"], np.float32)
+
+    y = np.asarray(m.apply(variables, x))
+    ref = np.asarray(x) @ W.T + b
+    denom = np.abs(ref).max()
+    assert np.abs(y - ref).max() / denom < 0.05  # int8 fwd envelope
+
+    # SwitchBack: backward is full-precision — weight grad equals the fp
+    # linear's weight grad (up to the int8 fwd error through the loss)
+    def loss(v):
+        return (m.apply(v, x) ** 2).mean()
+
+    g = jax.grad(loss)(variables)["params"]["weight"]
+    gref = jax.grad(
+        lambda Wv: ((x @ Wv.T + jnp.asarray(b)) ** 2).mean()
+    )(jnp.asarray(W))
+    cos = np.sum(np.asarray(g) * np.asarray(gref)) / (
+        np.linalg.norm(np.asarray(g)) * np.linalg.norm(np.asarray(gref)) + 1e-12
+    )
+    assert cos > 0.99, cos

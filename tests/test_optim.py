@@ -282,3 +282,52 @@ def test_optimizer_update_8bit_global_max():
     ref_p, _, _ = F.optimizer_update_32bit("adam", g, p, jnp.zeros_like(g), jnp.zeros_like(g),
                                            0.9, 0.999, 1e-8, 1, 1e-3)
     np.testing.assert_allclose(np.asarray(new_p), np.asarray(ref_p), atol=5e-5)
+
+
+def test_max_unorm_trust_ratio_32bit():
+    """Reference unorm semantics (kernel_quant.cpp:1506-1614 + LAMB's
+    max_unorm=1.0): the RAW lr-less update norm is clipped to
+    max_unorm * ||p|| before lr applies."""
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(256,)) * 0.01, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(256,)) * 100.0, jnp.float32)  # huge step
+    s1 = jnp.zeros((256,), jnp.float32)
+    s2 = jnp.zeros((256,), jnp.float32)
+    lr, mu = 1e-3, 0.5
+
+    new_p, _, _ = F.optimizer_update_32bit(
+        "lamb", g, p, s1, s2, 0.9, 0.999, 1e-8, 1, lr, max_unorm=mu
+    )
+    # adam raw update at step 1 has ||u|| ~ sqrt(n) >> mu*||p||, so the
+    # realized step must sit exactly on the trust boundary
+    c1, c2 = 1.0 - 0.9, np.sqrt(1.0 - 0.999)
+    raw_norm = np.linalg.norm(np.asarray(new_p - p)) / (lr * c2 / c1)
+    limit = mu * np.linalg.norm(np.asarray(p))
+    np.testing.assert_allclose(raw_norm, limit, rtol=1e-3)
+
+    # large ||p|| -> raw update norm (~sqrt(n), g-scale-invariant for
+    # adam) sits below the boundary -> unclipped == plain adam
+    p_big = p * 1000.0
+    clipped, _, _ = F.optimizer_update_32bit(
+        "lamb", g, p_big, s1, s2, 0.9, 0.999, 1e-8, 1, lr, max_unorm=mu
+    )
+    plain, _, _ = F.optimizer_update_32bit(
+        "adam", g, p_big, s1, s2, 0.9, 0.999, 1e-8, 1, lr
+    )
+    np.testing.assert_allclose(np.asarray(clipped), np.asarray(plain), atol=0)
+
+
+def test_lamb_optimizer_bounded_step():
+    """optim.lamb: with max_unorm=1.0 every step's raw norm is bounded by
+    the param norm, 32-bit and 8-bit states alike."""
+    from bitsandbytes_sycl_tpu import optim
+
+    for bits in (32, 8):
+        params = {"w": jnp.asarray(np.random.default_rng(1).normal(size=(8192,)) * 0.01, jnp.float32)}
+        tx = optim.lamb(learning_rate=1e-2, optim_bits=bits, min_8bit_size=1024)
+        st = tx.init(params)
+        g = {"w": jnp.asarray(np.random.default_rng(2).normal(size=(8192,)) * 1e3, jnp.float32)}
+        upd, st = tx.update(g, st, params)
+        step_norm = float(jnp.linalg.norm(upd["w"].astype(jnp.float32)))
+        bound = 1.0 * float(jnp.linalg.norm(params["w"])) * 1e-2  # max_unorm * ||p|| * lr
+        assert step_norm <= bound * 1.05, (bits, step_norm, bound)

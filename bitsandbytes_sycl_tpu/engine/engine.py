@@ -2,16 +2,27 @@
 
 Slot-based scheduler over static shapes (jit-friendly): the KV cache is a
 fixed (layers, max_batch, max_seq) int8 pytree; each sequence owns a batch
-slot; prefill runs batch-1 into a scratch cache and is inserted at its
-slot with dynamic_update_slice; decode advances every active slot in one
-fused step. Finished slots are immediately refilled from the pending
-queue — the "continuous batching" of the north star (BASELINE.json).
+slot; prefill runs PENDING PROMPTS AS ONE PADDED BATCH into a scratch
+cache and inserts each at its slot with dynamic_update_slice; decode
+advances every active slot in one fused step. Finished slots are
+immediately refilled from the pending queue — the "continuous batching"
+of the north star (BASELINE.json).
 
 Design notes:
 - cache slot index == absolute token position, so padded prefill entries
   beyond the true length are overwritten by later decode writes before
   the causal mask can ever expose them.
-- prompt lengths are bucketed (powers of two) to bound recompilation.
+- prompt lengths and prefill batch sizes are bucketed (powers of two) to
+  bound recompilation.
+- sampling (greedy or temperature/top-k) runs INSIDE the jitted step, so
+  each decode step moves only (B,) int32 tokens to the host — not the
+  (B, vocab) logits (a per-step host sync the reference-style perf-bug
+  list would flag; cf. the reference's per-param synchronize,
+  optim/optimizer.py:288).
+- tensor parallelism: pass a Mesh (params pre-sharded with
+  parallel.shard_llama_params); the engine shards the KV cache with
+  kv_cache_specs, routes the forward through llama_forward_tp, and keeps
+  cache shardings across insert/snapshot/restore.
 - Everything device-side is functional; the scheduler is host-side
   Python, like every production JAX serving stack.
 """
@@ -25,6 +36,7 @@ from typing import Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.llama import LlamaConfig, init_kv_cache, llama_forward
 
@@ -48,13 +60,21 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _pow2_bucket(n: int, cap: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
 class InferenceEngine:
     """Continuous-batching decode over a quantized decoder model.
 
     Model-agnostic: any forward with the (params, cfg, tokens, cache,
     positions) -> (logits, cache) contract works — llama_forward
     (default) and models.gptj.gptj_forward both do. Pass matching
-    forward_fn/init_cache_fn for non-llama families."""
+    forward_fn/init_cache_fn for non-llama families. With `mesh` the
+    llama forward runs tensor-parallel (llama_forward_tp)."""
 
     def __init__(
         self,
@@ -63,14 +83,34 @@ class InferenceEngine:
         engine_cfg: EngineConfig = EngineConfig(),
         forward_fn=None,
         init_cache_fn=None,
+        mesh: Optional[Mesh] = None,
+        tp_axis: str = "model",
     ):
         self.mcfg = model_cfg
         self.ecfg = engine_cfg
         self.params = params
-        fwd = forward_fn or llama_forward
+        self.mesh = mesh
         init_cache = init_cache_fn or init_kv_cache
+        self._cache_sharding = None
+        if forward_fn is not None:
+            fwd = forward_fn
+        elif mesh is not None:
+            from ..parallel.llama_tp import kv_cache_specs, llama_forward_tp
+
+            def fwd(params, cfg, tokens, cache, positions):
+                return llama_forward_tp(params, cfg, tokens, cache, positions, mesh, tp_axis)
+
+            specs = kv_cache_specs(model_cfg, tp_axis)
+            self._cache_sharding = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), specs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+        else:
+            fwd = llama_forward
         B = engine_cfg.max_batch
         self.cache = init_cache(model_cfg, B)
+        if self._cache_sharding is not None:
+            self.cache = jax.device_put(self.cache, self._cache_sharding)
         self.seq_lens = np.zeros((B,), np.int32)  # host-side slot lengths
         self.active = np.zeros((B,), bool)
         self.slot_tokens: List[List[int]] = [[] for _ in range(B)]
@@ -79,37 +119,60 @@ class InferenceEngine:
         self._rng = jax.random.PRNGKey(0)
 
         mcfg = model_cfg
+        temperature = float(engine_cfg.temperature)
+        top_k = int(engine_cfg.top_k)
+
+        def sample(logits, key):
+            """In-jit sampling: greedy or temperature/top-k categorical."""
+            if temperature <= 0.0:
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            l = logits.astype(jnp.float32) / temperature
+            if top_k > 0:
+                kth = jnp.sort(l, axis=-1)[:, -top_k][:, None]
+                l = jnp.where(l < kth, -jnp.inf, l)
+            return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
 
         @jax.jit
-        def prefill_fn(params, tokens, true_len):
-            """tokens (1, Tpad) -> (last valid logits (1, vocab), cache1)."""
-            T = tokens.shape[1]
-            cache1 = init_cache(mcfg, 1)
-            pos = jnp.broadcast_to(jnp.arange(T), (1, T))
-            logits, cache1 = fwd(params, mcfg, tokens, cache1, pos)
+        def prefill_fn(params, tokens, true_len, key):
+            """tokens (K, Tpad) -> (sampled next token (K,), cache_K)."""
+            K, T = tokens.shape
+            cacheK = init_cache(mcfg, K)
+            pos = jnp.broadcast_to(jnp.arange(T), (K, T))
+            logits, cacheK = fwd(params, mcfg, tokens, cacheK, pos)
             last = jnp.take_along_axis(
-                logits, (true_len - 1).reshape(1, 1, 1), axis=1
+                logits, (true_len - 1).reshape(K, 1, 1), axis=1
             )[:, 0]
-            return last, cache1
+            return sample(last, key), cacheK
 
         @jax.jit
-        def insert_fn(cache, cache1, slot):
+        def insert_fn(cache, cacheK, k, slot):
+            """Insert sub-batch k of the prefill cache at batch `slot`."""
             def ins(big, small):
-                # big (L, B, S, ...), small (L, 1, S, ...)
+                # big (L, B, S, ...), small (L, K, S, ...)
+                small_k = jax.lax.dynamic_slice_in_dim(small, k, 1, axis=1)
                 start = (0, slot) + (0,) * (big.ndim - 2)
-                return jax.lax.dynamic_update_slice(big, small.astype(big.dtype), start)
+                out = jax.lax.dynamic_update_slice(big, small_k.astype(big.dtype), start)
+                return out
 
-            return jax.tree_util.tree_map(ins, cache, cache1)
+            out = jax.tree_util.tree_map(ins, cache, cacheK)
+            if self._cache_sharding is not None:
+                out = jax.lax.with_sharding_constraint(out, self._cache_sharding)
+            return out
 
         @jax.jit
-        def decode_fn(params, cache, tokens, positions):
-            """tokens (B, 1), positions (B, 1) -> (logits (B, vocab), cache)."""
+        def decode_fn(params, cache, tokens, positions, key):
+            """tokens (B, 1), positions (B, 1) -> (next tokens (B,), cache).
+            Sampling stays on device: the step's host transfer is B int32s."""
             logits, cache = fwd(params, mcfg, tokens, cache, positions)
-            return logits[:, 0], cache
+            return sample(logits[:, 0], key), cache
 
         self._prefill = prefill_fn
         self._insert = insert_fn
         self._decode = decode_fn
+
+    def _next_key(self):
+        self._rng, key = jax.random.split(self._rng)
+        return key
 
     # ----------------------------------------------------------------- slots
     def free_slots(self) -> List[int]:
@@ -117,44 +180,58 @@ class InferenceEngine:
 
     def add_request(self, prompt_ids: Sequence[int], max_new_tokens: Optional[int] = None) -> int:
         """Prefill a prompt into a free slot; returns the slot id."""
+        return self.add_requests([prompt_ids], max_new_tokens)[0]
+
+    def add_requests(
+        self, prompts: Sequence[Sequence[int]], max_new_tokens: Optional[int] = None
+    ) -> List[int]:
+        """Prefill several prompts as ONE padded batch (reference-free
+        design; round-1 prefilled sequentially batch-1 per request, a
+        wall-clock bug at engine fill time). Returns the slot ids."""
         slots = self.free_slots()
-        if not slots:
-            raise RuntimeError("no free slots; call step() until one frees")
-        slot = slots[0]
-        prompt = list(prompt_ids)
-        if len(prompt) > self.mcfg.max_seq_len - 1:
-            raise ValueError("prompt longer than max_seq_len")
+        if len(prompts) > len(slots):
+            raise RuntimeError("not enough free slots; call step() until they free")
+        if not prompts:
+            return []
         budget = self.ecfg.max_new_tokens if max_new_tokens is None else max_new_tokens
         if budget < 1:
             raise ValueError("max_new_tokens must be >= 1")
-        # bucket clamps to the cache length: the prefill pad may not exceed
-        # the KV sequence axis
-        T = min(_bucket(len(prompt), self.ecfg.prefill_buckets), self.mcfg.max_seq_len)
-        padded = prompt + [0] * (T - len(prompt))
-        tokens = jnp.asarray([padded], jnp.int32)
-        last_logits, cache1 = self._prefill(self.params, tokens, jnp.asarray([len(prompt)], jnp.int32))
-        self.cache = self._insert(self.cache, cache1, slot)
-        nxt = int(self._sample(last_logits)[0])
-        self.slot_tokens[slot] = list(prompt) + [nxt]
-        self.seq_lens[slot] = len(prompt)
-        self._last_tokens[slot] = nxt
-        self.slot_budget[slot] = budget - 1
-        # the prefill already produced one token: it may exhaust the budget
-        # or be EOS — retire immediately in that case
-        self.active[slot] = not (
-            nxt == self.ecfg.eos_token or self.slot_budget[slot] <= 0
+        for prompt in prompts:
+            if len(prompt) > self.mcfg.max_seq_len - 1:
+                raise ValueError("prompt longer than max_seq_len")
+        # one common length bucket (shorter prompts pad up to it) and a
+        # pow2 batch bucket — bounds compilations to |Kb| x |Tb| variants
+        T = min(
+            _bucket(max(len(p) for p in prompts), self.ecfg.prefill_buckets),
+            self.mcfg.max_seq_len,
         )
-        return slot
-
-    def _sample(self, logits: jax.Array) -> np.ndarray:
-        if self.ecfg.temperature <= 0.0:
-            return np.asarray(jnp.argmax(logits, axis=-1))
-        l = logits / self.ecfg.temperature
-        if self.ecfg.top_k > 0:
-            kth = jnp.sort(l, axis=-1)[:, -self.ecfg.top_k][:, None]
-            l = jnp.where(l < kth, -jnp.inf, l)
-        self._rng, key = jax.random.split(self._rng)
-        return np.asarray(jax.random.categorical(key, l, axis=-1))
+        K = len(prompts)
+        Kb = _pow2_bucket(K, self.ecfg.max_batch)
+        toks = np.zeros((Kb, T), np.int32)
+        lens = np.ones((Kb,), np.int32)  # dummy rows: len 1, never inserted
+        for i, prompt in enumerate(prompts):
+            toks[i, : len(prompt)] = prompt
+            lens[i] = len(prompt)
+        nxt, cacheK = self._prefill(
+            self.params, jnp.asarray(toks), jnp.asarray(lens), self._next_key()
+        )
+        nxt = np.asarray(nxt)
+        out_slots: List[int] = []
+        for i, prompt in enumerate(prompts):
+            slot = slots[i]
+            self.cache = self._insert(self.cache, cacheK, i, slot)
+            tok = int(nxt[i])
+            self.slot_tokens[slot] = list(prompt) + [tok]
+            self.seq_lens[slot] = len(prompt)
+            self._last_tokens[slot] = tok
+            self.slot_budget[slot] = budget - 1
+            # the prefill already produced one token: it may exhaust the
+            # budget or be EOS — retire immediately in that case
+            self.active[slot] = not (
+                tok == self.ecfg.eos_token or self.slot_budget[slot] <= 0
+            )
+            out_slots.append(slot)
+        return out_slots
 
     def step(self) -> Dict[int, int]:
         """One decode step for every active slot. Returns {slot: new_token}
@@ -164,8 +241,10 @@ class InferenceEngine:
         B = self.ecfg.max_batch
         tokens = jnp.asarray(self._last_tokens.reshape(B, 1), jnp.int32)
         positions = jnp.asarray(self.seq_lens.reshape(B, 1), jnp.int32)
-        logits, self.cache = self._decode(self.params, self.cache, tokens, positions)
-        nxt = self._sample(logits)
+        nxt_dev, self.cache = self._decode(
+            self.params, self.cache, tokens, positions, self._next_key()
+        )
+        nxt = np.asarray(nxt_dev)  # the step's single host transfer
         out: Dict[int, int] = {}
         for b in range(B):
             if not self.active[b]:
@@ -194,9 +273,12 @@ class InferenceEngine:
         slot_owner: Dict[int, int] = {}
 
         def fill():
-            while pending and self.free_slots():
-                rid, prompt = pending.pop(0)
-                slot = self.add_request(prompt, max_new_tokens)
+            take = min(len(pending), len(self.free_slots()))
+            if not take:
+                return
+            batch = [pending.pop(0) for _ in range(take)]
+            slots = self.add_requests([p for _, p in batch], max_new_tokens)
+            for (rid, prompt), slot in zip(batch, slots):
                 if self.active[slot]:
                     slot_owner[slot] = rid
                 else:  # retired at prefill (budget 1 or first-token EOS)
@@ -236,8 +318,12 @@ class InferenceEngine:
 
     def restore(self, snap: Dict) -> None:
         """Resume decoding from a snapshot (same model/engine config):
-        in-flight requests continue from their exact positions."""
-        self.cache = jax.tree_util.tree_map(jnp.asarray, snap["cache"])
+        in-flight requests continue from their exact positions. Under TP
+        the cache is re-placed with its mesh shardings."""
+        cache = jax.tree_util.tree_map(jnp.asarray, snap["cache"])
+        if self._cache_sharding is not None:
+            cache = jax.device_put(cache, self._cache_sharding)
+        self.cache = cache
         self.seq_lens = np.asarray(snap["seq_lens"], np.int32).copy()
         self.active = np.asarray(snap["active"], bool).copy()
         self.slot_tokens = [list(t) for t in snap["slot_tokens"]]

@@ -17,7 +17,12 @@ from .mesh import (
 )
 from . import llama_tp, pipeline, ring
 from .llama_tp import kv_cache_specs, llama_forward_tp, llama_param_specs, shard_llama_params
-from .pipeline import llama_forward_pp, stack_stage_params
+from .pipeline import (
+    init_stage_kv_cache,
+    llama_forward_pp,
+    llama_forward_pp_decode,
+    stack_stage_params,
+)
 from .ring import ring_attention
 from .collectives import (
     tp_all_gather_matmul_4bit,
@@ -30,7 +35,8 @@ from .collectives import (
 __all__ = [
     "llama_tp", "pipeline", "ring",
     "kv_cache_specs", "llama_forward_tp", "llama_param_specs", "shard_llama_params",
-    "llama_forward_pp", "stack_stage_params", "ring_attention",
+    "llama_forward_pp", "llama_forward_pp_decode", "init_stage_kv_cache",
+    "stack_stage_params", "ring_attention",
     "make_mesh",
     "initialize_distributed",
     "qweight_pspec",

@@ -52,6 +52,7 @@ __all__ = [
     "optimizer_update_32bit",
     "optimizer_update_8bit",
     "optimizer_update_8bit_blockwise",
+    "optimizer_update_8bit_blockwise_sharded",
     "percentile_clipping",
     "histogram_scatter_add_2d",
     "pack_4bit",
@@ -1038,6 +1039,85 @@ def optimizer_update_8bit_blockwise(
     c1, a1 = requant1(new_s1)
     out_p = new_p[:n].reshape(p.shape).astype(p.dtype)
     return out_p, c1[:n].reshape(state1.shape), a1, None, None
+
+
+def optimizer_update_8bit_blockwise_sharded(
+    optimizer_name: str,
+    g: jax.Array,
+    p: jax.Array,
+    state1: jax.Array,
+    absmax1: jax.Array,
+    state2: Optional[jax.Array],
+    absmax2: Optional[jax.Array],
+    qmap1: Optional[jax.Array],
+    qmap2: Optional[jax.Array],
+    beta1: float,
+    beta2: float,
+    eps: float,
+    step: int,
+    lr: float,
+    mesh,
+    axis: str = "data",
+    weight_decay: float = 0.0,
+    gnorm_scale: float = 1.0,
+    blocksize: int = 2048,
+    codec: Optional[str] = None,
+):
+    """`optimizer_update_8bit_blockwise` under shard_map over a mesh axis.
+
+    A pallas_call under plain pjit is OPAQUE to the partitioner: with
+    dp-sharded optimizer states the fused kernel would force an
+    all-gather onto one device. The blockwise update is elementwise per
+    2048-block, so sharding dim 0 (row-major: contiguous flat ranges) is
+    exact as long as each device's element count is a multiple of the
+    blocksize — every device runs the fused kernel on its local blocks
+    and nothing moves. Same returns as the unsharded call, with outputs
+    sharded like the inputs.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    ndev = mesh.shape[axis]
+    n = int(np.prod(g.shape))
+    if g.shape[0] % ndev != 0:
+        raise ValueError(f"dim0 ({g.shape[0]}) must divide by mesh axis {axis} ({ndev})")
+    if (n // ndev) % blocksize != 0:
+        raise ValueError(
+            f"per-device size ({n // ndev}) must be a multiple of blocksize "
+            f"({blocksize}) so quantization blocks never cross shards"
+        )
+    from jax.sharding import PartitionSpec as _P
+
+    def dim0(x):
+        return _P(*((axis,) + (None,) * (x.ndim - 1)))
+
+    two = state2 is not None
+
+    if two:
+        def body(g, p, s1, a1, s2, a2):
+            return optimizer_update_8bit_blockwise(
+                optimizer_name, g, p, s1, a1, s2, a2, qmap1, qmap2,
+                beta1, beta2, eps, step, lr, weight_decay=weight_decay,
+                gnorm_scale=gnorm_scale, blocksize=blocksize, codec=codec,
+            )
+
+        specs = (dim0(g), dim0(p), dim0(state1), _P(axis), dim0(state2), _P(axis))
+        out_specs = (dim0(p), dim0(state1), _P(axis), dim0(state2), _P(axis))
+        fn = shard_map(body, mesh=mesh, in_specs=specs, out_specs=out_specs, check_rep=False)
+        return fn(g, p, state1, absmax1, state2, absmax2)
+
+    def body1(g, p, s1, a1):
+        out = optimizer_update_8bit_blockwise(
+            optimizer_name, g, p, s1, a1, None, None, qmap1, qmap2,
+            beta1, beta2, eps, step, lr, weight_decay=weight_decay,
+            gnorm_scale=gnorm_scale, blocksize=blocksize, codec=codec,
+        )
+        return out[0], out[1], out[2]
+
+    specs = (dim0(g), dim0(p), dim0(state1), _P(axis))
+    out_specs = (dim0(p), dim0(state1), _P(axis))
+    fn = shard_map(body1, mesh=mesh, in_specs=specs, out_specs=out_specs, check_rep=False)
+    new_p, c1, a1 = fn(g, p, state1, absmax1)
+    return new_p, c1, a1, None, None
 
 
 def optimizer_update_8bit(

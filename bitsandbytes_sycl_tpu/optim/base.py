@@ -79,6 +79,8 @@ def make_optimizer(
     block_wise: bool = True,
     max_unorm: float = 0.0,
     is_paged: bool = False,
+    mesh=None,
+    shard_axis: str = "data",
 ) -> optax.GradientTransformation:
     """Build a bnb-family optimizer as an optax GradientTransformation.
 
@@ -88,6 +90,10 @@ def make_optimizer(
     block_wise=False uses one block spanning the whole tensor — dynamic
     re-quantization each step, the TPU-friendly equivalent of the
     reference's global-max "static" 8-bit path (kernel_quant.cpp:2034-2652).
+    With `mesh` the 8-bit update runs under shard_map over `shard_axis`
+    for dp-sharded states (a pallas_call under plain pjit would gather
+    them); leaves whose dim0/blocks don't divide the axis fall back to
+    the unsharded call.
     """
     if name not in _2STATE and name not in F.OPTIMIZER_FUNCS_1STATE:
         raise NotImplementedError(f"optimizer {name!r} not implemented")
@@ -128,18 +134,35 @@ def make_optimizer(
                 )
             if s["state1"].dtype == jnp.uint8:
                 bs = _blocksize_for(p)
-                out = F.optimizer_update_8bit_blockwise(
-                    name, g, p,
-                    s["state1"], s["absmax1"],
-                    s.get("state2"), s.get("absmax2"),
-                    _QMAP1, _QMAP2 if name in _2STATE else None,
-                    beta1, beta2, eps, count, lr,
+                kw = dict(
                     weight_decay=weight_decay, gnorm_scale=gnorm_scale,
                     blocksize=bs,
                     # _QMAP1/_QMAP2 ARE the dynamic maps: use the arithmetic
                     # gather-free codec (ops/dynamic8.py)
                     codec="dynamic",
                 )
+                n = int(np.prod(p.shape))
+                if (
+                    mesh is not None
+                    and p.shape[0] % mesh.shape[shard_axis] == 0
+                    and (n // mesh.shape[shard_axis]) % bs == 0
+                ):
+                    out = F.optimizer_update_8bit_blockwise_sharded(
+                        name, g, p,
+                        s["state1"], s["absmax1"],
+                        s.get("state2"), s.get("absmax2"),
+                        _QMAP1, _QMAP2 if name in _2STATE else None,
+                        beta1, beta2, eps, count, lr,
+                        mesh=mesh, axis=shard_axis, **kw,
+                    )
+                else:
+                    out = F.optimizer_update_8bit_blockwise(
+                        name, g, p,
+                        s["state1"], s["absmax1"],
+                        s.get("state2"), s.get("absmax2"),
+                        _QMAP1, _QMAP2 if name in _2STATE else None,
+                        beta1, beta2, eps, count, lr, **kw,
+                    )
                 new_p, s_new["state1"], s_new["absmax1"], st2, am2 = out
                 if name in _2STATE:
                     s_new["state2"], s_new["absmax2"] = st2, am2

@@ -350,3 +350,56 @@ def test_pp_tp_composed_smoke():
         np.asarray(logits, np.float32), np.asarray(ref_logits, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_sharded_8bit_optimizer_matches_unsharded():
+    """VERDICT r1 item 10: the fused/codec 8-bit blockwise update under
+    shard_map over a dp axis must be bit-identical to the unsharded call,
+    with dp-sharded states staying sharded (no silent gather)."""
+    from jax.sharding import NamedSharding
+    from bitsandbytes_sycl_tpu import functional as F
+    from bitsandbytes_sycl_tpu.optim.base import _QMAP1, _QMAP2
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 8})
+    nrows, ncols = 64, 2048  # per-device 8 rows = 16384 elems = 8 blocks
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(nrows, ncols)) * 1e-2, jnp.float32)
+    p = jnp.asarray(rng.normal(size=(nrows, ncols)) * 1e-1, jnp.float32)
+    n = nrows * ncols
+    s1 = jnp.full((nrows, ncols), 127, jnp.uint8)  # dynamic code for 0.0
+    a1 = jnp.zeros((n // 2048,), jnp.float32)
+    s2 = jnp.zeros((nrows, ncols), jnp.uint8)
+    a2 = jnp.zeros((n // 2048,), jnp.float32)
+
+    args = ("adam", g, p, s1, a1, s2, a2, _QMAP1, _QMAP2, 0.9, 0.999, 1e-8, 1, 1e-3)
+    ref = F.optimizer_update_8bit_blockwise(*args, blocksize=2048, codec="dynamic")
+
+    shard = NamedSharding(mesh, jax.sharding.PartitionSpec("data", None))
+    gs = jax.device_put(g, shard)
+    ps = jax.device_put(p, shard)
+    s1s = jax.device_put(s1, shard)
+    s2s = jax.device_put(s2, shard)
+    a1s = jax.device_put(a1, NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    a2s = jax.device_put(a2, NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    out = F.optimizer_update_8bit_blockwise_sharded(
+        "adam", gs, ps, s1s, a1s, s2s, a2s, _QMAP1, _QMAP2,
+        0.9, 0.999, 1e-8, 1, 1e-3, mesh=mesh, blocksize=2048, codec="dynamic",
+    )
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+    assert out[0].sharding.spec == jax.sharding.PartitionSpec("data", None)
+    assert out[2].sharding.spec == jax.sharding.PartitionSpec("data")
+
+    # optax-level: make_optimizer(mesh=...) routes through the sharded path
+    from bitsandbytes_sycl_tpu import optim
+
+    params = {"w": ps}
+    tx = optim.adam8bit(learning_rate=1e-3, min_8bit_size=1024, mesh=mesh)
+    st = tx.init(params)
+    upd, st = tx.update({"w": gs}, st, params)
+    tx0 = optim.adam8bit(learning_rate=1e-3, min_8bit_size=1024)
+    st0 = tx0.init({"w": p})
+    upd0, st0 = tx0.update({"w": g}, st0, {"w": p})
+    np.testing.assert_array_equal(np.asarray(upd["w"]), np.asarray(upd0["w"]))
+    assert st.inner["w"]["state1"].sharding.spec == jax.sharding.PartitionSpec("data", None)

@@ -74,5 +74,40 @@ def main():
                 print(f"M={M} {name} FAILED: {type(e).__name__}: {str(e)[:200]}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--optim8" not in sys.argv:
     main()
+
+
+def bench_optim8():
+    """Fused Adam8bit step bandwidth at several sizes (run on TPU)."""
+    from bitsandbytes_sycl_tpu import optim
+
+    for n in (1 << 22, 1 << 24, 1 << 26):
+        params = {"w": jnp.zeros((n,), jnp.float32)}
+        tx = optim.adam8bit(1e-3, min_8bit_size=1024)
+        st = tx.init(params)
+        g = {"w": jnp.ones((n,), jnp.float32) * 1e-3}
+
+        def step(g, st):
+            upd, st2 = tx.update(g, st, params)
+            return upd["w"], st2
+
+        # warm + time: chain updates so state flows through the loop
+        import timeit as _t
+
+        jitted = jax.jit(lambda g, st: step(g, st))
+        u, st2 = jitted(g, st)
+        np.asarray(u)
+
+        def run():
+            u, _ = jitted(g, st)
+            return np.asarray(u[:8])
+
+        t = min(_t.timeit(run, number=1) for _ in range(6))
+        bytes_ = n * (4 + 4 + 1 + 1 + 4 + 1 + 1)  # r g,p,s1,s2; w p,s1,s2
+        print(f"adam8bit n={n>>20}M  {t*1e3:7.2f} ms  {bytes_/t/1e9:6.1f} GB/s")
+
+
+if __name__ == "__main__" and "--optim8" in sys.argv:
+    bench_optim8()
+    sys.exit(0)

@@ -316,6 +316,30 @@ class InferenceEngine:
             "rng": np.asarray(jax.random.key_data(self._rng)).copy(),
         }
 
+    def durable_snapshot(self) -> Dict:
+        """snapshot() with every field as a fixed-shape array — directly
+        orbax-serializable (checkpoints.save_checkpoint) for crash-restart
+        durability."""
+        snap = self.snapshot()
+        S = self.mcfg.max_seq_len + self.ecfg.max_new_tokens
+        toks = np.zeros((self.ecfg.max_batch, S), np.int32)
+        lens = np.zeros((self.ecfg.max_batch,), np.int32)
+        for i, t in enumerate(snap.pop("slot_tokens")):
+            toks[i, : len(t)] = t
+            lens[i] = len(t)
+        snap["slot_tokens_padded"] = toks
+        snap["slot_token_lens"] = lens
+        return snap
+
+    def restore_durable(self, snap: Dict) -> None:
+        snap = dict(snap)
+        toks = np.asarray(snap.pop("slot_tokens_padded"))
+        lens = np.asarray(snap.pop("slot_token_lens"))
+        snap["slot_tokens"] = [
+            [int(x) for x in row[:l]] for row, l in zip(toks, lens)
+        ]
+        self.restore(snap)
+
     def restore(self, snap: Dict) -> None:
         """Resume decoding from a snapshot (same model/engine config):
         in-flight requests continue from their exact positions. Under TP

@@ -157,3 +157,28 @@ def test_engine_tensor_parallel_token_identical():
     s1 = [dict(eng.step()) for _ in range(3)]
     s2 = [dict(eng2.step()) for _ in range(3)]
     assert s1 == s2
+
+
+def test_engine_durable_snapshot_roundtrip(tmp_path):
+    """Snapshot -> orbax checkpoint on disk -> fresh process-style restore
+    (SURVEY.md §5 failure-detection: restartable decode with a durable
+    checkpointed KV cache; reference has no failure story at all)."""
+    from bitsandbytes_sycl_tpu.checkpoints import load_checkpoint, save_checkpoint
+
+    cfg = LlamaConfig.tiny(quant="nf4", kv_quant=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch=2, max_new_tokens=10, prefill_buckets=(16,))
+    e1 = InferenceEngine(cfg, params, ecfg)
+    e1.add_request([5, 6, 7, 8])
+    for _ in range(3):
+        e1.step()
+
+    path = str(tmp_path / "engine_ckpt")
+    save_checkpoint(path, e1.durable_snapshot())
+    loaded = load_checkpoint(path)
+    ref_steps = [dict(e1.step()) for _ in range(4)]
+
+    e2 = InferenceEngine(cfg, params, ecfg)
+    e2.restore_durable(loaded)
+    got_steps = [dict(e2.step()) for _ in range(4)]
+    assert got_steps == ref_steps

@@ -2,5 +2,6 @@
 an int8 KV cache — BASELINE.json configs[4]; no reference counterpart."""
 
 from .engine import EngineConfig, InferenceEngine
+from .speculative import speculative_generate
 
-__all__ = ["EngineConfig", "InferenceEngine"]
+__all__ = ["EngineConfig", "InferenceEngine", "speculative_generate"]

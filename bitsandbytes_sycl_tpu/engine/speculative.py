@@ -1,0 +1,142 @@
+"""Speculative decoding: a cheap DRAFT model proposes gamma tokens, the
+TARGET verifies them in ONE cached forward (Leviathan et al., 2211.17192
+— greedy acceptance variant, which is exactly lossless).
+
+Fits this framework natively:
+- both models use the absolute-position KV cache (models/llama.py), so
+  rejected draft positions simply leave stale entries that the next
+  accepted tokens overwrite before the causal mask can expose them — no
+  cache rollback machinery at all;
+- the verify step is a T=gamma+1 cached prefill through the same fused
+  kernels as decode, so the target reads its weights once per gamma+1
+  tokens instead of once per token — the whole point on a weight-
+  bandwidth-bound chip;
+- quantization gives the draft for free: e.g. an int4/NF4 quantization
+  of the SAME checkpoint (or a smaller model) drafts for the int8/fp
+  target.
+
+The reference has no serving layer (SURVEY.md §5); this is north-star
+scope (BASELINE.json "tokens/s/chip").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import LlamaConfig, init_kv_cache, llama_forward
+
+__all__ = ["speculative_generate"]
+
+
+def _greedy(logits):
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def speculative_generate(
+    target_params: Dict,
+    target_cfg: LlamaConfig,
+    draft_params: Dict,
+    draft_cfg: LlamaConfig,
+    prompts: jax.Array,  # (B, T) int32, a common-length prompt batch
+    max_new_tokens: int,
+    gamma: int = 4,
+    target_forward: Callable = llama_forward,
+    draft_forward: Callable = llama_forward,
+) -> Tuple[np.ndarray, Dict]:
+    """Greedy speculative decode: returns (tokens (B, max_new_tokens),
+    stats). Output is IDENTICAL to greedy decoding with the target alone
+    (greedy acceptance keeps exactly the target's argmax sequence).
+
+    stats: {"target_calls": int, "accept_rate": float}.
+    """
+    B, T = prompts.shape
+    assert target_cfg.max_seq_len >= T + max_new_tokens + gamma + 1
+
+    t_cache = init_kv_cache(target_cfg, B)
+    d_cache = init_kv_cache(draft_cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+    tfwd = jax.jit(lambda p, t, c, ps: target_forward(p, target_cfg, t, c, ps))
+    dfwd = jax.jit(lambda p, t, c, ps: draft_forward(p, draft_cfg, t, c, ps))
+
+    # prefill both models; the target's last logits give the first token
+    logits, t_cache = tfwd(target_params, prompts, t_cache, pos)
+    _, d_cache = dfwd(draft_params, prompts, d_cache, pos)
+    last = np.asarray(_greedy(logits[:, -1]))  # (B,)
+
+    out = np.zeros((B, max_new_tokens), np.int32)
+    out[:, 0] = last
+    n_done = 1
+    cur = np.full((B,), T, np.int32)  # position of `last` (next write pos)
+    target_calls = 1
+    proposed = accepted = 0
+    # tokens the draft must ingest before proposing: normally just `last`
+    # (re-writing the stale/corrected entry at its position); after a fully
+    # accepted round also the draft's own final proposal d_gamma, whose KV
+    # was never written (it was only ever an output)
+    pending = last[:, None]  # (B, L) ending at position `cur`
+
+    while n_done < max_new_tokens:
+        # --- draft ingests pending tokens, then proposes gamma tokens ---
+        d_tokens = np.zeros((B, gamma), np.int32)
+        L = pending.shape[1]
+        dl, d_cache = dfwd(
+            draft_params,
+            jnp.asarray(pending),
+            d_cache,
+            jnp.asarray(cur[:, None] + np.arange(-L + 1, 1)[None, :]),
+        )
+        d_in = np.asarray(_greedy(dl[:, -1]))
+        d_tokens[:, 0] = d_in
+        for j in range(1, gamma):
+            dl, d_cache = dfwd(
+                draft_params,
+                jnp.asarray(d_in[:, None]),
+                d_cache,
+                jnp.asarray((cur + j)[:, None]),
+            )
+            d_in = np.asarray(_greedy(dl[:, 0]))
+            d_tokens[:, j] = d_in
+
+        # --- target verifies [last, d_1..d_gamma] in one cached forward ---
+        ver_tokens = np.concatenate([last[:, None], d_tokens], axis=1)  # (B, g+1)
+        ver_pos = cur[:, None] + np.arange(gamma + 1)[None, :]
+        vl, t_cache = tfwd(
+            target_params, jnp.asarray(ver_tokens), t_cache, jnp.asarray(ver_pos)
+        )
+        target_calls += 1
+        tgt = np.asarray(_greedy(vl))  # (B, g+1): tgt[:, i] follows prefix..ver[i]
+
+        # --- per-sequence acceptance: longest prefix where draft == target ---
+        match = d_tokens == tgt[:, :gamma]
+        acc = np.where(match.all(axis=1), gamma, match.argmin(axis=1))  # (B,)
+        proposed += int(B * gamma)
+        accepted += int(acc.sum())
+
+        # keep the batch in lockstep: commit the MINIMUM acceptance + 1
+        # tokens for every sequence, so all positions stay aligned without
+        # ragged bookkeeping. A sequence's committed tokens are its own
+        # d_1..d_{step-1} (all verified: step-1 <= acc[b]) plus, at index
+        # step, either d_step (still verified) or its correction token.
+        step = int(acc.min()) + 1
+        for b in range(B):
+            toks = list(d_tokens[b, : acc[b]]) + [int(tgt[b, acc[b]])]
+            take = min(step, max_new_tokens - n_done)
+            out[b, n_done : n_done + take] = toks[:take]
+        last = out[:, min(n_done + step, max_new_tokens) - 1].copy()
+        if step == gamma + 1:
+            # fully accepted: d_gamma's KV is missing from the draft cache
+            pending = np.stack([d_tokens[:, gamma - 1], last], axis=1)
+        else:
+            pending = last[:, None]
+        cur = cur + step
+        n_done += step
+
+    return out, {
+        "target_calls": target_calls,
+        "accept_rate": accepted / max(proposed, 1),
+    }

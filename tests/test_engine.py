@@ -182,3 +182,32 @@ def test_engine_durable_snapshot_roundtrip(tmp_path):
     e2.restore_durable(loaded)
     got_steps = [dict(e2.step()) for _ in range(4)]
     assert got_steps == ref_steps
+
+
+def test_speculative_decode_lossless(setup):
+    """Greedy speculative decoding is LOSSLESS: output must equal the
+    target-only greedy decode, whatever the draft proposes."""
+    from bitsandbytes_sycl_tpu.engine import speculative_generate
+
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    B, T, NEW = 2, 5, 10
+    prompts = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, T)), jnp.int32)
+    refs = [
+        _greedy_reference(cfg, params, [int(t) for t in prompts[b]], NEW)
+        for b in range(B)
+    ]
+
+    # (a) draft == target: every proposal accepted, few target calls
+    out, stats = speculative_generate(params, cfg, params, cfg, prompts, NEW, gamma=4)
+    for b in range(B):
+        assert list(out[b]) == refs[b], (b, list(out[b]), refs[b])
+    assert stats["accept_rate"] > 0.99
+    assert stats["target_calls"] <= 1 + (NEW - 1 + 4) // 5 + 1
+
+    # (b) unrelated random draft: fewer accepts, SAME output
+    bad_draft = init_params(cfg, jax.random.PRNGKey(99))
+    out2, stats2 = speculative_generate(params, cfg, bad_draft, cfg, prompts, NEW, gamma=4)
+    for b in range(B):
+        assert list(out2[b]) == refs[b], (b, list(out2[b]), refs[b])
+    assert stats2["accept_rate"] < stats["accept_rate"]

@@ -36,6 +36,47 @@ def _greedy(logits):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def _probs(logits, temperature):
+    l = np.asarray(logits, np.float64) / temperature
+    l -= l.max(axis=-1, keepdims=True)
+    e = np.exp(l)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _accept_and_correct(d_tokens, q, p, rng):
+    """Pure-numpy speculative-sampling acceptance (Leviathan et al. §2.3):
+    token j accepts with prob min(1, p_j(d_j)/q_j(d_j)); the first
+    rejection resamples from norm(relu(p_j - q_j)); full acceptance draws
+    the bonus token from p_gamma. Exactly preserves the target
+    distribution — unit-tested statistically in tests/test_engine.py.
+
+    d_tokens (B, g) draft proposals; q (B, g, V) draft distributions;
+    p (B, g+1, V) target distributions. Returns (acc (B,), fix (B,)):
+    acc[b] accepted count, fix[b] the correction/bonus token.
+    """
+    B, g = d_tokens.shape
+    acc = np.zeros((B,), np.int64)
+    fix = np.zeros((B,), np.int64)
+    for b in range(B):
+        j = 0
+        while j < g:
+            d = d_tokens[b, j]
+            ratio = p[b, j, d] / max(q[b, j, d], 1e-30)
+            if rng.random() < ratio:
+                j += 1
+                continue
+            resid = np.maximum(p[b, j] - q[b, j], 0.0)
+            tot = resid.sum()
+            if tot <= 0:  # p <= q everywhere it matters: fall back to p
+                resid, tot = p[b, j], p[b, j].sum()
+            fix[b] = rng.choice(len(resid), p=resid / tot)
+            break
+        acc[b] = j
+        if j == g:  # every proposal accepted: bonus token from p_gamma
+            fix[b] = rng.choice(p.shape[-1], p=p[b, g] / p[b, g].sum())
+    return acc, fix
+
+
 def speculative_generate(
     target_params: Dict,
     target_cfg: LlamaConfig,
@@ -46,15 +87,22 @@ def speculative_generate(
     gamma: int = 4,
     target_forward: Callable = llama_forward,
     draft_forward: Callable = llama_forward,
+    temperature: float = 0.0,
+    seed: int = 0,
 ) -> Tuple[np.ndarray, Dict]:
-    """Greedy speculative decode: returns (tokens (B, max_new_tokens),
-    stats). Output is IDENTICAL to greedy decoding with the target alone
-    (greedy acceptance keeps exactly the target's argmax sequence).
+    """Speculative decode: returns (tokens (B, max_new_tokens), stats).
+
+    temperature <= 0: greedy acceptance — output IDENTICAL to greedy
+    decoding with the target alone. temperature > 0: speculative
+    SAMPLING (rejection scheme, _accept_and_correct) — output distributed
+    exactly as temperature sampling from the target alone.
 
     stats: {"target_calls": int, "accept_rate": float}.
     """
     B, T = prompts.shape
     assert target_cfg.max_seq_len >= T + max_new_tokens + gamma + 1
+    sampling = temperature > 0.0
+    host_rng = np.random.default_rng(seed)
 
     t_cache = init_kv_cache(target_cfg, B)
     d_cache = init_kv_cache(draft_cfg, B)
@@ -66,7 +114,14 @@ def speculative_generate(
     # prefill both models; the target's last logits give the first token
     logits, t_cache = tfwd(target_params, prompts, t_cache, pos)
     _, d_cache = dfwd(draft_params, prompts, d_cache, pos)
-    last = np.asarray(_greedy(logits[:, -1]))  # (B,)
+    if sampling:
+        p0 = _probs(logits[:, -1], temperature)
+        last = np.asarray(
+            [host_rng.choice(p0.shape[-1], p=p0[b] / p0[b].sum()) for b in range(B)],
+            np.int32,
+        )
+    else:
+        last = np.asarray(_greedy(logits[:, -1]))  # (B,)
 
     out = np.zeros((B, max_new_tokens), np.int32)
     out[:, 0] = last
@@ -83,6 +138,7 @@ def speculative_generate(
     while n_done < max_new_tokens:
         # --- draft ingests pending tokens, then proposes gamma tokens ---
         d_tokens = np.zeros((B, gamma), np.int32)
+        q_rows = []  # sampling: draft distribution per proposal step
         L = pending.shape[1]
         dl, d_cache = dfwd(
             draft_params,
@@ -90,7 +146,18 @@ def speculative_generate(
             d_cache,
             jnp.asarray(cur[:, None] + np.arange(-L + 1, 1)[None, :]),
         )
-        d_in = np.asarray(_greedy(dl[:, -1]))
+
+        def propose(step_logits):
+            if not sampling:
+                return np.asarray(_greedy(step_logits))
+            q = _probs(step_logits, temperature)
+            q_rows.append(q)
+            return np.asarray(
+                [host_rng.choice(q.shape[-1], p=q[b] / q[b].sum()) for b in range(B)],
+                np.int32,
+            )
+
+        d_in = propose(dl[:, -1])
         d_tokens[:, 0] = d_in
         for j in range(1, gamma):
             dl, d_cache = dfwd(
@@ -99,7 +166,7 @@ def speculative_generate(
                 d_cache,
                 jnp.asarray((cur + j)[:, None]),
             )
-            d_in = np.asarray(_greedy(dl[:, 0]))
+            d_in = propose(dl[:, 0])
             d_tokens[:, j] = d_in
 
         # --- target verifies [last, d_1..d_gamma] in one cached forward ---
@@ -109,11 +176,18 @@ def speculative_generate(
             target_params, jnp.asarray(ver_tokens), t_cache, jnp.asarray(ver_pos)
         )
         target_calls += 1
-        tgt = np.asarray(_greedy(vl))  # (B, g+1): tgt[:, i] follows prefix..ver[i]
 
-        # --- per-sequence acceptance: longest prefix where draft == target ---
-        match = d_tokens == tgt[:, :gamma]
-        acc = np.where(match.all(axis=1), gamma, match.argmin(axis=1))  # (B,)
+        # --- per-sequence acceptance + correction/bonus token ---
+        if sampling:
+            p_all = _probs(vl, temperature)  # (B, g+1, V)
+            acc, fix = _accept_and_correct(
+                d_tokens, np.stack(q_rows, axis=1), p_all, host_rng
+            )
+        else:
+            tgt = np.asarray(_greedy(vl))  # tgt[:, i] follows prefix..ver[i]
+            match = d_tokens == tgt[:, :gamma]
+            acc = np.where(match.all(axis=1), gamma, match.argmin(axis=1))  # (B,)
+            fix = tgt[np.arange(B), acc]
         proposed += int(B * gamma)
         accepted += int(acc.sum())
 
@@ -124,7 +198,7 @@ def speculative_generate(
         # step, either d_step (still verified) or its correction token.
         step = int(acc.min()) + 1
         for b in range(B):
-            toks = list(d_tokens[b, : acc[b]]) + [int(tgt[b, acc[b]])]
+            toks = list(d_tokens[b, : acc[b]]) + [int(fix[b])]
             take = min(step, max_new_tokens - n_done)
             out[b, n_done : n_done + take] = toks[:take]
         last = out[:, min(n_done + step, max_new_tokens) - 1].copy()

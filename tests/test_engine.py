@@ -211,3 +211,48 @@ def test_speculative_decode_lossless(setup):
     for b in range(B):
         assert list(out2[b]) == refs[b], (b, list(out2[b]), refs[b])
     assert stats2["accept_rate"] < stats["accept_rate"]
+
+
+def test_speculative_acceptance_preserves_target_distribution():
+    """The rejection-sampling round (draw d~q, accept with p/q, correct
+    from norm(relu(p-q))) must output tokens distributed EXACTLY as p —
+    the Leviathan et al. core lemma, checked empirically on the pure
+    numpy helper."""
+    from bitsandbytes_sycl_tpu.engine.speculative import _accept_and_correct
+
+    rng = np.random.default_rng(0)
+    V = 8
+    q = rng.dirichlet(np.ones(V))
+    p = rng.dirichlet(np.ones(V))
+    N = 200_000
+    counts = np.zeros(V)
+    # gamma=1 round: the emitted first token is d if accepted else fix
+    d = rng.choice(V, size=N, p=q)
+    for i in range(0, N, 10_000):
+        dd = d[i : i + 10_000]
+        acc, fix = _accept_and_correct(
+            dd[:, None],
+            np.broadcast_to(q, (dd.size, 1, V)),
+            np.broadcast_to(p, (dd.size, 2, V)),
+            rng,
+        )
+        emitted = np.where(acc == 1, dd, fix)
+        np.add.at(counts, emitted, 1)
+    emp = counts / N
+    # multinomial std is ~sqrt(p/N) ~ 1e-3: allow 5 sigma
+    assert np.abs(emp - p).max() < 5 * np.sqrt(p.max() / N) + 1e-3, (emp, p)
+
+
+def test_speculative_sampling_mode_runs(setup):
+    from bitsandbytes_sycl_tpu.engine import speculative_generate
+
+    cfg, params = setup
+    prompts = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    out, stats = speculative_generate(
+        params, cfg, params, cfg, prompts, 8, gamma=3, temperature=0.8, seed=1
+    )
+    assert out.shape == (1, 8)
+    assert all(0 <= t < cfg.vocab_size for t in out[0])
+    assert 0.0 <= stats["accept_rate"] <= 1.0
+    # self-draft at finite temperature still accepts most proposals
+    assert stats["accept_rate"] > 0.5, stats

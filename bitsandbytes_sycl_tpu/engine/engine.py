@@ -145,19 +145,26 @@ class InferenceEngine:
             return sample(last, key), cacheK
 
         @jax.jit
-        def insert_fn(cache, cacheK, k, slot):
-            """Insert sub-batch k of the prefill cache at batch `slot`."""
-            def ins(big, small):
-                # big (L, B, S, ...), small (L, K, S, ...)
-                small_k = jax.lax.dynamic_slice_in_dim(small, k, 1, axis=1)
-                start = (0, slot) + (0,) * (big.ndim - 2)
-                out = jax.lax.dynamic_update_slice(big, small_k.astype(big.dtype), start)
-                return out
+        def insert_fn(cache, cacheK, slots, valid):
+            """Insert every valid sub-batch k of the prefill cache at batch
+            slot slots[k] — ONE jitted call (and one cache round-trip) per
+            prefill batch; XLA chains the dynamic_update_slices in place.
+            Invalid (padding) entries rewrite the slot's own current
+            content, i.e. a no-op."""
+            K = slots.shape[0]
+            for k in range(K):
+                def ins(big, small):
+                    # big (L, B, S, ...), small (L, K, S, ...)
+                    small_k = jax.lax.dynamic_slice_in_dim(small, k, 1, axis=1)
+                    start = (0, slots[k]) + (0,) * (big.ndim - 2)
+                    cur = jax.lax.dynamic_slice(big, start, small_k.shape)
+                    small_k = jnp.where(valid[k], small_k.astype(big.dtype), cur)
+                    return jax.lax.dynamic_update_slice(big, small_k, start)
 
-            out = jax.tree_util.tree_map(ins, cache, cacheK)
+                cache = jax.tree_util.tree_map(ins, cache, cacheK)
             if self._cache_sharding is not None:
-                out = jax.lax.with_sharding_constraint(out, self._cache_sharding)
-            return out
+                cache = jax.lax.with_sharding_constraint(cache, self._cache_sharding)
+            return cache
 
         @jax.jit
         def decode_fn(params, cache, tokens, positions, key):
@@ -200,9 +207,12 @@ class InferenceEngine:
             if len(prompt) > self.mcfg.max_seq_len - 1:
                 raise ValueError("prompt longer than max_seq_len")
         # one common length bucket (shorter prompts pad up to it) and a
-        # pow2 batch bucket — bounds compilations to |Kb| x |Tb| variants
+        # pow2 batch bucket — bounds compilations to |Kb| x |Tb| variants.
+        # Prompts past the largest bucket still get a T that FITS them
+        # (clamped to the cache length).
+        max_len = max(len(p) for p in prompts)
         T = min(
-            _bucket(max(len(p) for p in prompts), self.ecfg.prefill_buckets),
+            max(_bucket(max_len, self.ecfg.prefill_buckets), max_len),
             self.mcfg.max_seq_len,
         )
         K = len(prompts)
@@ -216,10 +226,17 @@ class InferenceEngine:
             self.params, jnp.asarray(toks), jnp.asarray(lens), self._next_key()
         )
         nxt = np.asarray(nxt)
+        slot_arr = np.zeros((Kb,), np.int32)
+        valid = np.zeros((Kb,), bool)
+        for i in range(K):
+            slot_arr[i] = slots[i]
+            valid[i] = True
+        self.cache = self._insert(
+            self.cache, cacheK, jnp.asarray(slot_arr), jnp.asarray(valid)
+        )
         out_slots: List[int] = []
         for i, prompt in enumerate(prompts):
             slot = slots[i]
-            self.cache = self._insert(self.cache, cacheK, i, slot)
             tok = int(nxt[i])
             self.slot_tokens[slot] = list(prompt) + [tok]
             self.seq_lens[slot] = len(prompt)
@@ -321,7 +338,12 @@ class InferenceEngine:
         orbax-serializable (checkpoints.save_checkpoint) for crash-restart
         durability."""
         snap = self.snapshot()
-        S = self.mcfg.max_seq_len + self.ecfg.max_new_tokens
+        # size from the actual slot contents: per-call max_new_tokens
+        # overrides can exceed ecfg.max_new_tokens
+        S = max(
+            self.mcfg.max_seq_len + self.ecfg.max_new_tokens,
+            max((len(t) for t in snap["slot_tokens"]), default=0) + 1,
+        )
         toks = np.zeros((self.ecfg.max_batch, S), np.int32)
         lens = np.zeros((self.ecfg.max_batch,), np.int32)
         for i, t in enumerate(snap.pop("slot_tokens")):

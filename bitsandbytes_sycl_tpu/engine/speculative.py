@@ -100,7 +100,12 @@ def speculative_generate(
     stats: {"target_calls": int, "accept_rate": float}.
     """
     B, T = prompts.shape
-    assert target_cfg.max_seq_len >= T + max_new_tokens + gamma + 1
+    # the draft writes KV as far as the target does; a too-short draft
+    # cache would silently clamp writes onto earlier positions and
+    # collapse the acceptance rate with no error surfaced
+    need = T + max_new_tokens + gamma + 1
+    assert target_cfg.max_seq_len >= need, (target_cfg.max_seq_len, need)
+    assert draft_cfg.max_seq_len >= need, (draft_cfg.max_seq_len, need)
     sampling = temperature > 0.0
     host_rng = np.random.default_rng(seed)
 

@@ -772,12 +772,14 @@ def optimizer_update_32bit(
         nonzero = gf != 0.0
 
     def _clip(u):
-        """update_scale for the raw update u (kOptimizer32bit* pass 2)."""
+        """update_scale for the raw update u (kOptimizer32bit* pass 2).
+        The +eps floor matters: without it a zero-norm param (zero-init
+        LoRA B, fresh classifier head) has limit 0 and can never move."""
         if max_unorm <= 0.0:
             return 1.0
         unorm = jnp.linalg.norm(u)
         pnorm = jnp.linalg.norm(pf)
-        limit = max_unorm * pnorm
+        limit = max_unorm * pnorm + eps
         return jnp.where(unorm > limit, limit / jnp.maximum(unorm, 1e-12), 1.0)
 
     if optimizer_name in OPTIMIZER_FUNCS_2STATE:

@@ -188,7 +188,8 @@ def make_optimizer(
                 # still bounds its step
                 unorm = jnp.linalg.norm(delta)
                 pnorm = jnp.linalg.norm(p.astype(jnp.float32))
-                limit = max_unorm * pnorm * lr
+                # +eps floor so zero-norm params (zero-init adapters) move
+                limit = (max_unorm * pnorm + eps) * lr
                 delta = delta * jnp.where(
                     unorm > limit, limit / jnp.maximum(unorm, 1e-12), 1.0
                 )

@@ -39,12 +39,21 @@ __all__ = [
 ]
 
 
-def _local_qw(qw_template: QLinearWeight, packed, absmax) -> QLinearWeight:
+def _local_qw(qw_template: QLinearWeight, packed, absmax, am_scale=None, am_offset=None) -> QLinearWeight:
     n = packed.shape[1]
     k = 2 * packed.shape[0]
     return dataclasses.replace(
-        qw_template, packed=packed, absmax=absmax, shape=(n, k)
+        qw_template, packed=packed, absmax=absmax, shape=(n, k),
+        absmax_scale=am_scale, absmax_offset=am_offset,
     )
+
+
+def _side_args(qw: QLinearWeight, wspec):
+    """Compressed-stat sidecars threaded through shard_map (the sidecars
+    shard with N under col / replicate under row, mesh._dim_specs)."""
+    if qw.compressed:
+        return (qw.absmax_scale, qw.absmax_offset), (wspec.absmax_scale, wspec.absmax_offset)
+    return (), ()
 
 
 def tp_matmul_4bit_col(
@@ -58,8 +67,8 @@ def tp_matmul_4bit_col(
 ) -> jax.Array:
     """Column-parallel fused 4-bit linear: W sharded on output features."""
 
-    def local(x, packed, absmax, bias_l):
-        qwl = _local_qw(qw, packed, absmax)
+    def local(x, packed, absmax, bias_l, *side):
+        qwl = _local_qw(qw, packed, absmax, *side)
         out = matmul_4bit_fused(x, qwl, bias=bias_l[0], compute_dtype=compute_dtype)
         if gather_output:
             out = jax.lax.all_gather(out, axis, axis=-1, tiled=True)
@@ -69,14 +78,15 @@ def tp_matmul_4bit_col(
     bias_arr = (bias if bias is not None else jnp.zeros((N,), compute_dtype)).reshape(1, N)
     out_spec = P() if gather_output else P(None, axis)
     wspec = qweight_pspec(qw, "col", axis)
+    side, side_specs = _side_args(qw, wspec)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), wspec.packed, wspec.absmax, P(None, axis)),
+        in_specs=(P(), wspec.packed, wspec.absmax, P(None, axis)) + side_specs,
         out_specs=out_spec,
         check_vma=False,
     )
-    return fn(x.astype(compute_dtype), qw.packed, qw.absmax, bias_arr)
+    return fn(x.astype(compute_dtype), qw.packed, qw.absmax, bias_arr, *side)
 
 
 def tp_matmul_4bit_row(
@@ -95,8 +105,8 @@ def tp_matmul_4bit_row(
     """
     N, K = qw.shape
 
-    def local(xh, xl, packed, absmax, bias_l):
-        qwl = _local_qw(qw, packed, absmax)
+    def local(xh, xl, packed, absmax, *side, bias_l=None):
+        qwl = _local_qw(qw, packed, absmax, *side)
         xloc = jnp.concatenate([xh, xl], axis=-1)
         out = matmul_4bit_fused(xloc, qwl, bias=None, compute_dtype=compute_dtype)
         out = jax.lax.psum(out, axis)
@@ -107,16 +117,15 @@ def tp_matmul_4bit_row(
     wspec = qweight_pspec(qw, "row", axis)
     bias_arr = bias.astype(compute_dtype) if bias is not None else None
     xspec = P(*([None] * (x.ndim - 1)), axis)  # shard the FEATURE (last) dim
+    side, side_specs = _side_args(qw, wspec)
     fn = shard_map(
-        partial(local, bias_l=bias_arr) if bias is None else local,
+        partial(local, bias_l=bias_arr),
         mesh=mesh,
-        in_specs=(xspec, xspec, wspec.packed, wspec.absmax)
-        + ((P(),) if bias is not None else ()),
+        in_specs=(xspec, xspec, wspec.packed, wspec.absmax) + side_specs,
         out_specs=P(),
         check_vma=False,
     )
-    args = (x_hi, x_lo, qw.packed, qw.absmax) + ((bias_arr,) if bias is not None else ())
-    return fn(*args)
+    return fn(x_hi, x_lo, qw.packed, qw.absmax, *side)
 
 
 def tp_all_gather_matmul_4bit(
@@ -131,21 +140,28 @@ def tp_all_gather_matmul_4bit(
     computes the full matmul. XLA's latency-hiding scheduler overlaps the
     gather with prior compute."""
 
-    def local(x, packed, absmax):
+    def local(x, packed, absmax, *side):
         packed_full = jax.lax.all_gather(packed, axis, axis=1, tiled=True)
         absmax_full = jax.lax.all_gather(absmax, axis, axis=2, tiled=True)
-        qwl = dataclasses.replace(qw, packed=packed_full, absmax=absmax_full)
+        kw = {}
+        if side:
+            kw = {
+                "absmax_scale": jax.lax.all_gather(side[0], axis, axis=2, tiled=True),
+                "absmax_offset": jax.lax.all_gather(side[1], axis, axis=2, tiled=True),
+            }
+        qwl = dataclasses.replace(qw, packed=packed_full, absmax=absmax_full, **kw)
         return matmul_4bit_fused(x, qwl, compute_dtype=compute_dtype)
 
     wspec = qweight_pspec(qw, "col", axis)
+    side, side_specs = _side_args(qw, wspec)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), wspec.packed, wspec.absmax),
+        in_specs=(P(), wspec.packed, wspec.absmax) + side_specs,
         out_specs=P(),
         check_vma=False,
     )
-    return fn(x.astype(compute_dtype), qw.packed, qw.absmax)
+    return fn(x.astype(compute_dtype), qw.packed, qw.absmax, *side)
 
 
 def tp_matmul_int8_col(

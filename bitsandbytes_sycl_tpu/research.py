@@ -77,11 +77,28 @@ def _fp8_fwd_mixed(A, B, fw_code, bw_code, bsz, bsz2):
     return out, (fA, fB, fw_code, bw_code)
 
 
+def _grad_b(fA, g, b_ndim):
+    """Cotangent for B: a^T @ g. For a 2D weight with batched activations
+    (upstream supports 3D A) the batch dims sum into the weight grad; a
+    batched B keeps per-batch grads."""
+    if b_ndim > 2:
+        return jnp.matmul(
+            jnp.swapaxes(fA, -1, -2), g, preferred_element_type=jnp.float32
+        )
+    k = fA.shape[-1]
+    n = g.shape[-1]
+    return jnp.matmul(
+        fA.reshape(-1, k).T, g.reshape(-1, n), preferred_element_type=jnp.float32
+    )
+
+
 def _fp8_bwd_mixed(bsz, bsz2, res, g):
     fA, fB, fw_code, bw_code = res
     fg = _q_blockwise(g, bw_code, bsz2)
-    grad_A = jnp.matmul(fg, fB.T, preferred_element_type=jnp.float32).astype(fA.dtype)
-    grad_B = jnp.matmul(fA.T, g, preferred_element_type=jnp.float32).astype(fB.dtype)
+    grad_A = jnp.matmul(
+        fg, jnp.swapaxes(fB, -1, -2), preferred_element_type=jnp.float32
+    ).astype(fA.dtype)
+    grad_B = _grad_b(fA, g, fB.ndim).astype(fB.dtype)
     return grad_A, grad_B, jnp.zeros_like(fw_code), jnp.zeros_like(bw_code)
 
 
@@ -121,8 +138,10 @@ def _fp8_fwd_global(A, B, fw_code, bw_code, bsz, bsz2):
 def _fp8_bwd_global(bsz, bsz2, res, g):
     fA, fB, fw_code, bw_code = res
     fg = _q_global(g, bw_code)
-    grad_A = jnp.matmul(fg, fB.T, preferred_element_type=jnp.float32).astype(fA.dtype)
-    grad_B = jnp.matmul(fA.T, fg, preferred_element_type=jnp.float32).astype(fB.dtype)
+    grad_A = jnp.matmul(
+        fg, jnp.swapaxes(fB, -1, -2), preferred_element_type=jnp.float32
+    ).astype(fA.dtype)
+    grad_B = _grad_b(fA, fg, fB.ndim).astype(fB.dtype)
     return grad_A, grad_B, jnp.zeros_like(fw_code), jnp.zeros_like(bw_code)
 
 

@@ -256,3 +256,34 @@ def test_speculative_sampling_mode_runs(setup):
     assert 0.0 <= stats["accept_rate"] <= 1.0
     # self-draft at finite temperature still accepts most proposals
     assert stats["accept_rate"] > 0.5, stats
+
+
+def test_engine_prompt_longer_than_buckets(setup):
+    """A prompt past the largest prefill bucket must still prefill (T
+    grows to fit, clamped to the cache)."""
+    cfg, params = setup
+    eng = InferenceEngine(
+        cfg, params, EngineConfig(max_batch=1, max_new_tokens=3, prefill_buckets=(8,))
+    )
+    prompt = list(range(1, 30))  # 29 tokens > bucket 8
+    out = eng.generate([prompt], max_new_tokens=3)[0]
+    assert out == _greedy_reference(cfg, params, prompt, 3)
+
+
+def test_engine_durable_snapshot_with_budget_override():
+    """durable_snapshot must size its buffer from actual slot contents
+    (per-call max_new_tokens can exceed the config default)."""
+    cfg = LlamaConfig.tiny(quant="nf4", kv_quant=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        cfg, params, EngineConfig(max_batch=1, max_new_tokens=2, prefill_buckets=(16,))
+    )
+    eng.add_request([1, 2, 3], max_new_tokens=40)
+    for _ in range(30):
+        eng.step()
+    snap = eng.durable_snapshot()  # must not raise
+    eng2 = InferenceEngine(
+        cfg, params, EngineConfig(max_batch=1, max_new_tokens=2, prefill_buckets=(16,))
+    )
+    eng2.restore_durable(snap)
+    assert eng2.slot_tokens[0] == eng.slot_tokens[0]

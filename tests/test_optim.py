@@ -331,3 +331,17 @@ def test_lamb_optimizer_bounded_step():
         step_norm = float(jnp.linalg.norm(upd["w"].astype(jnp.float32)))
         bound = 1.0 * float(jnp.linalg.norm(params["w"])) * 1e-2  # max_unorm * ||p|| * lr
         assert step_norm <= bound * 1.05, (bits, step_norm, bound)
+
+
+def test_lamb_moves_zero_init_params():
+    """The trust-ratio +eps floor: zero-norm params (zero-init LoRA B /
+    classifier heads) must still receive updates."""
+    from bitsandbytes_sycl_tpu import optim
+
+    params = {"b": jnp.zeros((4096,), jnp.float32)}
+    g = {"b": jnp.asarray(np.random.default_rng(0).normal(size=(4096,)), jnp.float32)}
+    for bits in (32, 8):
+        tx = optim.lamb(learning_rate=1e-2, optim_bits=bits, min_8bit_size=1024)
+        st = tx.init(params)
+        upd, st = tx.update(g, st, params)
+        assert float(jnp.abs(upd["b"]).max()) > 0.0, bits

@@ -403,3 +403,63 @@ def test_sharded_8bit_optimizer_matches_unsharded():
     upd0, st0 = tx0.update({"w": g}, st0, {"w": p})
     np.testing.assert_array_equal(np.asarray(upd["w"]), np.asarray(upd0["w"]))
     assert st.inner["w"]["state1"].sharding.spec == jax.sharding.PartitionSpec("data", None)
+
+
+def test_tp_collectives_with_compressed_stats():
+    """TP matmuls must thread the compressed-stat sidecars through
+    shard_map (they shard with N under col / replicate under row)."""
+    from bitsandbytes_sycl_tpu.parallel import (
+        make_mesh, shard_qweight, tp_all_gather_matmul_4bit,
+        tp_matmul_4bit_col, tp_matmul_4bit_row,
+    )
+
+    rng = np.random.default_rng(3)
+    W = jnp.asarray(rng.normal(size=(512, 1024)) * 0.02, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(8, 1024)), jnp.float32)
+    qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4", compress_statistics=True)
+    ref = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+    mesh = make_mesh({"model": 4})
+
+    y = tp_matmul_4bit_col(x, shard_qweight(qw, mesh, "col"), mesh,
+                           gather_output=True, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+    # row-parallel uses the GLOBAL planar sharding (x split hi/lo to match
+    # byte rows — retile_qweight_row_tp is for contiguous-activation TP)
+    y = tp_matmul_4bit_row(x, shard_qweight(qw, mesh, "row"), mesh,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+    y = tp_all_gather_matmul_4bit(x, shard_qweight(qw, mesh, "col"), mesh,
+                                  compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_llama_forward_tp_compressed_stats():
+    """Full-model TP with 8-bit compressed scales: the row-parallel retile
+    re-encode and sidecar sharding must reproduce the single-device
+    forward."""
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, init_params, llama_forward,
+    )
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from bitsandbytes_sycl_tpu.parallel.llama_tp import llama_forward_tp, shard_llama_params
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=512, intermediate_size=1024,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=128,
+        max_seq_len=64, quant="nf4", kv_quant=False, dtype=jnp.float32,
+        compress_stats=True,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    mesh = make_mesh({"model": 2})
+    sp = shard_llama_params(params, cfg, mesh)
+    toks = jnp.asarray(np.random.default_rng(5).integers(0, 256, (2, 6)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(6), (2, 6))
+    cache = init_kv_cache(cfg, 2)
+    ref, _ = llama_forward(params, cfg, toks, cache, pos)
+    cache2 = init_kv_cache(cfg, 2)
+    got, _ = llama_forward_tp(sp, cfg, toks, cache2, pos, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )

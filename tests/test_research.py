@@ -68,3 +68,17 @@ def test_matmul_fp8_default_codes_and_dtype():
     out = matmul_fp8_global(A, B)
     assert out.dtype == A.dtype  # reference asserts dtype passthrough (:462)
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_matmul_fp8_batched_grads():
+    """3D activations (upstream supports batched A): grads must work and
+    the 2D weight grad sums over batch dims."""
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(rng.normal(size=(2, 8, 64)), jnp.float32)
+    B = jnp.asarray(rng.normal(size=(64, 32)) * 0.1, jnp.float32)
+    for fn in (matmul_fp8_mixed, matmul_fp8_global):
+        out = fn(A, B)
+        assert out.shape == (2, 8, 32)
+        gA, gB = jax.grad(lambda a, b: fn(a, b).sum(), argnums=(0, 1))(A, B)
+        assert gA.shape == A.shape and gB.shape == B.shape
+        assert np.isfinite(np.asarray(gA)).all() and np.isfinite(np.asarray(gB)).all()

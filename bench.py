@@ -24,50 +24,54 @@ Methodology (CLAUDE.md "Measuring on the axon TPU"):
 - The whole run retries with backoff on transient TPU errors
   (FAILED_PRECONDITION when another process briefly held the chip), and
   degrades to a smaller shape rather than exiting non-zero.
+- Each attempt runs in a SUBPROCESS with a hard timeout: the axon tunnel
+  has been observed to HANG (not error) mid-dispatch, and a blocked C
+  call cannot be interrupted in-process. The parent owns the JSON line.
 """
 
 import dataclasses
 import json
+import os
+import subprocess
 import sys
 import time
-import timeit
-import traceback
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-
-import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
 M = 8  # decode batch
 
 
-def _measure(op, x, *arrs, lo=200, hi=1200, reps=4):
-    """Pure device time per op application (see module docstring)."""
+def _child(n: int) -> int:
+    """Measure one shape and print the speed ratio; runs in a subprocess."""
+    import timeit
 
-    def runner(iters):
-        @jax.jit
-        def rr(x, *arrs):
-            def body(i, x):
-                return x + jnp.mean(op(x, i, *arrs)).astype(x.dtype) * 1e-6
+    import jax
 
-            return jax.lax.fori_loop(0, iters, body, x)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-        np.asarray(rr(x, *arrs))  # warm compile + force completion
-        return min(
-            timeit.timeit(lambda: np.asarray(rr(x, *arrs)), number=1) for _ in range(reps)
-        )
+    import jax.numpy as jnp
+    import numpy as np
 
-    return (runner(hi) - runner(lo)) / (hi - lo)
-
-
-def run_once(n):
     from bitsandbytes_sycl_tpu.ops import matmul_4bit_fused, quantize_4bit_native
+
+    def _measure(op, x, *arrs, lo=200, hi=1200, reps=4):
+        def runner(iters):
+            @jax.jit
+            def rr(x, *arrs):
+                def body(i, x):
+                    return x + jnp.mean(op(x, i, *arrs)).astype(x.dtype) * 1e-6
+
+                return jax.lax.fori_loop(0, iters, body, x)
+
+            np.asarray(rr(x, *arrs))  # warm compile + force completion
+            return min(
+                timeit.timeit(lambda: np.asarray(rr(x, *arrs)), number=1)
+                for _ in range(reps)
+            )
+
+        return (runner(hi) - runner(lo)) / (hi - lo)
 
     rng = np.random.default_rng(0)
     W = jnp.asarray(rng.normal(size=(n, n)) * 0.02, jnp.float32)
@@ -82,31 +86,51 @@ def run_once(n):
         ),
         x, qw.packed, qw.absmax,
     )
-    return t_bf16 / t_nf4
+    print(f"RATIO {t_bf16 / t_nf4:.6f}", flush=True)
+    return 0
+
+def _attempt(n: int, timeout_s: int):
+    """One subprocess attempt; returns (ratio or None, error string)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # child must see the TPU
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout_s}s (tunnel hang)"
+    for line in res.stdout.splitlines():
+        if line.startswith("RATIO "):
+            return float(line.split()[1]), ""
+    tail = (res.stderr or "").strip().splitlines()
+    return None, (tail[-1][:200] if tail else f"rc={res.returncode}, no output")
 
 
 def main():
-    last_err = None
-    # (shape, attempts): full shape first, degraded shape as a fallback so a
-    # transient failure still yields a valid JSON line
-    for n, attempts in ((4096, 3), (2048, 2), (1024, 1)):
+    last_err = "unknown"
+    # (shape, attempts, per-attempt timeout): full shape first, degraded
+    # shapes as fallbacks so a transient failure still yields a valid line.
+    # 60 s backoff between failures: FAILED_PRECONDITION states have been
+    # observed to persist for minutes before the backend resets.
+    plan = ((4096, 2, 420), (2048, 2, 300), (1024, 1, 240))
+    for n, attempts, timeout_s in plan:
         for a in range(attempts):
-            try:
-                value = run_once(n)
+            value, err = _attempt(n, timeout_s)
+            if value is not None:
                 rec = {
                     "metric": f"nf4_fused_decode_speed_vs_bf16_matmul_{n}",
-                    "value": round(float(value), 4),
+                    "value": round(value, 4),
                     "unit": "x (1.0=bf16 parity, 3.56=ideal 4-bit)",
-                    "vs_baseline": round(float(value) / 0.90, 4),
+                    "vs_baseline": round(value / 0.90, 4),
                 }
                 if n != 4096:
                     rec["degraded_from"] = 4096
                 print(json.dumps(rec), flush=True)
                 return 0
-            except Exception as e:  # transient tunnel/chip errors: back off
-                last_err = e
-                traceback.print_exc(file=sys.stderr)
-                time.sleep(10 * (a + 1))
+            last_err = err
+            print(f"attempt n={n} #{a} failed: {err}", file=sys.stderr, flush=True)
+            time.sleep(60)
     # never exit non-zero with no JSON: emit a sentinel record
     print(
         json.dumps(
@@ -115,7 +139,7 @@ def main():
                 "value": 0.0,
                 "unit": "x (benchmark failed; see stderr)",
                 "vs_baseline": 0.0,
-                "error": repr(last_err)[:200],
+                "error": last_err[:200],
             }
         ),
         flush=True,
@@ -124,4 +148,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        sys.exit(_child(int(sys.argv[2])))
     sys.exit(main())

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..models.llama import LlamaConfig, init_kv_cache, llama_forward
 
-__all__ = ["speculative_generate"]
+__all__ = ["speculative_generate", "speculative_generate_jit"]
 
 
 def _greedy(logits):
@@ -219,3 +219,110 @@ def speculative_generate(
         "target_calls": target_calls,
         "accept_rate": accepted / max(proposed, 1),
     }
+
+
+def speculative_generate_jit(
+    target_params: Dict,
+    target_cfg: LlamaConfig,
+    draft_params: Dict,
+    draft_cfg: LlamaConfig,
+    prompts: jax.Array,  # (B, T) int32
+    max_new_tokens: int,
+    gamma: int = 4,
+    target_forward: Callable = llama_forward,
+    draft_forward: Callable = llama_forward,
+) -> Tuple[jax.Array, Dict]:
+    """Greedy speculative decode as ONE jitted device program — zero host
+    round-trips (the host-loop variant pays a dispatch per draft step,
+    ruinous over a remote tunnel; here the whole generation is a single
+    lax.while_loop dispatch). Token-identical to target-only greedy.
+
+    TPU-first mechanics:
+    - static shapes throughout: every round ingests a fixed 2-token chunk
+      into the draft (rewriting an already-correct position is IDEMPOTENT
+      — k/v of a token depend only on its own hidden state), drafts
+      gamma tokens, verifies gamma+1;
+    - the commit length is data-dependent, so each round WRITES all
+      gamma+1 candidates into the output buffer and only ADVANCES the
+      cursor by min-acceptance+1 — uncommitted garbage is overwritten by
+      the next round before it can be read;
+    - lockstep batching: cursors are scalars, min-acceptance over B.
+
+    Returns (tokens (B, max_new_tokens) on device, stats with traced
+    "rounds" — np them after the call).
+    """
+    B, T = prompts.shape
+    need = T + max_new_tokens + gamma + 2
+    assert target_cfg.max_seq_len >= need, (target_cfg.max_seq_len, need)
+    assert draft_cfg.max_seq_len >= need, (draft_cfg.max_seq_len, need)
+
+    def run(target_params, draft_params, prompts):
+        t_cache = init_kv_cache(target_cfg, B)
+        d_cache = init_kv_cache(draft_cfg, B)
+        pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+        logits, t_cache = target_forward(target_params, target_cfg, prompts, t_cache, pos)
+        _, d_cache = draft_forward(draft_params, draft_cfg, prompts, d_cache, pos)
+        first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
+
+        L = max_new_tokens + gamma + 2
+        out = jnp.zeros((B, L), jnp.int32)
+        out = out.at[:, 0].set(first)
+
+        def cond(state):
+            _, _, _, _, n_done, _, _, _ = state
+            return n_done < max_new_tokens
+
+        def body(state):
+            t_cache, d_cache, out, cur, n_done, last, prev, rounds = state
+            # draft ingests [prev@cur-1 (idempotent rewrite), last@cur]
+            chunk = jnp.stack([prev, last], axis=1)
+            cpos = jnp.stack([jnp.full((B,), cur - 1), jnp.full((B,), cur)], axis=1)
+            dl, d_cache = draft_forward(draft_params, draft_cfg, chunk, d_cache, cpos)
+            d = jnp.argmax(dl[:, -1], axis=-1).astype(jnp.int32)
+            d_toks = [d]
+            for j in range(1, gamma):
+                dl, d_cache = draft_forward(
+                    draft_params, draft_cfg, d[:, None], d_cache,
+                    jnp.full((B, 1), cur + j),
+                )
+                d = jnp.argmax(dl[:, 0], axis=-1).astype(jnp.int32)
+                d_toks.append(d)
+            d_tokens = jnp.stack(d_toks, axis=1)  # (B, gamma)
+
+            ver = jnp.concatenate([last[:, None], d_tokens], axis=1)
+            vpos = cur + jnp.broadcast_to(jnp.arange(gamma + 1), (B, gamma + 1))
+            vl, t_cache = target_forward(target_params, target_cfg, ver, t_cache, vpos)
+            tgt = jnp.argmax(vl, axis=-1).astype(jnp.int32)  # (B, gamma+1)
+
+            match = (d_tokens == tgt[:, :gamma]).astype(jnp.int32)
+            acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (B,) accepted count
+            step = jnp.min(acc) + 1
+
+            # candidates: d_1..d_gamma with the correction spliced at acc
+            cand = jnp.concatenate([d_tokens, d_tokens[:, -1:]], axis=1)  # (B, g+1)
+            fix = jnp.take_along_axis(tgt, acc[:, None], axis=1)[:, 0]
+            cand = cand.at[jnp.arange(B), acc].set(fix)
+
+            # committed tokens start at out index n_done (`last` sits at
+            # n_done-1); uncommitted tail gets overwritten next round
+            out = jax.lax.dynamic_update_slice(out, cand, (0, n_done))
+            new_last = jnp.take_along_axis(cand, jnp.full((B, 1), step - 1), axis=1)[:, 0]
+            new_prev = jnp.where(
+                step >= 2,
+                jnp.take_along_axis(cand, jnp.full((B, 1), jnp.maximum(step - 2, 0)), axis=1)[:, 0],
+                last,
+            )
+            return (t_cache, d_cache, out, cur + step, n_done + step,
+                    new_last, new_prev, rounds + 1)
+
+        state = (
+            t_cache, d_cache, out, jnp.int32(T), jnp.int32(1),
+            first, prompts[:, -1], jnp.int32(0),
+        )
+        t_cache, d_cache, out, cur, n_done, last, prev, rounds = jax.lax.while_loop(
+            cond, body, state
+        )
+        return out[:, :max_new_tokens], rounds
+
+    out, rounds = jax.jit(run)(target_params, draft_params, prompts)
+    return out, {"rounds": rounds}

@@ -31,16 +31,15 @@ from .dynamic8 import dynamic_decode, dynamic_encode
 
 __all__ = ["optim8_blockwise_fused"]
 
-_ROWS = 32  # pad granularity: blocks (rows of `blocksize`) per grid step
+_ROWS = 32  # blocks (rows of `blocksize`) per grid step
 
 
 def _pick_rows(nb: int, bs: int) -> int:
-    """Largest row tile dividing nb within a ~6 MB VMEM budget — fewer,
-    larger grid steps amortize Mosaic's per-step overhead (the r1 kernel
-    ran 256 steps of 32 rows for 16M params at only 160 GB/s)."""
-    for rows in (256, 128, 64, 32):
-        if nb % rows == 0 and rows * bs * 4 * 6 <= 6 * 1024 * 1024:
-            return rows
+    """32 rows is the VMEM ceiling, measured: at 64 rows x 2048 the
+    2-state kernel's Mosaic stack (decode+encode codec chains keep ~30
+    live (rows, bs) f32 temporaries) hits 19 MB > the 16 MB scoped vmem
+    limit ("Ran out of memory in memory space vmem ... 19.06M"). Grid-
+    step overhead is not the bottleneck anyway (~0.5 us x 256 steps)."""
     return _ROWS
 
 

@@ -287,3 +287,24 @@ def test_engine_durable_snapshot_with_budget_override():
     )
     eng2.restore_durable(snap)
     assert eng2.slot_tokens[0] == eng.slot_tokens[0]
+
+
+def test_speculative_jit_matches_host_loop(setup):
+    """The single-dispatch jitted speculative loop must equal both the
+    host-loop variant and plain target greedy — with self and unrelated
+    drafts."""
+    from bitsandbytes_sycl_tpu.engine import speculative_generate
+    from bitsandbytes_sycl_tpu.engine.speculative import speculative_generate_jit
+
+    cfg, params = setup
+    prompts = jnp.asarray([[3, 1, 4, 1, 5], [9, 2, 6, 5, 3]], jnp.int32)
+    NEW = 9
+    ref, _ = speculative_generate(params, cfg, params, cfg, prompts, NEW, gamma=3)
+    out, stats = speculative_generate_jit(params, cfg, params, cfg, prompts, NEW, gamma=3)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert int(stats["rounds"]) <= (NEW - 1 + 3) // 4 + 1
+
+    bad_draft = init_params(cfg, jax.random.PRNGKey(123))
+    out2, stats2 = speculative_generate_jit(params, cfg, bad_draft, cfg, prompts, NEW, gamma=3)
+    ref2, _ = speculative_generate(params, cfg, bad_draft, cfg, prompts, NEW, gamma=3)
+    np.testing.assert_array_equal(np.asarray(out2), ref2)

@@ -65,22 +65,49 @@ def sec_lamb():
 
 
 def sec_optim8():
-    """Bandwidth of the fused Adam8bit step (adaptive row tiles)."""
+    """Bandwidth of the fused Adam8bit step — chained fori_loop delta
+    (CLAUDE.md methodology; a single-dispatch timing only measures the
+    ~30 ms tunnel latency)."""
     import timeit
 
-    from bitsandbytes_sycl_tpu import optim
+    from bitsandbytes_sycl_tpu import functional as F
+    from bitsandbytes_sycl_tpu.optim.base import _QMAP1, _QMAP2
 
-    for n in (1 << 24,):
-        params = {"w": jnp.zeros((n,), jnp.float32)}
-        tx = optim.adam8bit(1e-3, min_8bit_size=1024)
-        st = tx.init(params)
-        g = {"w": jnp.ones((n,), jnp.float32) * 1e-3}
-        jitted = jax.jit(lambda g, st: tx.update(g, st, params))
-        u, _ = jitted(g, st)
-        np.asarray(u["w"][:8])
-        t = min(timeit.timeit(lambda: np.asarray(jitted(g, st)[0]["w"][:8]), number=1) for _ in range(6))
-        bw = n * 16 / t / 1e9
-        print(f"  adam8bit n={n >> 20}M: {t * 1e3:.2f} ms  {bw:.0f} GB/s (r1: 1.68ms/160GB/s at 16M)")
+    n = 1 << 24
+    nb = n // 2048
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(n,)) * 1e-3, jnp.float32)
+    p = jnp.asarray(rng.normal(size=(n,)) * 1e-2, jnp.float32)
+    s1 = jnp.full((n,), 127, jnp.uint8)
+    a1 = jnp.zeros((nb,), jnp.float32)
+    s2 = jnp.zeros((n,), jnp.uint8)
+    a2 = jnp.zeros((nb,), jnp.float32)
+
+    def runner(iters):
+        @jax.jit
+        def rr(g, p, s1, a1, s2, a2):
+            def body(i, carry):
+                p, s1, a1, s2, a2 = carry
+                out = F.optimizer_update_8bit_blockwise(
+                    "adam", g * (1.0 + 1e-30 * i), p, s1, a1, s2, a2,
+                    _QMAP1, _QMAP2, 0.9, 0.999, 1e-8, 1, 1e-6,
+                    blocksize=2048, codec="dynamic",
+                )
+                return out
+
+            p2, s1, a1, s2, a2 = jax.lax.fori_loop(0, iters, body, (p, s1, a1, s2, a2))
+            return p2[:8] + a1[:8]
+
+        np.asarray(rr(g, p, s1, a1, s2, a2))
+        return min(
+            timeit.timeit(lambda: np.asarray(rr(g, p, s1, a1, s2, a2)), number=1)
+            for _ in range(4)
+        )
+
+    lo, hi = 10, 60
+    t = (runner(hi) - runner(lo)) / (hi - lo)
+    bw = n * 16 / t / 1e9
+    print(f"  adam8bit n={n >> 20}M: {t * 1e3:.2f} ms/step  {bw:.0f} GB/s (r1: 1.68 ms / 160 GB/s)")
 
 
 def sec_spec():

@@ -271,6 +271,71 @@ ALL = {
 
 EXTRA = {"model7b_decode": model7b_decode}  # opt-in: heavy
 
+
+
+def spec_decode():
+    """Jitted speculative decode (single dispatch): plain greedy scan vs
+    draft-verify rounds. Random weights give meaningless ACCEPTANCE, so
+    we report the mechanics: ms/round, tokens/round actually committed,
+    and the implied ceiling at full acceptance (real checkpoints sit
+    between). Draft = int4 quantization of the SAME fp weights (the
+    'free draft'); target = nf4."""
+    from bitsandbytes_sycl_tpu.engine.speculative import speculative_generate_jit
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, init_params, llama_forward, quantize_params,
+    )
+
+    B, T, NEW, GAMMA = 1, 8, 64, 4
+    base = dict(
+        vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+        num_layers=8, num_heads=16, num_kv_heads=16, max_seq_len=256,
+        kv_quant=True, dtype=jnp.bfloat16,
+    )
+    cfg_fp = LlamaConfig(quant="none", **base)
+    fp = init_params(cfg_fp, jax.random.PRNGKey(0))
+    cfg_t = LlamaConfig(quant="nf4", **base)
+    cfg_d = LlamaConfig(quant="int4", **base)
+    tgt = quantize_params(fp, cfg_t)
+    drf = quantize_params(fp, cfg_d)
+    prompts = jnp.asarray(np.random.default_rng(0).integers(1, 32000, (B, T)), jnp.int32)
+
+    # plain greedy decode as one scan dispatch
+    @jax.jit
+    def plain(params, prompts):
+        cache = init_kv_cache(cfg_t, B)
+        pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+        lg, cache = llama_forward(params, cfg_t, prompts, cache, pos)
+        tok0 = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+
+        def step(carry, _):
+            cache, tok, p = carry
+            lg, cache = llama_forward(params, cfg_t, tok[:, None], cache, p[:, None])
+            return (cache, jnp.argmax(lg[:, 0], -1).astype(jnp.int32), p + 1), tok
+
+        (_, _, _), toks = jax.lax.scan(
+            step, (cache, tok0, jnp.full((B,), T, jnp.int32)), jnp.arange(NEW)
+        )
+        return toks
+
+    np.asarray(plain(tgt, prompts))
+    t_plain = min(timeit.timeit(lambda: np.asarray(plain(tgt, prompts)), number=1) for _ in range(4))
+
+    def spec():
+        out, stats = speculative_generate_jit(tgt, cfg_t, drf, cfg_d, prompts, NEW, gamma=GAMMA)
+        return np.asarray(out), int(stats["rounds"])
+
+    _, rounds = spec()
+    t_spec = min(timeit.timeit(lambda: spec(), number=1) for _ in range(4))
+    toks_per_round = (NEW - 1) / max(rounds, 1)
+    _emit("spec_decode_plain", NEW / t_plain, "tok/s")
+    _emit("spec_decode_speculative", NEW / t_spec, "tok/s")
+    _emit("spec_decode_tokens_per_round", toks_per_round, f"tok/round (ceiling {GAMMA+1})")
+    print(f"# rounds={rounds} t_plain={t_plain*1e3:.1f}ms t_spec={t_spec*1e3:.1f}ms", file=sys.stderr)
+
+
+EXTRA["spec_decode"] = spec_decode
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
     for n in names:

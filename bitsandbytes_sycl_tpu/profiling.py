@@ -16,6 +16,7 @@ import timeit
 from typing import Callable, Dict, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 logger = logging.getLogger("bitsandbytes_sycl_tpu")
@@ -85,9 +86,12 @@ def device_time(
 
             return jax.lax.fori_loop(0, iters, body, x)
 
-        rr(x0).block_until_ready()
+        # np.asarray forces completion; block_until_ready is a NO-OP on
+        # the axon backend (CLAUDE.md measurement pitfalls)
+        np.asarray(rr(x0)).ravel()[:1]
         return min(
-            timeit.timeit(lambda: rr(x0).block_until_ready(), number=1) for _ in range(reps)
+            timeit.timeit(lambda: np.asarray(rr(x0)).ravel()[:1], number=1)
+            for _ in range(reps)
         )
 
     return (runner(hi_iters) - runner(lo_iters)) / (hi_iters - lo_iters)

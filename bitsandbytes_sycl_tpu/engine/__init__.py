@@ -2,6 +2,6 @@
 an int8 KV cache — BASELINE.json configs[4]; no reference counterpart."""
 
 from .engine import EngineConfig, InferenceEngine
-from .speculative import speculative_generate
+from .speculative import speculative_generate, speculative_generate_jit
 
-__all__ = ["EngineConfig", "InferenceEngine", "speculative_generate"]
+__all__ = ["EngineConfig", "InferenceEngine", "speculative_generate", "speculative_generate_jit"]

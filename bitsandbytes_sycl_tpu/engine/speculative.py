@@ -256,6 +256,13 @@ def speculative_generate_jit(
     assert target_cfg.max_seq_len >= need, (target_cfg.max_seq_len, need)
     assert draft_cfg.max_seq_len >= need, (draft_cfg.max_seq_len, need)
 
+    cache_key = (target_cfg, draft_cfg, B, T, max_new_tokens, gamma,
+                 target_forward, draft_forward)
+    cached = _JIT_CACHE.get(cache_key)
+    if cached is not None:
+        out, rounds = cached(target_params, draft_params, prompts)
+        return out, {"rounds": rounds}
+
     def run(target_params, draft_params, prompts):
         t_cache = init_kv_cache(target_cfg, B)
         d_cache = init_kv_cache(draft_cfg, B)
@@ -324,5 +331,13 @@ def speculative_generate_jit(
         )
         return out[:, :max_new_tokens], rounds
 
-    out, rounds = jax.jit(run)(target_params, draft_params, prompts)
+    jitted = jax.jit(run)
+    # cache the jit wrapper: rebuilding it per call re-TRACES the whole
+    # multi-forward while_loop every time (measured ~120 ms/call of pure
+    # tracing for an 8-layer model)
+    _JIT_CACHE[cache_key] = jitted
+    out, rounds = jitted(target_params, draft_params, prompts)
     return out, {"rounds": rounds}
+
+
+_JIT_CACHE: Dict = {}

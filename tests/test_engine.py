@@ -308,3 +308,58 @@ def test_speculative_jit_matches_host_loop(setup):
     out2, stats2 = speculative_generate_jit(params, cfg, bad_draft, cfg, prompts, NEW, gamma=3)
     ref2, _ = speculative_generate(params, cfg, bad_draft, cfg, prompts, NEW, gamma=3)
     np.testing.assert_array_equal(np.asarray(out2), ref2)
+
+
+def test_speculative_acceptance_on_trained_model():
+    """Acceptance is only meaningful with peaked logits: overfit a tiny
+    fp llama on a cyclic sequence, then let its int4 quantization draft
+    for its nf4 quantization — acceptance must be high and the output
+    still lossless vs the nf4 target alone."""
+    import optax
+
+    from bitsandbytes_sycl_tpu.engine import speculative_generate
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_params, llama_forward, quantize_params,
+    )
+
+    base = dict(
+        vocab_size=32, hidden_size=128, intermediate_size=256, num_layers=2,
+        num_heads=2, num_kv_heads=2, max_seq_len=64, kv_quant=False,
+        dtype=jnp.float32,
+    )
+    cfg_fp = LlamaConfig(quant="none", **base)
+    params = init_params(cfg_fp, jax.random.PRNGKey(0))
+
+    seq = np.arange(1, 17)  # deterministic cycle 1..16
+    toks = jnp.asarray(np.tile(seq, (4, 3))[:, :32], jnp.int32)
+    tx = optax.adam(3e-3)
+    st = tx.init(params)
+
+    @jax.jit
+    def step(params, st):
+        def loss(p):
+            logits, _ = llama_forward(p, cfg_fp, toks[:, :-1])
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            return -jnp.mean(
+                jnp.take_along_axis(lp, toks[:, 1:, None], axis=-1)
+            )
+
+        l, g = jax.value_and_grad(loss)(params)
+        upd, st2 = tx.update(g, st)
+        return optax.apply_updates(params, upd), st2, l
+
+    for _ in range(150):
+        params, st, l = step(params, st)
+    assert float(l) < 0.5, float(l)  # actually learned the cycle
+
+    cfg_t = LlamaConfig(quant="nf4", **base)
+    cfg_d = LlamaConfig(quant="int4", **base)
+    tgt = quantize_params(params, cfg_t)
+    drf = quantize_params(params, cfg_d)
+    prompts = jnp.asarray(np.tile(seq, (1, 1))[:, :8], jnp.int32)
+    out, stats = speculative_generate(tgt, cfg_t, drf, cfg_d, prompts, 16, gamma=4)
+    # lossless vs nf4-target greedy
+    ref = _greedy_reference(cfg_t, tgt, [int(t) for t in prompts[0]], 16)
+    assert list(out[0]) == ref
+    # trained logits are peaked: the cross-quantization draft mostly agrees
+    assert stats["accept_rate"] > 0.6, stats

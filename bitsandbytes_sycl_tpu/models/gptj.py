@@ -29,6 +29,7 @@ class GPTJConfig:
     hidden_size: int = 4096
     num_layers: int = 28
     num_heads: int = 16
+    head_dim: Optional[int] = None  # override for TP-local configs
     rotary_dim: int = 64
     max_seq_len: int = 2048
     ln_eps: float = 1e-5
@@ -42,7 +43,7 @@ class GPTJConfig:
 
     @property
     def hd(self) -> int:
-        return self.hidden_size // self.num_heads
+        return self.head_dim or self.hidden_size // self.num_heads
 
     # shims so the shared quantized-linear dispatch works unchanged
     @property
@@ -129,6 +130,7 @@ def gptj_forward(
     cache: Optional[Dict] = None,
     positions: Optional[jax.Array] = None,
     seq_lens: Optional[jax.Array] = None,  # unused; engine-signature parity
+    psum_axis: Optional[str] = None,  # mesh axis for TP row-parallel sums
 ) -> Tuple[jax.Array, Optional[Dict]]:
     """Same contract as llama_forward: (logits, updated cache)."""
     B, T = tokens.shape
@@ -158,13 +160,19 @@ def gptj_forward(
             from .llama import _attention
 
             attn = _attention(q, k, v, mask, cfg.dtype)
-        attn = attn.astype(cfg.dtype).reshape(B, T, cfg.hidden_size)
+        # -1 keeps the reshape valid for TP-local head shards
+        attn = attn.astype(cfg.dtype).reshape(B, T, -1)
         attn_out = apply_linear(attn, layer["out_proj"], cfg)
 
         # parallel MLP off the SAME LayerNorm output (GPT-J block)
         ff = apply_linear(h, layer["fc_in"], cfg) + layer["fc_in_b"].astype(cfg.dtype)
         ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=True).astype(cfg.dtype)
-        ff = apply_linear(ff, layer["fc_out"], cfg) + layer["fc_out_b"].astype(cfg.dtype)
+        ff = apply_linear(ff, layer["fc_out"], cfg)
+        if psum_axis is not None:
+            # row-parallel partial sums; biases are added ONCE, after
+            attn_out = jax.lax.psum(attn_out, psum_axis)
+            ff = jax.lax.psum(ff, psum_axis)
+        ff = ff + layer["fc_out_b"].astype(cfg.dtype)
 
         x = x + attn_out + ff
 

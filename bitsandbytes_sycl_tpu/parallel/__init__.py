@@ -15,7 +15,8 @@ from .mesh import (
     qweight_sharding,
     shard_qweight,
 )
-from . import llama_tp, pipeline, ring
+from . import gptj_tp, llama_tp, pipeline, ring
+from .gptj_tp import gptj_forward_tp, shard_gptj_params
 from .llama_tp import kv_cache_specs, llama_forward_tp, llama_param_specs, shard_llama_params
 from .pipeline import (
     init_stage_kv_cache,
@@ -33,7 +34,8 @@ from .collectives import (
 )
 
 __all__ = [
-    "llama_tp", "pipeline", "ring",
+    "gptj_tp", "llama_tp", "pipeline", "ring",
+    "gptj_forward_tp", "shard_gptj_params",
     "kv_cache_specs", "llama_forward_tp", "llama_param_specs", "shard_llama_params",
     "llama_forward_pp", "llama_forward_pp_decode", "init_stage_kv_cache",
     "stack_stage_params", "ring_attention",

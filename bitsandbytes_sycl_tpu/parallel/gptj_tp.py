@@ -1,0 +1,133 @@
+"""Tensor-parallel GPT-J forward — Megatron-style over a "model" axis.
+
+Same scheme as llama_tp (the reference has no distributed path at all,
+SURVEY.md §2.3), adapted to the GPT-J block (parallel attention + MLP
+off one LayerNorm, interleaved rotary, biased MLP):
+
+- q/k/v/fc_in: column-parallel (heads / ff channels sharded); fc_in's
+  bias shards with its output channels
+- out_proj/fc_out: row-parallel, ONE psum per branch per layer, biases
+  added once after the reduction (models/gptj.py psum_axis hook)
+- int8 KV cache sharded over the head dim; embed/ln/lm_head replicated
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.gptj import GPTJConfig, gptj_forward
+from ..ops.common import QLinearWeight
+from .llama_tp import _localize, kv_cache_specs
+from .mesh import qweight_pspec, retile_qweight_row_tp
+
+__all__ = ["gptj_param_specs", "shard_gptj_params", "gptj_forward_tp"]
+
+_COL = ("q_proj", "k_proj", "v_proj", "fc_in")
+_ROW = ("out_proj", "fc_out")
+
+
+def _proj_spec(name: str, w, axis: str):
+    if isinstance(w, QLinearWeight):
+        if name in _COL:
+            return qweight_pspec(w, "col", axis)
+        if name in _ROW:
+            return qweight_pspec(w, "row", axis)
+        return jax.tree.map(lambda _: P(), w)
+    if isinstance(w, dict) and "CB" in w:
+        if name in _COL:
+            spec = {"CB": P(axis, None), "SCB": P(axis)}
+            if "outliers" in w:
+                spec["outliers"] = {"idx": P(), "keep": P(), "subB": P(None, axis)}
+            return spec
+        if name in _ROW:
+            return {"CB": P(None, axis), "SCB": P()}
+        return jax.tree.map(lambda _: P(), w)
+    if name in _COL:
+        return P(axis, None)
+    if name in _ROW:
+        return P(None, axis)
+    return P()
+
+
+def gptj_param_specs(params: Dict, cfg: GPTJConfig, axis: str = "model") -> Dict:
+    # top-level entries (wte, ln_f, lm_head — possibly quantized pytrees)
+    # replicate leaf-wise
+    specs = {
+        k: jax.tree.map(lambda _: P(), v) for k, v in params.items() if k != "layers"
+    }
+    specs["layers"] = []
+    for layer in params["layers"]:
+        ls = {}
+        for name, w in layer.items():
+            if name in _COL or name in _ROW:
+                ls[name] = _proj_spec(name, w, axis)
+            elif name == "fc_in_b":
+                ls[name] = P(axis)  # shards with fc_in's output channels
+            else:
+                ls[name] = P()
+        specs["layers"].append(ls)
+    return specs
+
+
+def shard_gptj_params(params: Dict, cfg: GPTJConfig, mesh: Mesh, axis: str = "model") -> Dict:
+    tp = mesh.shape[axis]
+
+    def _prep(name, w):
+        if name in _ROW and isinstance(w, QLinearWeight) and tp > 1:
+            return retile_qweight_row_tp(w, tp)
+        if name in _ROW and isinstance(w, dict) and "outliers" in w:
+            return {k: v for k, v in w.items() if k != "outliers"}
+        return w
+
+    params = dict(params)
+    params["layers"] = [
+        {name: _prep(name, w) for name, w in layer.items()}
+        for layer in params["layers"]
+    ]
+    specs = gptj_param_specs(params, cfg, axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def gptj_forward_tp(
+    params: Dict,
+    cfg: GPTJConfig,
+    tokens: jax.Array,
+    cache: Optional[Dict],
+    positions: jax.Array,
+    mesh: Mesh,
+    axis: str = "model",
+) -> Tuple[jax.Array, Optional[Dict]]:
+    """TP forward: params pre-sharded per gptj_param_specs; cache sharded
+    per llama_tp.kv_cache_specs (same head-major layout). Returns
+    replicated logits and the sharded updated cache."""
+    tp = mesh.shape[axis]
+    if cfg.num_heads % tp:
+        raise ValueError(f"TP={tp} must divide num_heads({cfg.num_heads})")
+    cfg_local = dataclasses.replace(cfg, num_heads=cfg.num_heads // tp, head_dim=cfg.hd)
+    pspecs = gptj_param_specs(params, cfg, axis)
+    cspecs = kv_cache_specs(cfg, axis) if cache is not None else None
+
+    def body(params_l, tokens, cache_l, positions):
+        params_l = _localize(params_l, tp)
+        return gptj_forward(
+            params_l, cfg_local, tokens, cache_l, positions, psum_axis=axis
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(pspecs, P(), cspecs, P()),
+        out_specs=(P(), cspecs),
+        check_rep=False,
+    )
+    return fn(params, tokens, cache, positions)

@@ -4,6 +4,7 @@ int8 linear collapse into one kernel here)."""
 
 from .common import QLinearWeight, lut16, on_tpu, quantize_4bit_native, to_kernel_layout
 from .matmul_4bit import matmul_4bit_fused
+from .matmul_w4a8 import matmul_4bit_w4a8
 
 __all__ = [
     "on_tpu",
@@ -12,4 +13,5 @@ __all__ = [
     "quantize_4bit_native",
     "to_kernel_layout",
     "matmul_4bit_fused",
+    "matmul_4bit_w4a8",
 ]

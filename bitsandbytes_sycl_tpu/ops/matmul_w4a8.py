@@ -1,0 +1,180 @@
+"""W4A8 fused matmul: 4-bit weights x int8 activations on the int8 MXU.
+
+LiquidGEMM-style (arxiv 2509.01229, PAPERS.md) alternative to the bf16
+decode path in matmul_4bit.py, motivated by two v5e facts:
+
+- the NF4 select-tree decode is the bottleneck of the bf16 path (VPU-
+  bound at ~23 ops/elem on 16-bit lanes). Decoding the nibble to an INT8
+  code (the 16-entry table pre-scaled by 127) runs the same tree on
+  8-bit lanes — 4x VPU packing, probe-verified to lower in Mosaic
+  (tools/experiments/, 2026-08-17);
+- the int8 MXU runs at 2x the bf16 rate (394 vs 197 TOPS), which pays
+  for the per-quantization-block sub-dots that the blockwise scales
+  force (each 64-K sub-dot accumulates int32, then one f32
+  multiply-accumulate applies scale_block * row_scale).
+
+Numerics: activations are quantized int8 per ROW (vectorwise absmax,
+like LLM.int8's CA) and weight codes round to the int8 grid
+(round(v*127)/127, <=0.4% rel) — this is a DIFFERENT accuracy point
+than matmul_4bit_fused (which is exact given the stored codes), in
+exchange for speed; same trade the reference's int8 paths make for
+activations. Use it where LLM.int8-class activation noise is already
+accepted.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import QLinearWeight, interpret_mode, pick_tile as _pick_tile, safe_inv
+
+__all__ = ["matmul_4bit_w4a8"]
+
+
+def _int8_code_table(code) -> tuple:
+    return tuple(int(round(float(v) * 127.0)) for v in code)
+
+
+def _decode_plane_i8(b: jax.Array, table_i8, shift: int) -> jax.Array:
+    """Nibble at bits [shift, shift+4) -> int8 code, 4-level select tree
+    on 8-bit lanes (4x VPU packing vs the bf16 tree)."""
+    zero = jnp.asarray(0, b.dtype)
+    bits = [(b & jnp.asarray(1 << (shift + k), b.dtype)) != zero for k in range(4)]
+    vals = [jnp.asarray(v, jnp.int8) for v in table_i8]
+
+    def level(vs, bi):
+        if len(vs) == 1:
+            return vs[0]
+        half = len(vs) // 2
+        return jnp.where(bits[bi], level(vs[half:], bi - 1), level(vs[:half], bi - 1))
+
+    return level(vals, 3)
+
+
+def _w4a8_kernel(
+    x_hi_ref, x_lo_ref, inv_ref, w_ref, s_ref, bias_ref, o_ref, acc_ref,
+    *, table_i8, blocksize, nk, out_dtype, has_bias,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b = w_ref[:]  # (TKB, TN) packed bytes, uint8
+    w_hi = _decode_plane_i8(b, table_i8, shift=4)  # int8 codes
+    w_lo = _decode_plane_i8(b, table_i8, shift=0)
+
+    nb = w_ref.shape[0] // blocksize
+    for plane, (x_ref, wq) in enumerate(((x_hi_ref, w_hi), (x_lo_ref, w_lo))):
+        # per-row int8 activation quantization in VMEM
+        xq = jnp.clip(
+            jnp.round(x_ref[:].astype(jnp.float32) * inv_ref[:]), -127.0, 127.0
+        ).astype(jnp.int8)
+        for blk in range(nb):
+            d = jax.lax.dot_general(
+                xq[:, blk * blocksize : (blk + 1) * blocksize],
+                wq[blk * blocksize : (blk + 1) * blocksize, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            # fold this block's weight scale (1/127 for the code grid is
+            # folded into the epilogue's 1/127^2 with the row scale)
+            acc_ref[:] += d.astype(jnp.float32) * s_ref[plane, blk, :][None, :]
+
+    @pl.when(k == nk - 1)
+    def _():
+        out = acc_ref[:] * (inv_ref[:] != 0.0).astype(jnp.float32)  # keep 0-rows 0
+        if has_bias:
+            out = out + bias_ref[:].astype(jnp.float32)
+        o_ref[:] = out.astype(out_dtype)
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "tm", "tn", "tkb"))
+def _w4a8_call(x, row_absmax, w: QLinearWeight, bias, out_dtype, tm, tn, tkb):
+    M, K = x.shape
+    N = w.shape[0]
+    nk = (K // 2) // tkb
+    bs = w.blocksize
+    # inv carries x->int8 scale; the epilogue scale (absmax_x/127 * s/127)
+    # is split: s/127... the weight code grid is /127, activation /127:
+    # fold both 1/127 factors + absmax_x into the per-row inv/post scales.
+    inv = (127.0 * safe_inv(row_absmax)).reshape(M, 1)
+    # per-block weight scales premultiplied by absmax_x/(127*127) would mix
+    # row and block axes; instead scale s by 1/127 (code grid) and apply
+    # the row factor absmax_x/127 via the output: fold into inv at the end
+    s = w.scales_f32() * (1.0 / 127.0)
+
+    kernel = functools.partial(
+        _w4a8_kernel,
+        table_i8=_int8_code_table(w.code),
+        blocksize=bs,
+        nk=nk,
+        out_dtype=jnp.float32,
+        has_bias=False,
+    )
+    bias_arr = jnp.zeros((1, N), jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(M // tm, N // tn, nk),
+        in_specs=[
+            pl.BlockSpec((tm, tkb), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tm, tkb), lambda m, n, k, _half=nk: (m, k + _half), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tkb, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tkb // bs, tn), lambda m, n, k: (0, k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + N * K // 2 + (N * K // bs) * 4 + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(x, x, inv, w.packed, s, bias_arr)
+    # per-row activation scale (absmax_x / 127): applied once outside
+    out = out * (row_absmax.reshape(M, 1) / 127.0)
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype)
+
+
+def matmul_4bit_w4a8(
+    x: jax.Array,
+    w: QLinearWeight,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """out ~= x @ dequant(W)^T with int8 activations and int8 weight codes
+    on the int8 MXU. Raw (f32/bf16) scales only; returns None-equivalent
+    fallback (the exact bf16 path) for untileable shapes or compressed
+    scales."""
+    from .matmul_4bit import matmul_4bit_fused, _nk_tiles
+
+    N, K = w.shape
+    lead = x.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    tn, tkb = _nk_tiles(w, N, K)
+    tm = _pick_tile(M, (128, 64, 32, 16, 8))
+    if (
+        M == 0 or tn is None or tkb is None or tm is None
+        or w.compressed or K % (2 * w.blocksize) != 0
+    ):
+        return matmul_4bit_fused(x, w, bias, compute_dtype=out_dtype)
+    x2 = x.reshape(M, K).astype(jnp.float32)
+    row_absmax = jnp.max(jnp.abs(x2), axis=1)
+    out = _w4a8_call(x2, row_absmax, w, bias, out_dtype, tm, tn, tkb)
+    return out.reshape(*lead, N)

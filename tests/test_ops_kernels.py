@@ -440,3 +440,64 @@ def test_fused_matmuls_handle_empty_batch():
     assert y.shape == (0, 256)
     CB, SCB = F.int8_vectorwise_quant(W)
     assert int8_matmul_fused(jnp.zeros((0, 512)), CB, SCB, jnp.zeros((0,))) is None
+
+
+# --- W4A8 path (ops/matmul_w4a8.py) ---
+
+
+def test_matmul_4bit_w4a8_matches_quantized_reference(weight):
+    """Kernel must equal the explicit numpy model of the same math:
+    int8 row-quantized activations x int8 weight codes x block scales."""
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit_w4a8
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 1024)), jnp.float32)
+    y = np.asarray(matmul_4bit_w4a8(x, qw, out_dtype=jnp.float32))
+
+    # numpy reference of the SAME quantization
+    xn = np.asarray(x)
+    ax = np.abs(xn).max(axis=1, keepdims=True)
+    xq = np.clip(np.round(xn * 127.0 / ax), -127, 127)
+    table = np.asarray([float(v) for v in qw.code])
+    codes_i8 = np.round(table * 127.0)
+    # dequantize weight on the int8 code grid
+    packed = np.asarray(qw.packed)
+    hi = (packed >> 4) & 0xF
+    lo = packed & 0xF
+    w_codes = np.concatenate([codes_i8[hi], codes_i8[lo]], axis=0)  # (K, N)
+    scales = np.asarray(qw.scales_f32()).reshape(-1, 256)  # (K//bs, N)
+    wsc = np.repeat(scales / 127.0, 64, axis=0)  # (K, N)
+    ref = (xq @ (w_codes * wsc)) * (ax / 127.0)
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_4bit_w4a8_accuracy_envelope(weight):
+    """vs the exact fp32 matmul: W4A8 adds LLM.int8-class activation
+    noise on top of NF4 — must stay within a few percent."""
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit_w4a8
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(16, 1024)), jnp.float32)
+    y = np.asarray(matmul_4bit_w4a8(x, qw, out_dtype=jnp.float32))
+    exact = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+    rel = np.abs(y - exact).mean() / np.abs(exact).mean()
+    assert rel < 0.02, rel  # int8 activation + code-grid noise
+
+
+def test_matmul_4bit_w4a8_bias_and_fallback(weight):
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit_w4a8
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    b = jnp.arange(256, dtype=jnp.float32) * 0.01
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(8, 1024)), jnp.float32)
+    y = np.asarray(matmul_4bit_w4a8(x, qw, bias=b, out_dtype=jnp.float32))
+    y0 = np.asarray(matmul_4bit_w4a8(x, qw, out_dtype=jnp.float32))
+    np.testing.assert_allclose(y, y0 + np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    # compressed scales route to the exact bf16 path (still correct)
+    qwc = quantize_4bit_native(weight, blocksize=64, quant_type="nf4", compress_statistics=True)
+    yc = np.asarray(matmul_4bit_w4a8(x, qwc, out_dtype=jnp.float32))
+    ref = np.asarray(x) @ np.asarray(qwc.dequantize(), np.float32).T
+    np.testing.assert_allclose(yc, ref, rtol=2e-2, atol=2e-2)

@@ -20,7 +20,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 from bitsandbytes_sycl_tpu import functional as F
-from bitsandbytes_sycl_tpu.ops import matmul_4bit_fused, quantize_4bit_native
+from bitsandbytes_sycl_tpu.ops import matmul_4bit_fused, matmul_4bit_w4a8, quantize_4bit_native
 from bitsandbytes_sycl_tpu.ops.matmul_int8 import int8_matmul_fused
 
 N = K = 4096
@@ -62,6 +62,7 @@ def main():
             ("nf4 fused decode=f32 ", lambda x: matmul_4bit_fused(x, qw_nf4, decode_dtype=jnp.float32), x),
             ("nf4 fused decode=bf16", lambda x: matmul_4bit_fused(x, qw_nf4, decode_dtype=jnp.bfloat16), x),
             ("int4 fused            ", lambda x: matmul_4bit_fused(x, qw_int4), x),
+            ("nf4 W4A8 int8-MXU     ", lambda x: matmul_4bit_w4a8(x, qw_nf4), x),
             ("int8 xla path         ", lambda x: F.llm_int8_matmul(x, CB, SCB, threshold=0.0, use_fused=False), x),
             ("int8 pallas fused     ", lambda x: F.llm_int8_matmul(x, CB, SCB, threshold=0.0, use_fused=True), x),
             ("int8 pallas thresh=6  ", lambda x: F.llm_int8_matmul(x, CB, SCB, threshold=6.0, use_fused=True), x),

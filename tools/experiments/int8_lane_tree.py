@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Probe (2026-08-17): does a 16-entry select tree lower on 8-BIT lanes?
+
+Result: YES — uint8 bit-tests + int8-valued selects compile through
+Mosaic and produce correct codes (OK=True), at (512, 256)-sized blocks.
+(Bigger blocks hit the scoped-vmem stack limit: ~15 live (rows, N) f32
+temporaries; the f32 probe at (512, 4096) OOM'd at 20.9 MB.)
+This is the enabling fact for the W4A8 path (ops/matmul_w4a8.py): the
+NF4 tree on 8-bit lanes has 4x the VPU packing of the bf16 tree that
+floors the exact decode path at ~0.7x bf16-matmul speed.
+Run on chip: JAX_PLATFORMS='' python tools/experiments/int8_lane_tree.py
+"""
+
+import sys, timeit
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+import jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TABLE_F = [(-1.0 + i * 0.13) for i in range(16)]
+TABLE_I8 = [int(round(v * 127)) for v in TABLE_F]
+
+def make_kern(vals_py, odtype, ity):
+    def kern(w_ref, o_ref):
+        b = w_ref[:].astype(ity) if ity is not None else w_ref[:]
+        bits = [(b & jnp.asarray(1 << k, b.dtype)) != jnp.asarray(0, b.dtype) for k in range(4)]
+        vals = [jnp.asarray(v, odtype) for v in vals_py]
+        def level(vs, bi):
+            if len(vs) == 1: return vs[0]
+            h = len(vs)//2
+            return jnp.where(bits[bi], level(vs[h:], bi-1), level(vs[:h], bi-1))
+        o_ref[:] = level(vals, 3)
+    return kern
+
+N = 4096
+W = jnp.asarray(np.random.default_rng(0).integers(0, 16, (N, N)), jnp.uint8)
+
+def run(name, vals_py, odtype, ity):
+    f = pl.pallas_call(
+        make_kern(vals_py, odtype, ity),
+        grid=(N // 512, N // 256),
+        in_specs=[pl.BlockSpec((512, 256), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((512, 256), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, N), odtype),
+    )
+    def runner(iters):
+        @jax.jit
+        def rr(W):
+            def body(i, acc):
+                Wv = W + (i % 2).astype(jnp.uint8)  # loop-variant
+                return acc + jnp.mean(f(Wv).astype(jnp.float32))
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        np.asarray(rr(W))
+        return min(timeit.timeit(lambda: np.asarray(rr(W)), number=1) for _ in range(4))
+    try:
+        t = (runner(400) - runner(100)) / 300
+        print(f"{name}: {t*1e6:8.1f} us/call  ({16.7e6/t/1e9:6.1f} Gelem/s)", flush=True)
+    except Exception as e:
+        print(f"{name}: FAILED {str(e)[:150]}", flush=True)
+
+run("bf16-lane tree", TABLE_F, jnp.bfloat16, jnp.int16)
+run("int8-lane tree", TABLE_I8, jnp.int8, None)
+run("f32-lane tree ", TABLE_F, jnp.float32, jnp.int32)

@@ -231,11 +231,16 @@ def speculative_generate_jit(
     gamma: int = 4,
     target_forward: Callable = llama_forward,
     draft_forward: Callable = llama_forward,
+    temperature: float = 0.0,
+    seed: int = 0,
 ) -> Tuple[jax.Array, Dict]:
-    """Greedy speculative decode as ONE jitted device program — zero host
+    """Speculative decode as ONE jitted device program — zero host
     round-trips (the host-loop variant pays a dispatch per draft step,
     ruinous over a remote tunnel; here the whole generation is a single
-    lax.while_loop dispatch). Token-identical to target-only greedy.
+    lax.while_loop dispatch). temperature <= 0: token-identical to
+    target-only greedy. temperature > 0: device-side speculative
+    SAMPLING (rejection scheme, _accept_and_correct_jax) distributed
+    exactly as target-only temperature sampling.
 
     TPU-first mechanics:
     - static shapes throughout: every round ingests a fixed 2-token chunk
@@ -257,57 +262,81 @@ def speculative_generate_jit(
     assert draft_cfg.max_seq_len >= need, (draft_cfg.max_seq_len, need)
 
     cache_key = (target_cfg, draft_cfg, B, T, max_new_tokens, gamma,
-                 target_forward, draft_forward)
+                 target_forward, draft_forward, float(temperature))
     cached = _JIT_CACHE.get(cache_key)
+    sampling = temperature > 0.0
+    key0 = jax.random.PRNGKey(seed)
     if cached is not None:
-        out, rounds = cached(target_params, draft_params, prompts)
+        out, rounds = cached(target_params, draft_params, prompts, key0)
         return out, {"rounds": rounds}
 
-    def run(target_params, draft_params, prompts):
+    def run(target_params, draft_params, prompts, key0):
         t_cache = init_kv_cache(target_cfg, B)
         d_cache = init_kv_cache(draft_cfg, B)
         pos = jnp.broadcast_to(jnp.arange(T), (B, T))
         logits, t_cache = target_forward(target_params, target_cfg, prompts, t_cache, pos)
         _, d_cache = draft_forward(draft_params, draft_cfg, prompts, d_cache, pos)
-        first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
+        key0_, kfirst = jax.random.split(key0)
+        if sampling:
+            first = jax.random.categorical(
+                kfirst, logits[:, -1].astype(jnp.float32) / temperature, axis=-1
+            ).astype(jnp.int32)
+        else:
+            first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
 
         L = max_new_tokens + gamma + 2
         out = jnp.zeros((B, L), jnp.int32)
         out = out.at[:, 0].set(first)
 
         def cond(state):
-            _, _, _, _, n_done, _, _, _ = state
+            n_done = state[4]
             return n_done < max_new_tokens
 
         def body(state):
-            t_cache, d_cache, out, cur, n_done, last, prev, rounds = state
+            t_cache, d_cache, out, cur, n_done, last, prev, rounds, key = state
+            key, kacc = jax.random.split(key)
             # draft ingests [prev@cur-1 (idempotent rewrite), last@cur]
             chunk = jnp.stack([prev, last], axis=1)
             cpos = jnp.stack([jnp.full((B,), cur - 1), jnp.full((B,), cur)], axis=1)
             dl, d_cache = draft_forward(draft_params, draft_cfg, chunk, d_cache, cpos)
-            d = jnp.argmax(dl[:, -1], axis=-1).astype(jnp.int32)
-            d_toks = [d]
+
+            def propose(step_logits, j):
+                if not sampling:
+                    return jnp.argmax(step_logits, axis=-1).astype(jnp.int32), None
+                kj = jax.random.fold_in(key, j)
+                ql = step_logits.astype(jnp.float32) / temperature
+                tok = jax.random.categorical(kj, ql, axis=-1).astype(jnp.int32)
+                return tok, jax.nn.softmax(ql, axis=-1)
+
+            d, q0 = propose(dl[:, -1], 0)
+            d_toks, q_rows = [d], [q0]
             for j in range(1, gamma):
                 dl, d_cache = draft_forward(
                     draft_params, draft_cfg, d[:, None], d_cache,
                     jnp.full((B, 1), cur + j),
                 )
-                d = jnp.argmax(dl[:, 0], axis=-1).astype(jnp.int32)
+                d, qj = propose(dl[:, 0], j)
                 d_toks.append(d)
+                q_rows.append(qj)
             d_tokens = jnp.stack(d_toks, axis=1)  # (B, gamma)
 
             ver = jnp.concatenate([last[:, None], d_tokens], axis=1)
             vpos = cur + jnp.broadcast_to(jnp.arange(gamma + 1), (B, gamma + 1))
             vl, t_cache = target_forward(target_params, target_cfg, ver, t_cache, vpos)
-            tgt = jnp.argmax(vl, axis=-1).astype(jnp.int32)  # (B, gamma+1)
-
-            match = (d_tokens == tgt[:, :gamma]).astype(jnp.int32)
-            acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (B,) accepted count
+            if sampling:
+                p_all = jax.nn.softmax(vl.astype(jnp.float32) / temperature, axis=-1)
+                acc, fix = _accept_and_correct_jax(
+                    d_tokens, jnp.stack(q_rows, axis=1), p_all, kacc
+                )
+            else:
+                tgt = jnp.argmax(vl, axis=-1).astype(jnp.int32)  # (B, gamma+1)
+                match = (d_tokens == tgt[:, :gamma]).astype(jnp.int32)
+                acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (B,)
+                fix = jnp.take_along_axis(tgt, acc[:, None], axis=1)[:, 0]
             step = jnp.min(acc) + 1
 
             # candidates: d_1..d_gamma with the correction spliced at acc
             cand = jnp.concatenate([d_tokens, d_tokens[:, -1:]], axis=1)  # (B, g+1)
-            fix = jnp.take_along_axis(tgt, acc[:, None], axis=1)[:, 0]
             cand = cand.at[jnp.arange(B), acc].set(fix)
 
             # committed tokens start at out index n_done (`last` sits at
@@ -320,24 +349,50 @@ def speculative_generate_jit(
                 last,
             )
             return (t_cache, d_cache, out, cur + step, n_done + step,
-                    new_last, new_prev, rounds + 1)
+                    new_last, new_prev, rounds + 1, key)
 
         state = (
             t_cache, d_cache, out, jnp.int32(T), jnp.int32(1),
-            first, prompts[:, -1], jnp.int32(0),
+            first, prompts[:, -1], jnp.int32(0), key0_,
         )
-        t_cache, d_cache, out, cur, n_done, last, prev, rounds = jax.lax.while_loop(
-            cond, body, state
-        )
-        return out[:, :max_new_tokens], rounds
+        state = jax.lax.while_loop(cond, body, state)
+        return state[2][:, :max_new_tokens], state[7]
 
     jitted = jax.jit(run)
     # cache the jit wrapper: rebuilding it per call re-TRACES the whole
     # multi-forward while_loop every time (measured ~120 ms/call of pure
     # tracing for an 8-layer model)
     _JIT_CACHE[cache_key] = jitted
-    out, rounds = jitted(target_params, draft_params, prompts)
+    out, rounds = jitted(target_params, draft_params, prompts, key0)
     return out, {"rounds": rounds}
 
 
 _JIT_CACHE: Dict = {}
+
+
+def _accept_and_correct_jax(d_tokens, q, p, key):
+    """Vectorized jax version of _accept_and_correct (same lemma, runs
+    inside the jitted loop): accept d_j while u_j < p_j(d_j)/q_j(d_j);
+    first rejection resamples from norm(relu(p_j - q_j)); full acceptance
+    draws the bonus from p_gamma. Returns (acc (B,), fix (B,))."""
+    B, g = d_tokens.shape
+    ku, kf = jax.random.split(key)
+    u = jax.random.uniform(ku, (B, g))
+    p_at = jnp.take_along_axis(p[:, :g], d_tokens[..., None], axis=-1)[..., 0]
+    q_at = jnp.take_along_axis(q, d_tokens[..., None], axis=-1)[..., 0]
+    accept = u < p_at / jnp.maximum(q_at, 1e-30)  # (B, g)
+    acc = jnp.cumprod(accept.astype(jnp.int32), axis=1).sum(axis=1)  # (B,)
+
+    # residual distribution at the rejection point (or p_gamma bonus)
+    p_row = jnp.take_along_axis(p, acc[:, None, None], axis=1)[:, 0]  # (B, V)
+    full = acc >= g
+    q_row = jnp.take_along_axis(
+        q, jnp.minimum(acc, g - 1)[:, None, None], axis=1
+    )[:, 0]
+    resid = jnp.where(full[:, None], p_row, jnp.maximum(p_row - q_row, 0.0))
+    # degenerate residual (p <= q everywhere): fall back to p_row
+    resid = jnp.where(
+        (resid.sum(-1, keepdims=True) <= 0.0), p_row, resid
+    )
+    fix = jax.random.categorical(kf, jnp.log(jnp.maximum(resid, 1e-38)), axis=-1)
+    return acc, fix.astype(jnp.int32)

@@ -363,3 +363,43 @@ def test_speculative_acceptance_on_trained_model():
     assert list(out[0]) == ref
     # trained logits are peaked: the cross-quantization draft mostly agrees
     assert stats["accept_rate"] > 0.6, stats
+
+
+def test_jax_acceptance_preserves_target_distribution():
+    """The in-jit rejection round (_accept_and_correct_jax) must emit
+    tokens distributed exactly as p, like the numpy helper."""
+    from bitsandbytes_sycl_tpu.engine.speculative import _accept_and_correct_jax
+
+    rng = np.random.default_rng(0)
+    V = 8
+    q = rng.dirichlet(np.ones(V)).astype(np.float32)
+    p = rng.dirichlet(np.ones(V)).astype(np.float32)
+    N = 120_000
+    d = rng.choice(V, size=N, p=q).astype(np.int32)
+    qb = jnp.broadcast_to(jnp.asarray(q), (N, 1, V))
+    pb = jnp.broadcast_to(jnp.asarray(p), (N, 2, V))
+    acc, fix = jax.jit(_accept_and_correct_jax)(
+        jnp.asarray(d[:, None]), qb, pb, jax.random.PRNGKey(1)
+    )
+    emitted = np.where(np.asarray(acc) == 1, d, np.asarray(fix))
+    emp = np.bincount(emitted, minlength=V) / N
+    assert np.abs(emp - p).max() < 5 * np.sqrt(p.max() / N) + 1e-3, (emp, p)
+
+
+def test_speculative_jit_sampling_runs(setup):
+    from bitsandbytes_sycl_tpu.engine.speculative import speculative_generate_jit
+
+    cfg, params = setup
+    prompts = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    out, stats = speculative_generate_jit(
+        params, cfg, params, cfg, prompts, 8, gamma=3, temperature=0.8, seed=2
+    )
+    out = np.asarray(out)
+    assert out.shape == (1, 8)
+    assert all(0 <= t < cfg.vocab_size for t in out[0])
+    # near-zero temperature ~= greedy: must match the greedy jit output
+    outc, _ = speculative_generate_jit(
+        params, cfg, params, cfg, prompts, 8, gamma=3, temperature=1e-6, seed=2
+    )
+    outg, _ = speculative_generate_jit(params, cfg, params, cfg, prompts, 8, gamma=3)
+    np.testing.assert_array_equal(np.asarray(outc), np.asarray(outg))

@@ -130,7 +130,8 @@ def main():
                 return 0
             last_err = err
             print(f"attempt n={n} #{a} failed: {err}", file=sys.stderr, flush=True)
-            time.sleep(60)
+            if (n, a) != (plan[-1][0], plan[-1][1] - 1):
+                time.sleep(60)
     # never exit non-zero with no JSON: emit a sentinel record
     print(
         json.dumps(

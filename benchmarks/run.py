@@ -299,38 +299,55 @@ def spec_decode():
     drf = quantize_params(fp, cfg_d)
     prompts = jnp.asarray(np.random.default_rng(0).integers(1, 32000, (B, T)), jnp.int32)
 
-    # plain greedy decode as one scan dispatch
-    @jax.jit
-    def plain(params, prompts):
-        cache = init_kv_cache(cfg_t, B)
-        pos = jnp.broadcast_to(jnp.arange(T), (B, T))
-        lg, cache = llama_forward(params, cfg_t, prompts, cache, pos)
-        tok0 = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+    # per-token time as a GENERATION-LENGTH delta: t(64 new) - t(16 new)
+    # over 48 tokens — cancels the ~30 ms tunnel dispatch latency and the
+    # shared prefill (CLAUDE.md delta methodology, applied per-generation
+    # since each generation is already one fused dispatch)
+    LO = 16
 
-        def step(carry, _):
-            cache, tok, p = carry
-            lg, cache = llama_forward(params, cfg_t, tok[:, None], cache, p[:, None])
-            return (cache, jnp.argmax(lg[:, 0], -1).astype(jnp.int32), p + 1), tok
+    def make_plain(new):
+        @jax.jit
+        def plain(params, prompts):
+            cache = init_kv_cache(cfg_t, B)
+            pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+            lg, cache = llama_forward(params, cfg_t, prompts, cache, pos)
+            tok0 = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
 
-        (_, _, _), toks = jax.lax.scan(
-            step, (cache, tok0, jnp.full((B,), T, jnp.int32)), jnp.arange(NEW)
-        )
-        return toks
+            def step(carry, _):
+                cache, tok, p = carry
+                lg, cache = llama_forward(params, cfg_t, tok[:, None], cache, p[:, None])
+                return (cache, jnp.argmax(lg[:, 0], -1).astype(jnp.int32), p + 1), tok
 
-    np.asarray(plain(tgt, prompts))
-    t_plain = min(timeit.timeit(lambda: np.asarray(plain(tgt, prompts)), number=1) for _ in range(4))
+            (_, _, _), toks = jax.lax.scan(
+                step, (cache, tok0, jnp.full((B,), T, jnp.int32)), jnp.arange(new)
+            )
+            return toks
 
-    def spec():
-        out, stats = speculative_generate_jit(tgt, cfg_t, drf, cfg_d, prompts, NEW, gamma=GAMMA)
+        np.asarray(plain(tgt, prompts))
+        return plain
+
+    plains = {n: make_plain(n) for n in (LO, NEW)}
+
+    def t_of(fn):
+        return min(timeit.timeit(lambda: np.asarray(fn(tgt, prompts)), number=1) for _ in range(4))
+
+    t_plain = (t_of(plains[NEW]) - t_of(plains[LO])) / (NEW - LO)
+
+    def spec(new):
+        out, stats = speculative_generate_jit(tgt, cfg_t, drf, cfg_d, prompts, new, gamma=GAMMA)
         return np.asarray(out), int(stats["rounds"])
 
-    _, rounds = spec()
-    t_spec = min(timeit.timeit(lambda: spec(), number=1) for _ in range(4))
-    toks_per_round = (NEW - 1) / max(rounds, 1)
-    _emit("spec_decode_plain", NEW / t_plain, "tok/s")
-    _emit("spec_decode_speculative", NEW / t_spec, "tok/s")
+    _, rounds_lo = spec(LO)
+    _, rounds = spec(NEW)
+    t_s = {}
+    for n in (LO, NEW):
+        t_s[n] = min(timeit.timeit(lambda n=n: spec(n), number=1) for _ in range(4))
+    t_spec = (t_s[NEW] - t_s[LO]) / (NEW - LO)
+    toks_per_round = (NEW - LO) / max(rounds - rounds_lo, 1)
+    _emit("spec_decode_plain", 1.0 / t_plain, "tok/s (delta method)")
+    _emit("spec_decode_speculative", 1.0 / t_spec, "tok/s (delta method)")
     _emit("spec_decode_tokens_per_round", toks_per_round, f"tok/round (ceiling {GAMMA+1})")
-    print(f"# rounds={rounds} t_plain={t_plain*1e3:.1f}ms t_spec={t_spec*1e3:.1f}ms", file=sys.stderr)
+    print(f"# rounds={rounds} t_plain={t_plain*1e3:.2f}ms/tok t_spec={t_spec*1e3:.2f}ms/tok", file=sys.stderr)
 
 
 EXTRA["spec_decode"] = spec_decode

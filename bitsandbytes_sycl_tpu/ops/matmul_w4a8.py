@@ -60,9 +60,12 @@ def _decode_plane_i8(b: jax.Array, table_i8, shift: int) -> jax.Array:
 
 
 def _w4a8_kernel(
-    x_hi_ref, x_lo_ref, inv_ref, w_ref, s_ref, bias_ref, o_ref, acc_ref,
+    x_hi_ref, x_lo_ref, w_ref, s_ref, bias_ref, o_ref, acc_ref,
     *, table_i8, blocksize, nk, out_dtype, has_bias,
 ):
+    """Activations arrive PRE-quantized int8 (one pass outside the kernel
+    already computed the row absmax, so quantizing there is free and cuts
+    the x DMA 4x vs shipping f32 and re-quantizing per (n, k, plane))."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -75,10 +78,7 @@ def _w4a8_kernel(
 
     nb = w_ref.shape[0] // blocksize
     for plane, (x_ref, wq) in enumerate(((x_hi_ref, w_hi), (x_lo_ref, w_lo))):
-        # per-row int8 activation quantization in VMEM
-        xq = jnp.clip(
-            jnp.round(x_ref[:].astype(jnp.float32) * inv_ref[:]), -127.0, 127.0
-        ).astype(jnp.int8)
+        xq = x_ref[:]
         for blk in range(nb):
             d = jax.lax.dot_general(
                 xq[:, blk * blocksize : (blk + 1) * blocksize],
@@ -92,7 +92,7 @@ def _w4a8_kernel(
 
     @pl.when(k == nk - 1)
     def _():
-        out = acc_ref[:] * (inv_ref[:] != 0.0).astype(jnp.float32)  # keep 0-rows 0
+        out = acc_ref[:]
         if has_bias:
             out = out + bias_ref[:].astype(jnp.float32)
         o_ref[:] = out.astype(out_dtype)
@@ -104,13 +104,12 @@ def _w4a8_call(x, row_absmax, w: QLinearWeight, bias, out_dtype, tm, tn, tkb):
     N = w.shape[0]
     nk = (K // 2) // tkb
     bs = w.blocksize
-    # inv carries x->int8 scale; the epilogue scale (absmax_x/127 * s/127)
-    # is split: s/127... the weight code grid is /127, activation /127:
-    # fold both 1/127 factors + absmax_x into the per-row inv/post scales.
-    inv = (127.0 * safe_inv(row_absmax)).reshape(M, 1)
-    # per-block weight scales premultiplied by absmax_x/(127*127) would mix
-    # row and block axes; instead scale s by 1/127 (code grid) and apply
-    # the row factor absmax_x/127 via the output: fold into inv at the end
+    # quantize activations int8 ONCE (XLA fuses with the absmax pass);
+    # the two 1/127 grid factors (codes, activations) and the per-row
+    # absmax_x fold into s (per block) and the output scale (per row)
+    xq = jnp.clip(
+        jnp.round(x * (127.0 * safe_inv(row_absmax)).reshape(M, 1)), -127.0, 127.0
+    ).astype(jnp.int8)
     s = w.scales_f32() * (1.0 / 127.0)
 
     kernel = functools.partial(
@@ -130,7 +129,6 @@ def _w4a8_call(x, row_absmax, w: QLinearWeight, bias, out_dtype, tm, tn, tkb):
             pl.BlockSpec(
                 (tm, tkb), lambda m, n, k, _half=nk: (m, k + _half), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((tm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tkb, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, tkb // bs, tn), lambda m, n, k: (0, k, n), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
@@ -140,11 +138,11 @@ def _w4a8_call(x, row_absmax, w: QLinearWeight, bias, out_dtype, tm, tn, tkb):
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=M * K * 2 + N * K // 2 + (N * K // bs) * 4 + M * N * 4,
+            bytes_accessed=M * K + N * K // 2 + (N * K // bs) * 4 + M * N * 4,
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(x, x, inv, w.packed, s, bias_arr)
+    )(xq, xq, w.packed, s, bias_arr)
     # per-row activation scale (absmax_x / 127): applied once outside
     out = out * (row_absmax.reshape(M, 1) / 127.0)
     if bias is not None:

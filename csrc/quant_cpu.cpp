@@ -161,6 +161,48 @@ void pack_planar_transposed_cpu(const uint8_t* codes, uint8_t* out, long N, long
   });
 }
 
-int quant_cpu_version() { return 1; }
+// ---- checkpoint-loader dtype converters (multithreaded) ------------------
+// Real HF checkpoints ship bf16/fp16 safetensors; numpy has no bf16 and
+// the python-side loop would be single-threaded. These feed the mmap'd
+// shard bytes straight into f32 buffers (checkpoints.read_safetensors).
+
+void bf16_to_f32_cpu(const uint16_t* src, float* dst, long n) {
+  parallel_blocks(n / 65536 + 1, [&](long blo, long bhi) {
+    long lo = blo * 65536, hi = std::min<long>(n, bhi * 65536);
+    for (long i = lo; i < hi; ++i) {
+      uint32_t u = static_cast<uint32_t>(src[i]) << 16;
+      std::memcpy(&dst[i], &u, 4);
+    }
+  });
+}
+
+void fp16_to_f32_cpu(const uint16_t* src, float* dst, long n) {
+  parallel_blocks(n / 65536 + 1, [&](long blo, long bhi) {
+    long lo = blo * 65536, hi = std::min<long>(n, bhi * 65536);
+    for (long i = lo; i < hi; ++i) {
+      uint16_t h = src[i];
+      uint32_t sign = static_cast<uint32_t>(h & 0x8000u) << 16;
+      uint32_t exp = (h >> 10) & 0x1F;
+      uint32_t mant = h & 0x3FF;
+      uint32_t u;
+      if (exp == 0) {
+        if (mant == 0) {
+          u = sign;  // +-0
+        } else {  // subnormal: renormalize
+          int e = -1;
+          do { mant <<= 1; ++e; } while (!(mant & 0x400));
+          u = sign | ((112 - e) << 23) | ((mant & 0x3FF) << 13);
+        }
+      } else if (exp == 31) {
+        u = sign | 0x7F800000u | (mant << 13);  // inf/nan
+      } else {
+        u = sign | ((exp + 112) << 23) | (mant << 13);
+      }
+      std::memcpy(&dst[i], &u, 4);
+    }
+  });
+}
+
+int quant_cpu_version() { return 2; }
 
 }  // extern "C"

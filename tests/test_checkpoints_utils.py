@@ -178,3 +178,44 @@ def test_debug_check_quant_state():
 
     err, _ = checkify.checkify(f)()
     checkify.check_error(err)  # no error on a healthy state
+
+
+def test_native_safetensors_reader_handles_bf16(tmp_path):
+    """read_safetensors parses shards natively (mmap + C++ converters) —
+    including BF16, which safetensors' numpy framework cannot load and
+    which real HF Llama checkpoints ship."""
+    import json
+    import struct
+
+    from bitsandbytes_sycl_tpu.checkpoints import read_safetensors
+
+    rng = np.random.default_rng(0)
+    f32 = rng.normal(size=(4, 8)).astype(np.float32)
+    f16 = rng.normal(size=(3, 5)).astype(np.float16)
+    bf_src = rng.normal(size=(2, 6)).astype(np.float32)
+    bf16_bits = (bf_src.view(np.uint32) >> 16).astype(np.uint16)  # truncate
+    i64 = np.arange(7, dtype=np.int64)
+
+    bufs = {
+        "a_f32": ("F32", f32.tobytes(), f32.shape),
+        "b_f16": ("F16", f16.tobytes(), f16.shape),
+        "c_bf16": ("BF16", bf16_bits.tobytes(), bf_src.shape),
+        "d_i64": ("I64", i64.tobytes(), i64.shape),
+    }
+    header, blob, off = {}, b"", 0
+    for name, (dt, raw, shape) in bufs.items():
+        header[name] = {"dtype": dt, "shape": list(shape),
+                        "data_offsets": [off, off + len(raw)]}
+        blob += raw
+        off += len(raw)
+    hjson = json.dumps(header).encode()
+    path = tmp_path / "model.safetensors"
+    path.write_bytes(struct.pack("<Q", len(hjson)) + hjson + blob)
+
+    out = read_safetensors(str(path))
+    np.testing.assert_array_equal(out["a_f32"], f32)
+    np.testing.assert_array_equal(out["b_f16"], f16.astype(np.float32))
+    np.testing.assert_array_equal(
+        out["c_bf16"], (bf16_bits.astype(np.uint32) << 16).view(np.float32)
+    )
+    np.testing.assert_array_equal(out["d_i64"], i64)

@@ -503,3 +503,24 @@ def test_matmul_4bit_w4a8_bias_and_fallback(weight):
     yc = np.asarray(matmul_4bit_w4a8(x, qwc, out_dtype=jnp.float32))
     ref = np.asarray(x) @ np.asarray(qwc.dequantize(), np.float32).T
     np.testing.assert_allclose(yc, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_matmul_4bit_fused_whole_half_tile():
+    """K whose half isn't a multiple of 8 blocks (llama down_proj K=5632
+    class) takes the whole-half-plane escape hatch (ops/matmul_4bit.py
+    _nk_tiles) — absmax tile dim equals the array dim."""
+    K = 1152  # half=576: 576 % 512 != 0, 576 % 64 == 0 -> whole-half tile
+    rng = np.random.default_rng(11)
+    W = jnp.asarray(rng.normal(size=(256, K)) * 0.02, jnp.float32)
+    qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+    x = jnp.asarray(rng.normal(size=(8, K)), jnp.float32)
+    y = matmul_4bit_fused(x, qw, compute_dtype=jnp.float32)
+    ref = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+    # W4A8 covers the same escape hatch
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit_w4a8
+
+    y8 = np.asarray(matmul_4bit_w4a8(x, qw, out_dtype=jnp.float32))
+    rel = np.abs(y8 - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel

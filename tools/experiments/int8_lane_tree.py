@@ -3,6 +3,9 @@
 
 Result: YES — uint8 bit-tests + int8-valued selects compile through
 Mosaic and produce correct codes (OK=True), at (512, 256)-sized blocks.
+Measured rates (incl. a shared f32->u8 input-conversion harness that
+compresses the ratios): f32 67, bf16 87, int8 116 Gelem/s — int8 lanes
+run the tree ~1.7x the f32 rate / 1.33x bf16.
 (Bigger blocks hit the scoped-vmem stack limit: ~15 live (rows, N) f32
 temporaries; the f32 probe at (512, 4096) OOM'd at 20.9 MB.)
 This is the enabling fact for the W4A8 path (ops/matmul_w4a8.py): the

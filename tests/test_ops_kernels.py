@@ -474,12 +474,14 @@ def test_matmul_4bit_w4a8_matches_quantized_reference(K):
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_matmul_4bit_w4a8_accuracy_envelope(weight):
+@pytest.mark.parametrize("quant_type", ["nf4", "fp4", "af4"])
+def test_matmul_4bit_w4a8_accuracy_envelope(weight, quant_type):
     """vs the exact fp32 matmul: W4A8 adds LLM.int8-class activation
-    noise on top of NF4 — must stay within a few percent."""
+    noise on top of the 4-bit codebook — must stay within a few percent
+    (the int8 code table is generic over any 16-entry codebook)."""
     from bitsandbytes_sycl_tpu.ops import matmul_4bit_w4a8
 
-    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type=quant_type)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(16, 1024)), jnp.float32)
     y = np.asarray(matmul_4bit_w4a8(x, qw, out_dtype=jnp.float32))

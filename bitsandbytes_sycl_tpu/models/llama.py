@@ -46,7 +46,7 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
-    # weight quantization: "nf4" | "fp4" | "int4" | "int8" | "none"
+    # weight quantization: "nf4" | "fp4" | "int4" | "af4" | "int8" | "none"
     quant: str = "nf4"
     blocksize: int = 64
     # 8-bit per-block scales decoded in-kernel (reference nested stats,
@@ -88,7 +88,7 @@ class LlamaConfig:
 
 
 def _quantize_linear(W: jax.Array, cfg: LlamaConfig):
-    if cfg.quant in ("nf4", "fp4", "int4"):
+    if cfg.quant in ("nf4", "fp4", "int4", "af4"):
         return quantize_4bit_native(
             W, blocksize=cfg.blocksize, quant_type=cfg.quant,
             compress_statistics=cfg.compress_stats,

@@ -316,6 +316,36 @@ class InferenceEngine:
         return [results[i] for i in range(len(prompts))]
 
 
+    def generate_speculative(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int,
+        draft_params: Dict,
+        draft_cfg,
+        gamma: int = 4,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ) -> List[List[int]]:
+        """Latency-oriented speculative generation: the whole batch runs
+        the single-dispatch jitted draft-verify loop (engine/speculative.py)
+        against this engine's model as the target. Requires equal-length
+        prompts (the lockstep loop shares one cursor); use generate() for
+        ragged continuous batching. Does not touch the slot pool/cache."""
+        from .speculative import speculative_generate_jit
+
+        lens = {len(p) for p in prompts}
+        if len(lens) != 1:
+            raise ValueError(
+                "generate_speculative needs equal-length prompts "
+                f"(got lengths {sorted(lens)}); use generate() for ragged batches"
+            )
+        toks = jnp.asarray(list(prompts), jnp.int32)
+        out, _stats = speculative_generate_jit(
+            self.params, self.mcfg, draft_params, draft_cfg, toks,
+            max_new_tokens, gamma=gamma, temperature=temperature, seed=seed,
+        )
+        return [list(map(int, row)) for row in np.asarray(out)]
+
     # ------------------------------------------------------------- recovery
     def snapshot(self) -> Dict:
         """Checkpointable engine state: the (quantized) KV cache plus the

@@ -418,3 +418,16 @@ def test_engine_with_a8_decode(setup):
     outs = eng.generate([[1, 2, 3], [7, 8, 9, 10]])
     assert [len(o) for o in outs] == [5, 5]
     assert all(0 <= t < cfg.vocab_size for o in outs for t in o)
+
+
+def test_engine_generate_speculative(setup):
+    """Engine-level speculative API: greedy output equals the plain
+    engine's greedy decode for equal-length prompts; ragged raises."""
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, EngineConfig(max_batch=2, max_new_tokens=8))
+    prompts = [[1, 2, 3, 4], [9, 8, 7, 6]]
+    ref = eng.generate(prompts, max_new_tokens=8)
+    out = eng.generate_speculative(prompts, 8, params, cfg, gamma=3)
+    assert out == ref, (out, ref)
+    with pytest.raises(ValueError):
+        eng.generate_speculative([[1, 2], [1, 2, 3]], 4, params, cfg)

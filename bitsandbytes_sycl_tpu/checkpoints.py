@@ -244,15 +244,32 @@ def read_safetensors(path: str) -> Dict[str, np.ndarray]:
     import json
     import struct
 
-    from .native import bf16_to_f32, fp16_to_f32
+    def _bf16(b):
+        # zero-conversion view when ml_dtypes is available (keeps the
+        # loaded dict at 2 bytes/elem); else the C++/numpy converter
+        try:
+            import ml_dtypes
+
+            return np.frombuffer(b, ml_dtypes.bfloat16)
+        except ImportError:
+            from .native import bf16_to_f32
+
+            return bf16_to_f32(np.frombuffer(b, np.uint16))
 
     _CONVERT = {
         "F32": lambda b: np.frombuffer(b, np.float32),
         "F64": lambda b: np.frombuffer(b, np.float64).astype(np.float32),
-        "F16": lambda b: fp16_to_f32(np.frombuffer(b, np.uint16)),
-        "BF16": lambda b: bf16_to_f32(np.frombuffer(b, np.uint16)),
+        # F16 stays float16 (numpy-native) — materializing f32 here would
+        # double host RAM for a whole checkpoint; downstream quantizers
+        # upcast one tensor at a time
+        "F16": lambda b: np.frombuffer(b, np.float16),
+        "BF16": _bf16,
         "I64": lambda b: np.frombuffer(b, np.int64),
+        "U64": lambda b: np.frombuffer(b, np.uint64),
         "I32": lambda b: np.frombuffer(b, np.int32),
+        "U32": lambda b: np.frombuffer(b, np.uint32),
+        "I16": lambda b: np.frombuffer(b, np.int16),
+        "U16": lambda b: np.frombuffer(b, np.uint16),
         "I8": lambda b: np.frombuffer(b, np.int8),
         "U8": lambda b: np.frombuffer(b, np.uint8),
         "BOOL": lambda b: np.frombuffer(b, np.bool_),

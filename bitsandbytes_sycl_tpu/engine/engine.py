@@ -176,6 +176,8 @@ class InferenceEngine:
         self._prefill = prefill_fn
         self._insert = insert_fn
         self._decode = decode_fn
+        self._fwd = fwd
+        self._init_cache = init_cache
 
     def _next_key(self):
         self._rng, key = jax.random.split(self._rng)
@@ -328,11 +330,18 @@ class InferenceEngine:
     ) -> List[List[int]]:
         """Latency-oriented speculative generation: the whole batch runs
         the single-dispatch jitted draft-verify loop (engine/speculative.py)
-        against this engine's model as the target. Requires equal-length
-        prompts (the lockstep loop shares one cursor); use generate() for
-        ragged continuous batching. Does not touch the slot pool/cache."""
+        against this engine's model (its forward_fn) as the target.
+        Requires equal-length prompts (the lockstep loop shares one
+        cursor); use generate() for ragged continuous batching. Does not
+        touch the slot pool/cache. EOS truncation matches generate()
+        (output includes the EOS token, nothing after it)."""
         from .speculative import speculative_generate_jit
 
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "speculative decoding under a TP mesh is not wired "
+                "(the jitted loop builds its own unsharded caches)"
+            )
         lens = {len(p) for p in prompts}
         if len(lens) != 1:
             raise ValueError(
@@ -343,8 +352,13 @@ class InferenceEngine:
         out, _stats = speculative_generate_jit(
             self.params, self.mcfg, draft_params, draft_cfg, toks,
             max_new_tokens, gamma=gamma, temperature=temperature, seed=seed,
+            target_forward=self._fwd,
         )
-        return [list(map(int, row)) for row in np.asarray(out)]
+        rows = [list(map(int, row)) for row in np.asarray(out)]
+        eos = self.ecfg.eos_token
+        if eos >= 0:
+            rows = [r[: r.index(eos) + 1] if eos in r else r for r in rows]
+        return rows
 
     # ------------------------------------------------------------- recovery
     def snapshot(self) -> Dict:

@@ -118,7 +118,8 @@ def _lora_for(lora, li: int, name: str):
 def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None) -> jax.Array:
     if isinstance(w, QLinearWeight):
         rows = int(np.prod(x.shape[:-1]))
-        if getattr(cfg, "a8_decode", False) and 0 < rows <= 64:
+        # int4's arithmetic decode already beats W4A8 (docs/PERFORMANCE.md)
+        if getattr(cfg, "a8_decode", False) and 0 < rows <= 64 and w.quant_type != "int4":
             from ..ops.matmul_w4a8 import matmul_4bit_w4a8
 
             out = matmul_4bit_w4a8(x, w, out_dtype=cfg.dtype)

@@ -46,9 +46,12 @@ def get_native_library() -> Optional[ct.CDLL]:
         return _lib
     _tried = True
     src = os.path.join(_CSRC, "quant_cpu.cpp")
+    # versioned tmp name: a stale v(N-1) tmp build can never shadow the
+    # rebuild of a newer source
+    tmp_name = f"bnb_tpu_v{_REQUIRED_VERSION}_" + _LIB_NAME
     candidates = [
         os.path.join(_CSRC, _LIB_NAME),
-        os.path.join(tempfile.gettempdir(), "bnb_tpu_" + _LIB_NAME),
+        os.path.join(tempfile.gettempdir(), tmp_name),
     ]
     for path in candidates:
         if not os.path.exists(path):
@@ -59,9 +62,9 @@ def get_native_library() -> Optional[ct.CDLL]:
             lib.quant_cpu_version.restype = ct.c_int
             version = lib.quant_cpu_version()
             if version < _REQUIRED_VERSION and os.path.exists(src):
-                # stale prebuilt .so: rebuild into tmp and prefer that
-                tmp = os.path.join(tempfile.gettempdir(), "bnb_tpu_" + _LIB_NAME)
-                if path != tmp and _build(src, tmp):
+                # stale prebuilt .so: rebuild into the versioned tmp path
+                tmp = os.path.join(tempfile.gettempdir(), tmp_name)
+                if _build(src, tmp):
                     lib = ct.CDLL(tmp)
                     lib.quant_cpu_version.restype = ct.c_int
                     version = lib.quant_cpu_version()

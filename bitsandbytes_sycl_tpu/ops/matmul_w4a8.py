@@ -166,13 +166,18 @@ def matmul_4bit_w4a8(
     lead = x.shape[:-1]
     M = int(np.prod(lead)) if lead else 1
     tn, tkb = _nk_tiles(w, N, K)
-    tm = _pick_tile(M, (128, 64, 32, 16, 8))
     if (
-        M == 0 or tn is None or tkb is None or tm is None
+        M == 0 or tn is None or tkb is None
         or w.compressed or K % (2 * w.blocksize) != 0
     ):
         return matmul_4bit_fused(x, w, bias, compute_dtype=out_dtype)
     x2 = x.reshape(M, K).astype(jnp.float32)
+    tm = _pick_tile(M, (128, 64, 32, 16, 8))
+    Mp = M
+    if tm is None:  # pad ragged M (decode B=1..7) up to a multiple of 8
+        Mp = ((M + 7) // 8) * 8
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+        tm = _pick_tile(Mp, (128, 64, 32, 16, 8))
     row_absmax = jnp.max(jnp.abs(x2), axis=1)
     out = _w4a8_call(x2, row_absmax, w, bias, out_dtype, tm, tn, tkb)
-    return out.reshape(*lead, N)
+    return out[:M].reshape(*lead, N)

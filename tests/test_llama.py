@@ -181,20 +181,36 @@ def test_a8_decode_close_to_exact_path():
     params = init_params(cfg, jax.random.PRNGKey(0))
     cfg8 = dataclasses.replace(cfg, a8_decode=True)
 
-    toks = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
-    pos = jnp.broadcast_to(jnp.arange(4), (1, 4))
+    toks = jnp.asarray([[5, 6, 7, 8, 1, 2, 3, 4]], jnp.int32)  # M=8 rows
+    pos = jnp.broadcast_to(jnp.arange(8), (1, 8))
     c1 = init_kv_cache(cfg, 1)
     c2 = init_kv_cache(cfg8, 1)
-    # prefill (M=4 <= 64 so W4A8 applies here too at this tiny size)
-    l1, c1 = llama_forward(params, cfg, toks, c1, pos)
-    l2, c2 = llama_forward(params, cfg8, toks, c2, pos)
+    # prefill M=8 and decode M=1 (padded) BOTH route through the W4A8
+    # kernel; assert the route is actually taken so this test cannot
+    # silently compare the exact path against itself
+    import bitsandbytes_sycl_tpu.ops.matmul_w4a8 as w4a8_mod
+
+    calls = {"n": 0}
+    orig = w4a8_mod._w4a8_call
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    w4a8_mod._w4a8_call = counted
+    try:
+        l1, c1 = llama_forward(params, cfg, toks, c1, pos)
+        l2, c2 = llama_forward(params, cfg8, toks, c2, pos)
+        assert calls["n"] > 0, "W4A8 kernel was never invoked"
+    finally:
+        w4a8_mod._w4a8_call = orig
     a, b = np.asarray(l1, np.float32), np.asarray(l2, np.float32)
     rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
     assert rel < 0.05, rel
 
-    # decode step
-    d1, _ = llama_forward(params, cfg, toks[:, -1:], c1, jnp.full((1, 1), 4, jnp.int32))
-    d2, _ = llama_forward(params, cfg8, toks[:, -1:], c2, jnp.full((1, 1), 4, jnp.int32))
+    # decode step (M=1: the ragged-M pad path)
+    d1, _ = llama_forward(params, cfg, toks[:, -1:], c1, jnp.full((1, 1), 8, jnp.int32))
+    d2, _ = llama_forward(params, cfg8, toks[:, -1:], c2, jnp.full((1, 1), 8, jnp.int32))
     a, b = np.asarray(d1, np.float32), np.asarray(d2, np.float32)
     rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
     assert rel < 0.05, rel

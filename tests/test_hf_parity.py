@@ -121,3 +121,30 @@ def test_hf_gptj_nf4_and_cache_decode(hf_gptj):
         np.asarray(logits[:, -1])
     )
     assert rel2 < 0.05, rel2
+
+
+def test_hf_import_bf16_checkpoint(tmp_path):
+    """Real HF Llama checkpoints ship BF16 safetensors — the native
+    reader + converters must load them end-to-end (safetensors' numpy
+    framework cannot; this was round-2's loader motivation)."""
+    cfg_hf = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = transformers.LlamaForCausalLM(cfg_hf).eval()
+    toks = torch.randint(0, 128, (1, 8))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+    model = model.to(torch.bfloat16)
+    d = str(tmp_path / "bf16_llama")
+    model.save_pretrained(d, safe_serialization=True)
+
+    cfg, params = load_llama_from_hf(d)
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_llama_from_hf(d, cfg=cfg)
+    logits, _ = llama_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-2, rel  # bf16 storage noise on a tiny random model

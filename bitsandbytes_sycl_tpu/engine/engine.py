@@ -85,11 +85,19 @@ class InferenceEngine:
         init_cache_fn=None,
         mesh: Optional[Mesh] = None,
         tp_axis: str = "model",
+        lora=None,
     ):
         self.mcfg = model_cfg
         self.ecfg = engine_cfg
         self.params = params
         self.mesh = mesh
+        # multi-adapter serving: a stack_lora pytree; each request picks
+        # its adapter via add_request(adapter_id=...) (S-LoRA style)
+        self._lora = lora
+        if lora is not None and (forward_fn is not None or mesh is not None):
+            raise NotImplementedError(
+                "engine lora serving is wired for the default llama forward"
+            )
         init_cache = init_cache_fn or init_kv_cache
         self._cache_sharding = None
         if forward_fn is not None:
@@ -116,6 +124,7 @@ class InferenceEngine:
         self.slot_tokens: List[List[int]] = [[] for _ in range(B)]
         self.slot_budget = np.zeros((B,), np.int32)
         self._last_tokens = np.zeros((B,), np.int32)
+        self.slot_adapter = np.zeros((B,), np.int32)
         self._rng = jax.random.PRNGKey(0)
 
         mcfg = model_cfg
@@ -132,13 +141,21 @@ class InferenceEngine:
                 l = jnp.where(l < kth, -jnp.inf, l)
             return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
 
+        lora = self._lora
+
+        def fwd_l(params, cfg, tokens, cache, positions, ids):
+            if lora is None:
+                return fwd(params, cfg, tokens, cache, positions)
+            return fwd(params, cfg, tokens, cache, positions,
+                       lora=lora, lora_ids=ids)
+
         @jax.jit
-        def prefill_fn(params, tokens, true_len, key):
+        def prefill_fn(params, tokens, true_len, key, ids):
             """tokens (K, Tpad) -> (sampled next token (K,), cache_K)."""
             K, T = tokens.shape
             cacheK = init_cache(mcfg, K)
             pos = jnp.broadcast_to(jnp.arange(T), (K, T))
-            logits, cacheK = fwd(params, mcfg, tokens, cacheK, pos)
+            logits, cacheK = fwd_l(params, mcfg, tokens, cacheK, pos, ids)
             last = jnp.take_along_axis(
                 logits, (true_len - 1).reshape(K, 1, 1), axis=1
             )[:, 0]
@@ -167,10 +184,10 @@ class InferenceEngine:
             return cache
 
         @jax.jit
-        def decode_fn(params, cache, tokens, positions, key):
+        def decode_fn(params, cache, tokens, positions, key, ids):
             """tokens (B, 1), positions (B, 1) -> (next tokens (B,), cache).
             Sampling stays on device: the step's host transfer is B int32s."""
-            logits, cache = fwd(params, mcfg, tokens, cache, positions)
+            logits, cache = fwd_l(params, mcfg, tokens, cache, positions, ids)
             return sample(logits[:, 0], key), cache
 
         self._prefill = prefill_fn
@@ -187,12 +204,16 @@ class InferenceEngine:
     def free_slots(self) -> List[int]:
         return [i for i in range(self.ecfg.max_batch) if not self.active[i]]
 
-    def add_request(self, prompt_ids: Sequence[int], max_new_tokens: Optional[int] = None) -> int:
+    def add_request(
+        self, prompt_ids: Sequence[int], max_new_tokens: Optional[int] = None,
+        adapter_id: int = 0,
+    ) -> int:
         """Prefill a prompt into a free slot; returns the slot id."""
-        return self.add_requests([prompt_ids], max_new_tokens)[0]
+        return self.add_requests([prompt_ids], max_new_tokens, [adapter_id])[0]
 
     def add_requests(
-        self, prompts: Sequence[Sequence[int]], max_new_tokens: Optional[int] = None
+        self, prompts: Sequence[Sequence[int]], max_new_tokens: Optional[int] = None,
+        adapter_ids: Optional[Sequence[int]] = None,
     ) -> List[int]:
         """Prefill several prompts as ONE padded batch (reference-free
         design; round-1 prefilled sequentially batch-1 per request, a
@@ -224,8 +245,12 @@ class InferenceEngine:
         for i, prompt in enumerate(prompts):
             toks[i, : len(prompt)] = prompt
             lens[i] = len(prompt)
+        aid = np.zeros((Kb,), np.int32)
+        if adapter_ids is not None:
+            aid[: len(adapter_ids)] = adapter_ids
         nxt, cacheK = self._prefill(
-            self.params, jnp.asarray(toks), jnp.asarray(lens), self._next_key()
+            self.params, jnp.asarray(toks), jnp.asarray(lens), self._next_key(),
+            jnp.asarray(aid),
         )
         nxt = np.asarray(nxt)
         slot_arr = np.zeros((Kb,), np.int32)
@@ -241,6 +266,7 @@ class InferenceEngine:
             slot = slots[i]
             tok = int(nxt[i])
             self.slot_tokens[slot] = list(prompt) + [tok]
+            self.slot_adapter[slot] = aid[i]
             self.seq_lens[slot] = len(prompt)
             self._last_tokens[slot] = tok
             self.slot_budget[slot] = budget - 1
@@ -261,7 +287,8 @@ class InferenceEngine:
         tokens = jnp.asarray(self._last_tokens.reshape(B, 1), jnp.int32)
         positions = jnp.asarray(self.seq_lens.reshape(B, 1), jnp.int32)
         nxt_dev, self.cache = self._decode(
-            self.params, self.cache, tokens, positions, self._next_key()
+            self.params, self.cache, tokens, positions, self._next_key(),
+            jnp.asarray(self.slot_adapter),
         )
         nxt = np.asarray(nxt_dev)  # the step's single host transfer
         out: Dict[int, int] = {}
@@ -284,9 +311,12 @@ class InferenceEngine:
         return out
 
     def generate(
-        self, prompts: Sequence[Sequence[int]], max_new_tokens: Optional[int] = None
+        self, prompts: Sequence[Sequence[int]], max_new_tokens: Optional[int] = None,
+        adapter_ids: Optional[Sequence[int]] = None,
     ) -> List[List[int]]:
-        """Continuous batching: streams prompts through the slot pool."""
+        """Continuous batching: streams prompts through the slot pool.
+        `adapter_ids` (one per prompt) routes each request to its adapter
+        when the engine serves a stack_lora pytree."""
         pending = list(enumerate(prompts))
         results: Dict[int, List[int]] = {}
         slot_owner: Dict[int, int] = {}
@@ -296,7 +326,8 @@ class InferenceEngine:
             if not take:
                 return
             batch = [pending.pop(0) for _ in range(take)]
-            slots = self.add_requests([p for _, p in batch], max_new_tokens)
+            aids = [adapter_ids[rid] if adapter_ids is not None else 0 for rid, _ in batch]
+            slots = self.add_requests([p for _, p in batch], max_new_tokens, aids)
             for (rid, prompt), slot in zip(batch, slots):
                 if self.active[slot]:
                     slot_owner[slot] = rid

@@ -115,7 +115,30 @@ def _lora_for(lora, li: int, name: str):
     return lora[li].get(name)
 
 
-def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None) -> jax.Array:
+def _apply_lora(x, out, lora, lora_ids):
+    """Add the adapter delta. Single adapter: A (r, K), B (N, r). BATCHED
+    multi-adapter serving (S-LoRA style; no reference counterpart):
+    A (n_adapters, r, K), B (n_adapters, N, r) with per-ROW `lora_ids`
+    — each sequence in the batch gets its own adapter in one einsum."""
+    xf = x.astype(jnp.float32)
+    if lora["A"].ndim == 2:
+        xa = jnp.matmul(xf, lora["A"].T.astype(jnp.float32))
+        delta = jnp.matmul(xa, lora["B"].T.astype(jnp.float32)) * lora["scale"]
+        return out + delta.astype(out.dtype)
+    # gather each row's adapter then two batched contractions
+    ids = lora_ids if lora_ids is not None else jnp.zeros(x.shape[:-1], jnp.int32)
+    lead = x.shape[:-1]
+    x2 = xf.reshape(-1, x.shape[-1])
+    idr = ids.reshape(-1)
+    A_sel = jnp.take(lora["A"].astype(jnp.float32), idr, axis=0)  # (rows, r, K)
+    B_sel = jnp.take(lora["B"].astype(jnp.float32), idr, axis=0)  # (rows, N, r)
+    s_sel = jnp.take(lora["scale"].astype(jnp.float32).reshape(-1), idr)  # (rows,)
+    xa = jnp.einsum("bk,brk->br", x2, A_sel)
+    delta = jnp.einsum("br,bnr->bn", xa, B_sel) * s_sel[:, None]
+    return out + delta.reshape(*lead, -1).astype(out.dtype)
+
+
+def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None, lora_ids=None) -> jax.Array:
     if isinstance(w, QLinearWeight):
         rows = int(np.prod(x.shape[:-1]))
         # int4's arithmetic decode already beats W4A8 (docs/PERFORMANCE.md)
@@ -135,10 +158,7 @@ def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None) -> jax.Array:
     if lora is not None:
         # QLoRA adapter: frozen quantized base + trainable low-rank delta
         # (x @ A^T) @ B^T * (alpha / r); fp32 math, cast at the end
-        xa = jnp.matmul(x.astype(jnp.float32), lora["A"].T.astype(jnp.float32))
-        out = out + (
-            jnp.matmul(xa, lora["B"].T.astype(jnp.float32)) * lora["scale"]
-        ).astype(out.dtype)
+        out = _apply_lora(x, out, lora, lora_ids)
     return out
 
 
@@ -396,6 +416,7 @@ def llama_forward(
     seq_lens: Optional[jax.Array] = None,  # unused: validity derives from positions (kept for API stability)
     psum_axis: Optional[str] = None,  # mesh axis for TP row-parallel reductions
     lora: Optional[list] = None,  # per-layer {proj_name: {A,B,scale}} adapters
+    lora_ids: Optional[jax.Array] = None,  # (B,) per-sequence adapter ids (batched lora)
 ) -> Tuple[jax.Array, Optional[Dict]]:
     """Returns (logits (B, T, vocab), updated cache).
 
@@ -411,6 +432,9 @@ def llama_forward(
         seq_lens = jnp.zeros((B,), jnp.int32)
 
     x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)  # (B,T,H)
+    ids_bt = (
+        jnp.broadcast_to(lora_ids[:, None], (B, T)) if lora_ids is not None else None
+    )
 
     use_cache = cache is not None
     S = cfg.max_seq_len if use_cache else T
@@ -427,9 +451,9 @@ def llama_forward(
     new_cache = dict(cache) if use_cache else None
     for li, layer in enumerate(params["layers"]):
         h = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
-        q = apply_linear(h, layer["q_proj"], cfg, _lora_for(lora, li, "q_proj")).reshape(B, T, cfg.num_heads, cfg.hd)
-        k = apply_linear(h, layer["k_proj"], cfg, _lora_for(lora, li, "k_proj")).reshape(B, T, cfg.num_kv_heads, cfg.hd)
-        v = apply_linear(h, layer["v_proj"], cfg, _lora_for(lora, li, "v_proj")).reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        q = apply_linear(h, layer["q_proj"], cfg, _lora_for(lora, li, "q_proj"), ids_bt).reshape(B, T, cfg.num_heads, cfg.hd)
+        k = apply_linear(h, layer["k_proj"], cfg, _lora_for(lora, li, "k_proj"), ids_bt).reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        v = apply_linear(h, layer["v_proj"], cfg, _lora_for(lora, li, "v_proj"), ids_bt).reshape(B, T, cfg.num_kv_heads, cfg.hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
@@ -439,17 +463,17 @@ def llama_forward(
             attn = _attention(q, k, v, mask, cfg.dtype)
         attn = attn.astype(cfg.dtype)
         attn = attn.reshape(B, T, cfg.num_heads * cfg.hd)
-        o = apply_linear(attn, layer["o_proj"], cfg, _lora_for(lora, li, "o_proj"))
+        o = apply_linear(attn, layer["o_proj"], cfg, _lora_for(lora, li, "o_proj"), ids_bt)
         if psum_axis is not None:  # row-parallel o_proj partial sums
             o = jax.lax.psum(o, psum_axis)
         x = x + o
 
         h = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
-        gate = apply_linear(h, layer["gate_proj"], cfg, _lora_for(lora, li, "gate_proj"))
-        up = apply_linear(h, layer["up_proj"], cfg, _lora_for(lora, li, "up_proj"))
+        gate = apply_linear(h, layer["gate_proj"], cfg, _lora_for(lora, li, "gate_proj"), ids_bt)
+        up = apply_linear(h, layer["up_proj"], cfg, _lora_for(lora, li, "up_proj"), ids_bt)
         d = apply_linear(
             jax.nn.silu(gate.astype(jnp.float32)).astype(cfg.dtype) * up,
-            layer["down_proj"], cfg, _lora_for(lora, li, "down_proj"),
+            layer["down_proj"], cfg, _lora_for(lora, li, "down_proj"), ids_bt,
         )
         if psum_axis is not None:  # row-parallel down_proj partial sums
             d = jax.lax.psum(d, psum_axis)

@@ -19,7 +19,7 @@ import numpy as np
 
 from .llama import LlamaConfig, _fp_layer_shapes, llama_forward
 
-__all__ = ["init_lora", "qlora_loss_fn", "merge_lora"]
+__all__ = ["init_lora", "qlora_loss_fn", "merge_lora", "stack_lora"]
 
 _DEFAULT_TARGETS = ("q_proj", "v_proj")
 
@@ -78,4 +78,26 @@ def merge_lora(fp_params: Dict, lora: List[Dict]) -> Dict:
             delta = (ab["B"] @ ab["A"]) * ab["scale"]
             new[t] = jnp.asarray(layer[t], jnp.float32) + delta
         out["layers"].append(new)
+    return out
+
+
+def stack_lora(adapters: Sequence[List[Dict]]) -> List[Dict]:
+    """Stack N independently-trained adapter pytrees (each from
+    init_lora / training) into the BATCHED multi-adapter form
+    llama_forward serves with per-sequence `lora_ids` (S-LoRA-style
+    multi-tenant serving): every leaf gains a leading adapter axis —
+    A (n, r, K), B (n, N, r), scale (n,)."""
+    n_layers = len(adapters[0])
+    out = []
+    for li in range(n_layers):
+        layer = {}
+        for name in adapters[0][li]:
+            layer[name] = {
+                "A": jnp.stack([a[li][name]["A"] for a in adapters]),
+                "B": jnp.stack([a[li][name]["B"] for a in adapters]),
+                "scale": jnp.stack(
+                    [jnp.asarray(a[li][name]["scale"]) for a in adapters]
+                ),
+            }
+        out.append(layer)
     return out

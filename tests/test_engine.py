@@ -431,3 +431,35 @@ def test_engine_generate_speculative(setup):
     assert out == ref, (out, ref)
     with pytest.raises(ValueError):
         eng.generate_speculative([[1, 2], [1, 2, 3]], 4, params, cfg)
+
+
+def test_engine_multi_lora_serving(setup):
+    """Per-request adapters through the engine: each request's output
+    must match a single-adapter engine serving that adapter alone."""
+    from bitsandbytes_sycl_tpu.models.lora import init_lora, stack_lora
+
+    cfg, params = setup
+    a0 = init_lora(cfg, jax.random.PRNGKey(1), rank=4)
+    a1 = init_lora(cfg, jax.random.PRNGKey(2), rank=4)
+    for a, k in ((a0, 11), (a1, 22)):
+        for layer in a:
+            for name in layer:
+                layer[name]["B"] = jnp.asarray(
+                    np.random.default_rng(k).normal(size=layer[name]["B"].shape) * 0.05,
+                    jnp.float32,
+                )
+    stacked = stack_lora([a0, a1])
+    ecfg = EngineConfig(max_batch=2, max_new_tokens=6, prefill_buckets=(16,))
+
+    eng = InferenceEngine(cfg, params, ecfg, lora=stacked)
+    prompts = [[1, 2, 3], [1, 2, 3]]
+    out = eng.generate(prompts, adapter_ids=[0, 1])
+
+    # single-adapter references (stacked with one entry, id 0)
+    ref = []
+    for a in (a0, a1):
+        e1 = InferenceEngine(cfg, params, ecfg, lora=stack_lora([a]))
+        ref.append(e1.generate([[1, 2, 3]])[0])
+    assert out[0] == ref[0], (out[0], ref[0])
+    assert out[1] == ref[1], (out[1], ref[1])
+    assert out[0] != out[1]  # the adapters actually differ

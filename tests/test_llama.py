@@ -214,3 +214,41 @@ def test_a8_decode_close_to_exact_path():
     a, b = np.asarray(d1, np.float32), np.asarray(d2, np.float32)
     rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_multi_lora_batched_serving():
+    """Batched multi-adapter serving: each sequence routed to its own
+    adapter must match running that adapter alone (S-LoRA-style)."""
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_params, llama_forward,
+    )
+    from bitsandbytes_sycl_tpu.models.lora import init_lora, stack_lora
+
+    cfg = LlamaConfig.tiny(quant="nf4", dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    a0 = init_lora(cfg, jax.random.PRNGKey(1), rank=4)
+    a1 = init_lora(cfg, jax.random.PRNGKey(2), rank=4)
+    # make the deltas nonzero (B starts at zero by LoRA init)
+    for a, k in ((a0, 11), (a1, 22)):
+        for layer in a:
+            for name in layer:
+                layer[name]["B"] = jnp.asarray(
+                    np.random.default_rng(k).normal(size=layer[name]["B"].shape) * 0.05,
+                    jnp.float32,
+                )
+    stacked = stack_lora([a0, a1])
+
+    toks = jnp.asarray(np.random.default_rng(3).integers(1, 256, (2, 6)), jnp.int32)
+    ids = jnp.asarray([0, 1], jnp.int32)
+    got, _ = llama_forward(params, cfg, toks, lora=stacked, lora_ids=ids)
+
+    ref0, _ = llama_forward(params, cfg, toks[:1], lora=a0)
+    ref1, _ = llama_forward(params, cfg, toks[1:], lora=a1)
+    np.testing.assert_allclose(
+        np.asarray(got[0], np.float32), np.asarray(ref0[0], np.float32), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1], np.float32), np.asarray(ref1[0], np.float32), rtol=2e-4, atol=2e-4
+    )
+    # adapters actually differ
+    assert np.abs(np.asarray(got[0]) - np.asarray(got[1])).max() > 1e-3

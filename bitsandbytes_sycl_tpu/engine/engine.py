@@ -404,6 +404,7 @@ class InferenceEngine:
             "active": self.active.copy(),
             "slot_tokens": [list(t) for t in self.slot_tokens],
             "slot_budget": self.slot_budget.copy(),
+            "slot_adapter": self.slot_adapter.copy(),
             "last_tokens": self._last_tokens.copy(),
             "rng": np.asarray(jax.random.key_data(self._rng)).copy(),
         }
@@ -449,6 +450,8 @@ class InferenceEngine:
         self.active = np.asarray(snap["active"], bool).copy()
         self.slot_tokens = [list(t) for t in snap["slot_tokens"]]
         self.slot_budget = np.asarray(snap["slot_budget"], np.int32).copy()
+        if "slot_adapter" in snap:  # older snapshots predate multi-lora
+            self.slot_adapter = np.asarray(snap["slot_adapter"], np.int32).copy()
         self._last_tokens = np.asarray(snap["last_tokens"], np.int32).copy()
         if "rng" in snap:  # sampled decoding resumes bit-identically too
             self._rng = jax.random.wrap_key_data(jnp.asarray(snap["rng"]))

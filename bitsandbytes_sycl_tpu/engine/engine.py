@@ -184,6 +184,24 @@ class InferenceEngine:
             return cache
 
         @jax.jit
+        def prefix_prefill_fn(params, tokens, true_len, key, ids, prefix_cache, plen):
+            """Suffix prefill on top of a shared-prefix cache: the scratch
+            cache starts as the stored prefix KV (broadcast across the
+            batch) and suffix positions continue at `plen` — absolute-
+            position masking attends the prefix rows for free."""
+            K, T = tokens.shape
+            cacheK = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (x.shape[0], K) + x.shape[2:]),
+                prefix_cache,
+            )
+            pos = plen + jnp.broadcast_to(jnp.arange(T), (K, T))
+            logits, cacheK = fwd_l(params, mcfg, tokens, cacheK, pos, ids)
+            last = jnp.take_along_axis(
+                logits, (true_len - 1).reshape(K, 1, 1), axis=1
+            )[:, 0]
+            return sample(last, key), cacheK
+
+        @jax.jit
         def decode_fn(params, cache, tokens, positions, key, ids):
             """tokens (B, 1), positions (B, 1) -> (next tokens (B,), cache).
             Sampling stays on device: the step's host transfer is B int32s."""
@@ -191,8 +209,10 @@ class InferenceEngine:
             return sample(logits[:, 0], key), cache
 
         self._prefill = prefill_fn
+        self._prefix_prefill = prefix_prefill_fn
         self._insert = insert_fn
         self._decode = decode_fn
+        self._prefixes: Dict[int, Dict] = {}  # prefix_id -> {cache, tokens}
         self._fwd = fwd
         self._init_cache = init_cache
 
@@ -201,6 +221,28 @@ class InferenceEngine:
         return key
 
     # ----------------------------------------------------------------- slots
+    def register_prefix(self, prefix_ids: Sequence[int], adapter_id: int = 0) -> int:
+        """Prefill a shared prefix (e.g. a system prompt) ONCE and keep
+        its KV; add_request(prefix=pid) then pays only the suffix prefill.
+        The stored cache is (L, 1, S, ...) and broadcasts across each
+        prefill batch."""
+        prompt = list(prefix_ids)
+        if not prompt or len(prompt) > self.mcfg.max_seq_len - 2:
+            raise ValueError("prefix must be non-empty and fit the cache")
+        T = min(
+            max(_bucket(len(prompt), self.ecfg.prefill_buckets), len(prompt)),
+            self.mcfg.max_seq_len,
+        )
+        toks = np.zeros((1, T), np.int32)
+        toks[0, : len(prompt)] = prompt
+        _, cache1 = self._prefill(
+            self.params, jnp.asarray(toks), jnp.asarray([len(prompt)], np.int32),
+            self._next_key(), jnp.asarray([adapter_id], np.int32),
+        )
+        pid = len(self._prefixes)
+        self._prefixes[pid] = {"cache": cache1, "tokens": prompt}
+        return pid
+
     def free_slots(self) -> List[int]:
         return [i for i in range(self.ecfg.max_batch) if not self.active[i]]
 
@@ -214,6 +256,7 @@ class InferenceEngine:
     def add_requests(
         self, prompts: Sequence[Sequence[int]], max_new_tokens: Optional[int] = None,
         adapter_ids: Optional[Sequence[int]] = None,
+        prefix: Optional[int] = None,
     ) -> List[int]:
         """Prefill several prompts as ONE padded batch (reference-free
         design; round-1 prefilled sequentially batch-1 per request, a
@@ -226,8 +269,10 @@ class InferenceEngine:
         budget = self.ecfg.max_new_tokens if max_new_tokens is None else max_new_tokens
         if budget < 1:
             raise ValueError("max_new_tokens must be >= 1")
+        pre = self._prefixes[prefix] if prefix is not None else None
+        plen = len(pre["tokens"]) if pre is not None else 0
         for prompt in prompts:
-            if len(prompt) > self.mcfg.max_seq_len - 1:
+            if plen + len(prompt) > self.mcfg.max_seq_len - 1:
                 raise ValueError("prompt longer than max_seq_len")
         # one common length bucket (shorter prompts pad up to it) and a
         # pow2 batch bucket — bounds compilations to |Kb| x |Tb| variants.
@@ -236,7 +281,7 @@ class InferenceEngine:
         max_len = max(len(p) for p in prompts)
         T = min(
             max(_bucket(max_len, self.ecfg.prefill_buckets), max_len),
-            self.mcfg.max_seq_len,
+            self.mcfg.max_seq_len - plen,
         )
         K = len(prompts)
         Kb = _pow2_bucket(K, self.ecfg.max_batch)
@@ -248,10 +293,17 @@ class InferenceEngine:
         aid = np.zeros((Kb,), np.int32)
         if adapter_ids is not None:
             aid[: len(adapter_ids)] = adapter_ids
-        nxt, cacheK = self._prefill(
-            self.params, jnp.asarray(toks), jnp.asarray(lens), self._next_key(),
-            jnp.asarray(aid),
-        )
+        if pre is not None:
+            nxt, cacheK = self._prefix_prefill(
+                self.params, jnp.asarray(toks), jnp.asarray(lens),
+                self._next_key(), jnp.asarray(aid), pre["cache"],
+                jnp.int32(plen),
+            )
+        else:
+            nxt, cacheK = self._prefill(
+                self.params, jnp.asarray(toks), jnp.asarray(lens), self._next_key(),
+                jnp.asarray(aid),
+            )
         nxt = np.asarray(nxt)
         slot_arr = np.zeros((Kb,), np.int32)
         valid = np.zeros((Kb,), bool)
@@ -265,9 +317,10 @@ class InferenceEngine:
         for i, prompt in enumerate(prompts):
             slot = slots[i]
             tok = int(nxt[i])
-            self.slot_tokens[slot] = list(prompt) + [tok]
+            full_prompt = (pre["tokens"] if pre is not None else []) + list(prompt)
+            self.slot_tokens[slot] = full_prompt + [tok]
             self.slot_adapter[slot] = aid[i]
-            self.seq_lens[slot] = len(prompt)
+            self.seq_lens[slot] = len(full_prompt)
             self._last_tokens[slot] = tok
             self.slot_budget[slot] = budget - 1
             # the prefill already produced one token: it may exhaust the

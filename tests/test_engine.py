@@ -463,3 +463,23 @@ def test_engine_multi_lora_serving(setup):
     assert out[0] == ref[0], (out[0], ref[0])
     assert out[1] == ref[1], (out[1], ref[1])
     assert out[0] != out[1]  # the adapters actually differ
+
+
+def test_engine_prefix_caching(setup):
+    """register_prefix + suffix-only prefill must produce EXACTLY the
+    tokens of prefilling (prefix + suffix) from scratch."""
+    cfg, params = setup
+    ecfg = EngineConfig(max_batch=2, max_new_tokens=6, prefill_buckets=(8, 16))
+    prefix = [7, 8, 9, 10, 11]
+    suffixes = [[1, 2, 3], [4, 5]]
+
+    ref_eng = InferenceEngine(cfg, params, ecfg)
+    ref = ref_eng.generate([prefix + sfx for sfx in suffixes])
+
+    eng = InferenceEngine(cfg, params, ecfg)
+    pid = eng.register_prefix(prefix)
+    slots = eng.add_requests(suffixes, prefix=pid)
+    while eng.active.any():
+        eng.step()
+    got = [eng.slot_tokens[s][len(prefix) + len(sfx):] for s, sfx in zip(slots, suffixes)]
+    assert got == ref, (got, ref)

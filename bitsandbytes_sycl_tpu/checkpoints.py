@@ -236,11 +236,13 @@ def load_llama_from_hf(model_dir: str, cfg=None, use_native_quantizer: bool = Tr
 
 def read_safetensors(path: str) -> Dict[str, np.ndarray]:
     """Native safetensors reader: mmap the shard, parse the header
-    (8-byte LE length + JSON), and materialize each tensor as float32 —
-    bf16/fp16 convert through the multithreaded C++ converters
-    (csrc/quant_cpu.cpp). Unlike safetensors' numpy framework this
-    handles BF16, which is what real HF Llama checkpoints ship.
-    Integer tensors come back in their own dtype."""
+    (8-byte LE length + JSON), and return zero-copy views into the file
+    pages. Unlike safetensors' numpy framework this handles BF16 (what
+    real HF Llama checkpoints ship): BF16 stays a 2-byte ml_dtypes view
+    (falling back to the multithreaded C++ converter in
+    csrc/quant_cpu.cpp when ml_dtypes is absent), F16 stays numpy
+    float16; downstream quantizers upcast one tensor at a time. Integer
+    tensors keep their dtypes."""
     import json
     import struct
 
@@ -283,7 +285,8 @@ def read_safetensors(path: str) -> Dict[str, np.ndarray]:
         if name == "__metadata__":
             continue
         lo, hi = meta["data_offsets"]
-        arr = _CONVERT[meta["dtype"]](bytes(data[lo:hi]))
+        # memmap slice: frombuffer keeps the array file-backed (zero-copy)
+        arr = _CONVERT[meta["dtype"]](data[lo:hi])
         out[name] = arr.reshape(meta["shape"])
     return out
 

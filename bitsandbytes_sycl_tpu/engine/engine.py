@@ -94,10 +94,18 @@ class InferenceEngine:
         # multi-adapter serving: a stack_lora pytree; each request picks
         # its adapter via add_request(adapter_id=...) (S-LoRA style)
         self._lora = lora
-        if lora is not None and (forward_fn is not None or mesh is not None):
-            raise NotImplementedError(
-                "engine lora serving is wired for the default llama forward"
-            )
+        if lora is not None:
+            if forward_fn is not None or mesh is not None:
+                raise NotImplementedError(
+                    "engine lora serving is wired for the default llama forward"
+                )
+            first = next(iter(lora[0].values()))
+            if first["A"].ndim != 3:
+                raise ValueError(
+                    "engine lora must be the STACKED form (stack_lora) — a "
+                    "2D adapter would silently ignore adapter_ids"
+                )
+            self._n_adapters = int(first["A"].shape[0])
         init_cache = init_cache_fn or init_kv_cache
         self._cache_sharding = None
         if forward_fn is not None:
@@ -212,7 +220,8 @@ class InferenceEngine:
         self._prefix_prefill = prefix_prefill_fn
         self._insert = insert_fn
         self._decode = decode_fn
-        self._prefixes: Dict[int, Dict] = {}  # prefix_id -> {cache, tokens}
+        self._prefixes: Dict[int, Dict] = {}  # prefix_id -> {cache, tokens, adapter}
+        self._next_prefix_id = 0
         self._fwd = fwd
         self._init_cache = init_cache
 
@@ -239,9 +248,15 @@ class InferenceEngine:
             self.params, jnp.asarray(toks), jnp.asarray([len(prompt)], np.int32),
             self._next_key(), jnp.asarray([adapter_id], np.int32),
         )
-        pid = len(self._prefixes)
-        self._prefixes[pid] = {"cache": cache1, "tokens": prompt}
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = {"cache": cache1, "tokens": prompt, "adapter": adapter_id}
         return pid
+
+    def unregister_prefix(self, pid: int) -> None:
+        """Free a cached prefix's device KV (prefixes otherwise pin a full
+        (L, 1, max_seq, ...) cache each for the process lifetime)."""
+        self._prefixes.pop(pid, None)
 
     def free_slots(self) -> List[int]:
         return [i for i in range(self.ecfg.max_batch) if not self.active[i]]
@@ -271,6 +286,17 @@ class InferenceEngine:
             raise ValueError("max_new_tokens must be >= 1")
         pre = self._prefixes[prefix] if prefix is not None else None
         plen = len(pre["tokens"]) if pre is not None else 0
+        if adapter_ids is not None:
+            n_ad = getattr(self, "_n_adapters", 1)
+            for a in adapter_ids:
+                if not 0 <= a < max(n_ad, 1):
+                    raise ValueError(f"adapter_id {a} out of range [0, {n_ad})")
+            if pre is not None and any(a != pre["adapter"] for a in adapter_ids):
+                # the prefix KV was computed WITH its adapter's deltas
+                raise ValueError(
+                    "prefix was registered with adapter "
+                    f"{pre['adapter']}; requests using it must match"
+                )
         for prompt in prompts:
             if plen + len(prompt) > self.mcfg.max_seq_len - 1:
                 raise ValueError("prompt longer than max_seq_len")
@@ -425,6 +451,11 @@ class InferenceEngine:
             raise NotImplementedError(
                 "speculative decoding under a TP mesh is not wired "
                 "(the jitted loop builds its own unsharded caches)"
+            )
+        if self._lora is not None:
+            raise NotImplementedError(
+                "speculative decoding does not apply the engine's lora "
+                "adapters — it would silently serve the base model"
             )
         lens = {len(p) for p in prompts}
         if len(lens) != 1:

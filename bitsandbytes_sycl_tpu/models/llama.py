@@ -125,8 +125,18 @@ def _apply_lora(x, out, lora, lora_ids):
         xa = jnp.matmul(xf, lora["A"].T.astype(jnp.float32))
         delta = jnp.matmul(xa, lora["B"].T.astype(jnp.float32)) * lora["scale"]
         return out + delta.astype(out.dtype)
-    # gather each row's adapter then two batched contractions
+    # gather PER SEQUENCE (ids are constant along T by construction —
+    # llama_forward broadcasts (B,) ids to (B, T)); a per-token gather
+    # would materialize T copies of each adapter (~GBs at prefill)
     ids = lora_ids if lora_ids is not None else jnp.zeros(x.shape[:-1], jnp.int32)
+    if x.ndim == 3:
+        idb = ids[:, 0]  # (B,)
+        A_sel = jnp.take(lora["A"].astype(jnp.float32), idb, axis=0)  # (B, r, K)
+        B_sel = jnp.take(lora["B"].astype(jnp.float32), idb, axis=0)  # (B, N, r)
+        s_sel = jnp.take(lora["scale"].astype(jnp.float32).reshape(-1), idb)
+        xa = jnp.einsum("btk,brk->btr", xf, A_sel)
+        delta = jnp.einsum("btr,bnr->btn", xa, B_sel) * s_sel[:, None, None]
+        return out + delta.astype(out.dtype)
     lead = x.shape[:-1]
     x2 = xf.reshape(-1, x.shape[-1])
     idr = ids.reshape(-1)

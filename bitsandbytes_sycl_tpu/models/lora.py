@@ -88,6 +88,14 @@ def stack_lora(adapters: Sequence[List[Dict]]) -> List[Dict]:
     multi-tenant serving): every leaf gains a leading adapter axis —
     A (n, r, K), B (n, N, r), scale (n,)."""
     n_layers = len(adapters[0])
+    for a in adapters[1:]:
+        if len(a) != n_layers or any(
+            set(a[li]) != set(adapters[0][li]) for li in range(n_layers)
+        ):
+            raise ValueError(
+                "stack_lora needs identical layer counts and target sets "
+                "across adapters (otherwise some deltas would be dropped)"
+            )
     out = []
     for li in range(n_layers):
         layer = {}

@@ -483,3 +483,35 @@ def test_engine_prefix_caching(setup):
         eng.step()
     got = [eng.slot_tokens[s][len(prefix) + len(sfx):] for s, sfx in zip(slots, suffixes)]
     assert got == ref, (got, ref)
+
+
+def test_multi_lora_validations(setup):
+    """Guard rails: unstacked lora rejected, out-of-range adapter ids
+    rejected, prefix/adapter mismatches rejected."""
+    from bitsandbytes_sycl_tpu.models.lora import init_lora, stack_lora
+
+    cfg, params = setup
+    a0 = init_lora(cfg, jax.random.PRNGKey(1), rank=4)
+    a1 = init_lora(cfg, jax.random.PRNGKey(2), rank=4)
+    ecfg = EngineConfig(max_batch=2, max_new_tokens=3, prefill_buckets=(16,))
+
+    with pytest.raises(ValueError):  # 2D adapter would ignore adapter_ids
+        InferenceEngine(cfg, params, ecfg, lora=a0)
+
+    eng = InferenceEngine(cfg, params, ecfg, lora=stack_lora([a0, a1]))
+    with pytest.raises(ValueError):  # id out of range
+        eng.add_request([1, 2, 3], adapter_id=5)
+    with pytest.raises(NotImplementedError):  # spec decode ignores lora
+        eng.generate_speculative([[1, 2, 3]], 3, params, cfg)
+
+    pid = eng.register_prefix([7, 8, 9], adapter_id=0)
+    with pytest.raises(ValueError):  # prefix KV baked with adapter 0
+        eng.add_requests([[1, 2]], adapter_ids=[1], prefix=pid)
+    eng.unregister_prefix(pid)
+    assert pid not in eng._prefixes
+
+    # mismatched target sets refuse to stack
+    import dataclasses as _dc
+    a2 = init_lora(cfg, jax.random.PRNGKey(3), rank=4, targets=("q_proj",))
+    with pytest.raises(ValueError):
+        stack_lora([a0, a2])

@@ -392,10 +392,12 @@ class InferenceEngine:
     def generate(
         self, prompts: Sequence[Sequence[int]], max_new_tokens: Optional[int] = None,
         adapter_ids: Optional[Sequence[int]] = None,
+        on_token=None,
     ) -> List[List[int]]:
         """Continuous batching: streams prompts through the slot pool.
         `adapter_ids` (one per prompt) routes each request to its adapter
-        when the engine serves a stack_lora pytree."""
+        when the engine serves a stack_lora pytree. `on_token(request_id,
+        token)` streams each generated token as it is produced."""
         pending = list(enumerate(prompts))
         results: Dict[int, List[int]] = {}
         slot_owner: Dict[int, int] = {}
@@ -408,6 +410,8 @@ class InferenceEngine:
             aids = [adapter_ids[rid] if adapter_ids is not None else 0 for rid, _ in batch]
             slots = self.add_requests([p for _, p in batch], max_new_tokens, aids)
             for (rid, prompt), slot in zip(batch, slots):
+                if on_token is not None:
+                    on_token(rid, self.slot_tokens[slot][-1])  # prefill's token
                 if self.active[slot]:
                     slot_owner[slot] = rid
                 else:  # retired at prefill (budget 1 or first-token EOS)
@@ -416,7 +420,11 @@ class InferenceEngine:
         fill()
         while self.active.any() or pending:
             before = self.active.copy()
-            self.step()
+            new = self.step()
+            if on_token is not None:
+                for slot, tok in new.items():
+                    if slot in slot_owner:
+                        on_token(slot_owner[slot], tok)
             for b in range(self.ecfg.max_batch):
                 if before[b] and not self.active[b]:
                     rid = slot_owner.pop(b, None)

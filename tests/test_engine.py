@@ -515,3 +515,16 @@ def test_multi_lora_validations(setup):
     a2 = init_lora(cfg, jax.random.PRNGKey(3), rank=4, targets=("q_proj",))
     with pytest.raises(ValueError):
         stack_lora([a0, a2])
+
+
+def test_engine_streaming_callback(setup):
+    """on_token streams every generated token in order per request."""
+    cfg, params = setup
+    eng = InferenceEngine(cfg, params, EngineConfig(max_batch=2, max_new_tokens=5,
+                                                    prefill_buckets=(16,)))
+    streamed = {0: [], 1: [], 2: []}
+    outs = eng.generate(
+        [[1, 2, 3], [4, 5], [6, 7, 8]],
+        on_token=lambda rid, tok: streamed[rid].append(tok),
+    )
+    assert streamed == {0: outs[0], 1: outs[1], 2: outs[2]}

@@ -445,6 +445,7 @@ class InferenceEngine:
         gamma: int = 4,
         temperature: float = 0.0,
         seed: int = 0,
+        draft_forward=None,
     ) -> List[List[int]]:
         """Latency-oriented speculative generation: the whole batch runs
         the single-dispatch jitted draft-verify loop (engine/speculative.py)
@@ -476,6 +477,8 @@ class InferenceEngine:
             self.params, self.mcfg, draft_params, draft_cfg, toks,
             max_new_tokens, gamma=gamma, temperature=temperature, seed=seed,
             target_forward=self._fwd,
+            # the draft is usually the same model family as the target
+            draft_forward=draft_forward or self._fwd,
         )
         rows = [list(map(int, row)) for row in np.asarray(out)]
         eos = self.ecfg.eos_token

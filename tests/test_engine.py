@@ -528,3 +528,22 @@ def test_engine_streaming_callback(setup):
         on_token=lambda rid, tok: streamed[rid].append(tok),
     )
     assert streamed == {0: outs[0], 1: outs[1], 2: outs[2]}
+
+
+def test_engine_generate_speculative_gptj():
+    """generate_speculative uses the engine's forward_fn — must work for
+    GPT-J (param tree keys differ from llama) and match plain generate."""
+    from bitsandbytes_sycl_tpu.models.gptj import (
+        GPTJConfig, gptj_forward, init_gptj_kv_cache, init_gptj_params,
+    )
+
+    cfg = GPTJConfig.tiny(kv_quant=True, quant="nf4", dtype=jnp.float32)
+    params = init_gptj_params(cfg, jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        cfg, params, EngineConfig(max_batch=2, max_new_tokens=6, prefill_buckets=(16,)),
+        forward_fn=gptj_forward, init_cache_fn=init_gptj_kv_cache,
+    )
+    prompts = [[1, 2, 3, 4], [5, 6, 7, 8]]
+    ref = eng.generate(prompts, max_new_tokens=6)
+    out = eng.generate_speculative(prompts, 6, params, cfg, gamma=3)
+    assert out == ref, (out, ref)

@@ -506,3 +506,35 @@ def test_gptj_forward_tp_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ldt, np.float32), np.asarray(ld1, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_llama_forward_tp_with_a8_decode():
+    """a8_decode inside shard_map TP: the W4A8 kernel runs on local
+    shards; decode must stay within int8-activation noise of the
+    single-device a8 forward."""
+    import dataclasses
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, init_params, llama_forward,
+    )
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from bitsandbytes_sycl_tpu.parallel.llama_tp import llama_forward_tp, shard_llama_params
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=512, intermediate_size=1024,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=128,
+        max_seq_len=32, quant="nf4", kv_quant=False, dtype=jnp.float32,
+        a8_decode=True,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(6))
+    mesh = make_mesh({"model": 2})
+    sp = shard_llama_params(params, cfg, mesh)
+    toks = jnp.asarray(np.random.default_rng(6).integers(0, 256, (2, 1)), jnp.int32)
+    pos = jnp.zeros((2, 1), jnp.int32)
+    cache = init_kv_cache(cfg, 2)
+    ref, _ = llama_forward(params, cfg, toks, cache, pos)
+    got, _ = llama_forward_tp(sp, cfg, toks, init_kv_cache(cfg, 2), pos, mesh)
+    a, b = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-9)
+    # row-parallel shards quantize their activation slices independently
+    # (per-shard absmax <= global), so expect int8-class noise, not exact
+    assert rel < 0.05, rel

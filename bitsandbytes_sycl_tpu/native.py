@@ -21,7 +21,12 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+# csrc ships inside the package (wheel-friendly); the repo-root location
+# is kept as a fallback for older checkouts
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_CSRC = os.path.join(_PKG_DIR, "csrc")
+if not os.path.exists(os.path.join(_CSRC, "quant_cpu.cpp")):
+    _CSRC = os.path.join(os.path.dirname(_PKG_DIR), "csrc")
 _LIB_NAME = "libquant_cpu.so"
 _REQUIRED_VERSION = 2  # bump when csrc gains symbols (stale .so triggers rebuild)
 _lib: Optional[ct.CDLL] = None

@@ -117,6 +117,117 @@ def _mm4_kernel(
         o_ref[:] = out.astype(out_dtype)
 
 
+def _dequant_kernel(
+    w_ref, s_ref, *rest,
+    code, quant_type, blocksize, out_dtype, decode_dtype, compressed,
+):
+    """Standalone 4-bit -> dense dequantize kernel, kernel layout in, a
+    plane-stacked (2, K/2, N) dense transposed weight out (reshape(K, N)
+    gives W^T rows in order: hi plane = elements [0, K/2), lo plane =
+    [K/2, K) — exactly the planar packing, ops/common.py). Backs the
+    large-M prefill route (dequant ONCE to HBM, then one dense MXU
+    matmul — the reference MatMul4Bit forward, autograd/_functions.py:507
+    + kernel_quant.cpp:1370) and the fast dequantize_4bit surface."""
+    if compressed:
+        stats_ref, o_ref, s_scr_ref = rest
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            from .common import decode_absmax
+
+            s_scr_ref[:] = decode_absmax(
+                s_ref[:], stats_ref[:, 0:1, :], stats_ref[:, 1:2, :]
+            )
+    else:
+        (o_ref,) = rest
+
+    ity = jnp.int16 if jnp.dtype(decode_dtype).itemsize == 2 else jnp.int32
+    b = w_ref[:].astype(ity)  # (TKB, TN) bytes
+    w_hi = _decode_plane(b, code, quant_type, decode_dtype, shift=4)
+    w_lo = _decode_plane(b, code, quant_type, decode_dtype, shift=0)
+    if compressed:
+        nb = w_ref.shape[0] // blocksize
+        s = s_scr_ref[:, pl.ds(k * nb, nb), :]
+    else:
+        s = s_ref[:]
+    s_hi = jnp.repeat(s[0].astype(decode_dtype), blocksize, axis=0)
+    s_lo = jnp.repeat(s[1].astype(decode_dtype), blocksize, axis=0)
+    o_ref[0] = (w_hi * s_hi).astype(o_ref.dtype)
+    o_ref[1] = (w_lo * s_lo).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "tn", "tkb"))
+def _dequant_to_hbm_call(w: QLinearWeight, out_dtype, tn, tkb):
+    """Returns W^T (K, N) in out_dtype, decoded by one Pallas pass."""
+    N, K = w.shape
+    half = K // 2
+    nk = half // tkb
+    bs = w.blocksize
+    compressed = w.compressed
+
+    use16 = w.quant_type != "int4" and jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
+    decode_dtype = jnp.bfloat16 if use16 else jnp.float32
+    kernel = functools.partial(
+        _dequant_kernel,
+        code=tuple(float(v) for v in w.code),
+        quant_type=w.quant_type,
+        blocksize=bs,
+        out_dtype=out_dtype,
+        decode_dtype=decode_dtype,
+        compressed=compressed,
+    )
+    nbh = half // bs
+    in_specs = [
+        pl.BlockSpec((tkb, tn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, nbh, tn), lambda n, k: (0, 0, n), memory_space=pltpu.VMEM)
+        if compressed
+        else pl.BlockSpec((2, tkb // bs, tn), lambda n, k: (0, k, n), memory_space=pltpu.VMEM),
+    ]
+    operands = [w.packed, w.absmax]
+    scratch = []
+    if compressed:
+        stats = jnp.concatenate([w.absmax_scale, w.absmax_offset], axis=1)
+        in_specs.append(
+            pl.BlockSpec((2, 2, tn), lambda n, k: (0, 0, n), memory_space=pltpu.VMEM)
+        )
+        operands.append(stats)
+        scratch.append(pltpu.VMEM((2, nbh, tn), jnp.float32))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(N // tn, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, tkb, tn), lambda n, k: (0, k, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, half, N), out_dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=N * K // 2 + N * K * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(*operands)
+    return out.reshape(K, N)
+
+
+def dequantize_transposed(w: QLinearWeight, out_dtype=jnp.bfloat16):
+    """W^T (K, N) densely decoded — Pallas when tileable, jnp fallback."""
+    N, K = w.shape
+    tn, tkb = _nk_tiles(w, N, K)
+    if tn is None or tkb is None or K % (2 * w.blocksize) != 0:
+        return w.dequantize().T.astype(out_dtype)
+    return _dequant_to_hbm_call(w, out_dtype, tn, tkb)
+
+
+# crossover to the dequant-once-to-HBM route (measured on v5e,
+# docs/PERFORMANCE.md): below this the fused kernel with large m-tiles
+# wins (weight never materialized); above it the one-time decode+write
+# (~110 us at 4096^2) amortizes and the dense MXU matmul runs at the
+# bf16 roofline.
+PREFILL_MIN_M = 2048
+
+
 @partial(jax.jit, static_argnames=("compute_dtype", "tm", "tn", "tkb", "decode_dtype"))
 def _matmul_4bit_call(x, w: QLinearWeight, bias, compute_dtype, tm, tn, tkb, decode_dtype=None):
     M, K = x.shape
@@ -261,16 +372,43 @@ def _matmul_4bit_fused_impl(
             out = out + bias
         return out.reshape(*lead, N)
 
-    tm = _pick_tile(M, (256, 128, 64, 32, 16, 8))
+    if M >= PREFILL_MIN_M:
+        # very large M: decode the weight ONCE to a dense (K, N) HBM array
+        # and run one MXU matmul at the bf16 roofline (reference MatMul4Bit
+        # forward shape, autograd/_functions.py:507) — the fused kernel
+        # would re-decode per m-tile, ~0.7x at M=4096 vs ~0.87x here
+        Wt = dequantize_transposed(w, compute_dtype)
+        out = jax.lax.dot_general(
+            x2, Wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
+        if bias is not None:
+            out = out + bias
+        return out.reshape(*lead, N)
+
+    tm = _pick_tile(M, _tm_candidates(tkb, compute_dtype))
     if tm is None:  # pad small/ragged M up to a multiple of 8
         Mp = ((M + 7) // 8) * 8
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        tm = _pick_tile(Mp, (256, 128, 64, 32, 16, 8))
+        tm = _pick_tile(Mp, _tm_candidates(tkb, compute_dtype))
         out = _matmul_4bit_call(x2, w, bias, compute_dtype, tm, tn, tkb, decode_dtype)
         return out[:M].reshape(*lead, N)
 
     out = _matmul_4bit_call(x2, w, bias, compute_dtype, tm, tn, tkb, decode_dtype)
     return out.reshape(*lead, N)
+
+
+# per-plane x block VMEM cap (elements): a large tm amortizes the per-tile
+# weight decode over more rows (the 4-bit prefill bottleneck), bounded so
+# 2 planes x tm x tkb of x blocks stay a few MB of VMEM
+_TM_CAP_ELEMS = 1_500_000
+
+
+def _tm_candidates(tkb: int, compute_dtype) -> tuple:
+    cap = _TM_CAP_ELEMS // max(tkb, 1)
+    if jnp.dtype(compute_dtype).itemsize > 2:
+        cap //= 2
+    cands = tuple(c for c in (1024, 512, 256, 128, 64, 32, 16, 8) if c <= cap)
+    return cands or (8,)
 
 
 def _nk_tiles(w: QLinearWeight, N: int, K: int):

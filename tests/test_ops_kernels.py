@@ -54,6 +54,69 @@ def test_matmul_4bit_fused_interpret(weight, quant_type, M):
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("quant_type", ["nf4", "fp4", "int4", "af4"])
+@pytest.mark.parametrize("compressed", [False, True])
+def test_dequantize_transposed_kernel(weight, quant_type, compressed):
+    """The standalone dequant kernel (backs the large-M prefill route and
+    fast dequantize) must reproduce the exact dequantized weight."""
+    from bitsandbytes_sycl_tpu.ops.matmul_4bit import dequantize_transposed
+
+    qw = quantize_4bit_native(
+        weight, blocksize=64, quant_type=quant_type, compress_statistics=compressed
+    )
+    Wt = dequantize_transposed(qw, out_dtype=jnp.float32)
+    ref = np.asarray(qw.dequantize(), np.float32).T
+    np.testing.assert_allclose(np.asarray(Wt), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_matmul_4bit_prefill_hbm_route(weight):
+    """M >= PREFILL_MIN_M takes the dequant-once-to-HBM + dense-matmul
+    route (reference MatMul4Bit forward, autograd/_functions.py:507) and
+    must match the exact dequant matmul; ragged M needs no padding."""
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit as m4
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(300, 1024)), jnp.float32)
+    calls = {"n": 0}
+    orig = m4.dequantize_transposed
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    saved = m4.PREFILL_MIN_M
+    m4.dequantize_transposed, m4.PREFILL_MIN_M = counted, 256
+    try:
+        y = m4.matmul_4bit_fused(x, qw, compute_dtype=jnp.float32)
+    finally:
+        m4.dequantize_transposed, m4.PREFILL_MIN_M = orig, saved
+    assert calls["n"] == 1, "HBM-dequant route not taken at M=300"
+    assert y.shape == (300, 256)
+    ref = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+    # bias flows through the route too
+    b = jnp.arange(256, dtype=jnp.float32) * 0.01
+    m4.PREFILL_MIN_M = 256
+    try:
+        yb = m4.matmul_4bit_fused(x, qw, bias=b, compute_dtype=jnp.float32)
+    finally:
+        m4.PREFILL_MIN_M = saved
+    np.testing.assert_allclose(np.asarray(yb), ref + np.asarray(b), rtol=2e-2, atol=2e-2)
+
+
+def test_tm_candidates_vmem_cap():
+    """Large m-tiles amortize per-tile decode but are capped so x blocks
+    fit VMEM: big tkb (whole-half K, e.g. llama down_proj) must exclude
+    the 1024-row tiles that would blow the budget."""
+    from bitsandbytes_sycl_tpu.ops.matmul_4bit import _tm_candidates
+
+    assert _tm_candidates(512, jnp.bfloat16)[0] == 1024
+    assert _tm_candidates(5504, jnp.bfloat16)[0] <= 256
+    assert _tm_candidates(512, jnp.float32)[0] <= 1024
+
+
 def test_matmul_4bit_fused_bias(weight):
     qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
     b = jnp.asarray(np.random.default_rng(7).normal(size=(256,)), jnp.float32)

@@ -28,17 +28,22 @@ LO_ITERS, HI_ITERS, REPS = 100, 600, 4
 
 
 def measure(op, x):
+    """Harness rules (CLAUDE.md, round-3 lessons): full-output feedback so
+    XLA cannot algebraically collapse reduce(dot); SCALAR return + np.asarray
+    (block_until_ready is a no-op on axon, and shipping the carry through
+    the ~35 MB/s tunnel drowns the iteration delta in transfer jitter)."""
+
     def runner(iters):
         @jax.jit
         def rr(x):
             def body(i, x):
                 return op(x)[:, :K].astype(x.dtype) * 1e-3 + x
 
-            return jax.lax.fori_loop(0, iters, body, x)
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, x).astype(jnp.float32))
 
-        rr(x).block_until_ready()
+        np.asarray(rr(x))
         return min(
-            timeit.timeit(lambda: rr(x).block_until_ready(), number=1) for _ in range(REPS)
+            timeit.timeit(lambda: np.asarray(rr(x)), number=1) for _ in range(REPS)
         )
 
     return (runner(HI_ITERS) - runner(LO_ITERS)) / (HI_ITERS - LO_ITERS)

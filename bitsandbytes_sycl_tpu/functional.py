@@ -828,7 +828,7 @@ def optimizer_update_32bit(
 def _optim8_fused_dispatch(
     optimizer_name, state1, absmax1, state2, absmax2,
     beta1, beta2, eps, step, lr, weight_decay, gnorm_scale,
-    blocksize, nb, n, p_orig, g_orig,
+    blocksize, nb, n, p_orig, g_orig, noise=None,
 ):
     """Route the dynamic-codec 8-bit blockwise update to the fused Pallas
     kernel (ops/optim8.py) on TPU. Returns the standard 5-tuple or None to
@@ -874,6 +874,7 @@ def _optim8_fused_dispatch(
             _rows(g_orig.astype(jnp.float32)), _rows(p_orig.astype(jnp.float32)),
             _rows(state1.astype(jnp.uint8), 127), _amax(absmax1),
             _rows(state2.astype(jnp.uint8), 0), _amax(absmax2), scalars,
+            u=None if noise is None else _rows(noise),
         )
         if out is None:
             return None
@@ -895,6 +896,7 @@ def _optim8_fused_dispatch(
         optimizer_name,
         _rows(g_orig.astype(jnp.float32)), _rows(p_orig.astype(jnp.float32)),
         _rows(state1.astype(jnp.uint8), 127), _amax(absmax1), None, None, scalars,
+        u=None if noise is None else _rows(noise),
     )
     if out is None:
         return None
@@ -938,6 +940,7 @@ def optimizer_update_8bit_blockwise(
     skip_zeros: bool = False,
     blocksize: int = 2048,
     codec: Optional[str] = None,
+    stochastic_rounding: bool = False,
 ):
     """Blockwise 8-bit optimizer step: decode uint8 states via
     qmap[c]*absmax, run the update, re-quantize per 2048-block
@@ -946,6 +949,11 @@ def optimizer_update_8bit_blockwise(
     NaN/Inf gradients leave states/params untouched (matching
     kernel_quant.cpp:2820-2840). Returns (p, state1, absmax1, state2,
     absmax2).
+
+    stochastic_rounding=True (dynamic codec only — the reference's dead
+    STOCHASTIC template path, kernel N3) requantizes states with unbiased
+    stochastic rounding over the dynamic grid; noise is keyed on `step`,
+    so a step is deterministic given (state, step).
     """
     n = int(np.prod(g.shape))
     nb = blocks_for(n, blocksize)
@@ -967,12 +975,18 @@ def optimizer_update_8bit_blockwise(
         # of magnitude faster on TPU for a 16M-param Adam8bit step). The
         # dynamic maps are already ascending-sorted, so stored codes are
         # identical between this path and the LUT path.
-        from .ops.dynamic8 import dynamic_decode, dynamic_encode
+        from .ops.dynamic8 import dynamic_decode, dynamic_encode, stochastic_adjust
 
+        noise = None
+        if stochastic_rounding:
+            noise = jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(0xB17B), jnp.asarray(step, jnp.int32)),
+                (nb * blocksize,), jnp.float32,
+            )
         fused = _optim8_fused_dispatch(
             optimizer_name, state1, absmax1, state2, absmax2,
             beta1, beta2, eps, step, lr, weight_decay, gnorm_scale,
-            blocksize, nb, n, p, g,
+            blocksize, nb, n, p, g, noise=noise,
         )
         if fused is not None:
             return fused
@@ -985,13 +999,30 @@ def optimizer_update_8bit_blockwise(
             blocks = s.reshape(-1, blocksize)
             amax = jnp.max(jnp.abs(blocks), axis=1)
             normed = blocks * _safe_inv(amax)[:, None]
-            return dynamic_encode(normed, signed=signed).reshape(-1), amax
+            codes = dynamic_encode(normed, signed=signed)
+            if noise is not None:
+                u = noise.reshape(-1, blocksize)
+                u = u if signed else jnp.mod(u * 0.6180339887 + 0.3819660113, 1.0)
+                codes = stochastic_adjust(codes, normed, u, signed=signed)
+            return codes.reshape(-1), amax
 
         decode1 = functools.partial(_decode, signed=True)
         requant1 = functools.partial(_requant, signed=True)
         decode2 = functools.partial(_decode, signed=False)
         requant2 = functools.partial(_requant, signed=False)
     else:
+        # custom-qmap LUT branch: correct but NOT fused — the Pallas kernel
+        # only understands the analytic dynamic codec, so a user-supplied
+        # quantile/custom qmap runs the XLA LUT path (~87 GB/s vs 130+ for
+        # the fused kernel). Surface that instead of silently degrading.
+        import warnings
+
+        warnings.warn(
+            "optimizer_update_8bit_blockwise: custom qmap uses the unfused "
+            "XLA LUT path; pass codec='dynamic' (the bnb default maps) for "
+            "the fused Pallas kernel",
+            stacklevel=2,
+        )
         q1 = jnp.asarray(qmap1, jnp.float32)
         order1 = jnp.argsort(q1)
         sc1 = q1[order1]
@@ -1064,6 +1095,7 @@ def optimizer_update_8bit_blockwise_sharded(
     gnorm_scale: float = 1.0,
     blocksize: int = 2048,
     codec: Optional[str] = None,
+    stochastic_rounding: bool = False,
 ):
     """`optimizer_update_8bit_blockwise` under shard_map over a mesh axis.
 
@@ -1100,6 +1132,7 @@ def optimizer_update_8bit_blockwise_sharded(
                 optimizer_name, g, p, s1, a1, s2, a2, qmap1, qmap2,
                 beta1, beta2, eps, step, lr, weight_decay=weight_decay,
                 gnorm_scale=gnorm_scale, blocksize=blocksize, codec=codec,
+                stochastic_rounding=stochastic_rounding,
             )
 
         specs = (dim0(g), dim0(p), dim0(state1), _P(axis), dim0(state2), _P(axis))
@@ -1112,6 +1145,7 @@ def optimizer_update_8bit_blockwise_sharded(
             optimizer_name, g, p, s1, a1, None, None, qmap1, qmap2,
             beta1, beta2, eps, step, lr, weight_decay=weight_decay,
             gnorm_scale=gnorm_scale, blocksize=blocksize, codec=codec,
+            stochastic_rounding=stochastic_rounding,
         )
         return out[0], out[1], out[2]
 
@@ -1149,6 +1183,18 @@ def optimizer_update_8bit(
     per-tensor scale scalars (shape (1,)).
 
     Returns (p, state1, new_max1, state2, new_max2).
+
+    Semantic note (checkpoint interop): the reference's static kernels
+    track a RUNNING new_max updated from the beta-decayed state before
+    the step (kernel_quant.cpp:2034-2652 precondition/update pairs);
+    this path recomputes a fresh absmax of the post-update state each
+    step. The stored codes decode to the same values (tested to the
+    reference envelope), but the returned new_max1/new_max2 are a
+    different quantity than torch-bnb's max1/max2 — round-tripping an
+    8-bit-STATIC optimizer checkpoint from torch bnb will re-derive
+    scales on the first step here rather than continue the running ones.
+    The blockwise path (the QLoRA default) has no such drift: its absmax
+    is per-block and recomputed by both implementations.
     """
     n = int(np.prod(g.shape))
     bs = ((n + 2047) // 2048) * 2048  # one block covering the tensor

@@ -35,7 +35,7 @@ import numpy as np
 
 from .. import codebooks
 
-__all__ = ["dynamic_decode", "dynamic_encode"]
+__all__ = ["dynamic_decode", "dynamic_encode", "stochastic_adjust"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -158,3 +158,27 @@ def dynamic_encode(x: jax.Array, signed: bool = True) -> jax.Array:
     else:
         c = r
     return c.astype(jnp.uint8)
+
+
+def stochastic_adjust(codes: jax.Array, x: jax.Array, u: jax.Array, signed: bool = True) -> jax.Array:
+    """Unbiased stochastic rounding over the (non-uniform) dynamic map —
+    the reference's dead STOCHASTIC kernel-template path (kernel_quant.cpp
+    kQuantizeBlockwise<..., STOCHASTIC, ...>) realized for optimizer-state
+    requantization (SURVEY.md §7 design stance).
+
+    `codes` are the ROUND-TO-NEAREST codes of `x` (normalized to the map's
+    domain); `u` is uniform in [0,1). The code steps to the bracketing
+    neighbor with probability |x - v_near| / |v_next - v_near|, which makes
+    E[decode(result)] == x exactly for any monotone grid (codes are sorted
+    by value). Values outside the grid keep the clamped nearest code.
+    """
+    c = codes.astype(jnp.int32)
+    v_c = dynamic_decode(codes, signed=signed)
+    xf = x.astype(jnp.float32)
+    step = jnp.where(xf > v_c, 1, -1)
+    c2 = jnp.clip(c + step, 0, 255)
+    v_n = dynamic_decode(c2.astype(jnp.uint8), signed=signed)
+    denom = v_n - v_c
+    prob = jnp.where(denom != 0.0, (xf - v_c) / denom, 0.0)
+    prob = jnp.clip(prob, 0.0, 1.0)  # out-of-grid x stays on the clamp code
+    return jnp.where(u < prob, c2, c).astype(jnp.uint8)

@@ -150,6 +150,7 @@ def _w4a8_call(x, row_absmax, w: QLinearWeight, bias, out_dtype, tm, tn, tkb):
     return out.astype(out_dtype)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
 def matmul_4bit_w4a8(
     x: jax.Array,
     w: QLinearWeight,
@@ -159,7 +160,44 @@ def matmul_4bit_w4a8(
     """out ~= x @ dequant(W)^T with int8 activations and int8 weight codes
     on the int8 MXU. Raw (f32/bf16) scales only; returns None-equivalent
     fallback (the exact bf16 path) for untileable shapes or compressed
-    scales."""
+    scales.
+
+    Differentiable in x and bias: the backward is the EXACT dequant path
+    (grad_x = g @ dequant(W), like matmul_4bit_fused's vjp and the
+    reference MatMul4Bit backward, autograd/_functions.py:520-540) — the
+    activation-quantization noise is a forward-only inference trade and
+    straight-through w.r.t. x, so a QLoRA step with a8_decode=True trains
+    against clean gradients."""
+    return _w4a8_impl(x, w, bias, out_dtype)
+
+
+def _w4a8_fwd(x, w, bias, out_dtype):
+    return _w4a8_impl(x, w, bias, out_dtype), (x, w, bias)
+
+
+def _w4a8_bwd(out_dtype, res, g):
+    x, w, bias = res
+    gf = g.astype(jnp.float32)
+    Wd = w.dequantize().astype(jnp.float32)
+    grad_x = jnp.matmul(gf, Wd, preferred_element_type=jnp.float32).astype(x.dtype)
+    zero_w = jax.tree.map(
+        lambda a: (
+            jnp.zeros_like(a)
+            if jnp.issubdtype(jnp.result_type(a), jnp.inexact)
+            else np.zeros(jnp.shape(a), dtype=jax.dtypes.float0)
+        ),
+        w,
+    )
+    grad_b = None if bias is None else gf.reshape(-1, g.shape[-1]).sum(0).astype(bias.dtype)
+    return grad_x, zero_w, grad_b
+
+
+def _w4a8_impl(
+    x: jax.Array,
+    w: QLinearWeight,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
     from .matmul_4bit import matmul_4bit_fused, _nk_tiles
 
     N, K = w.shape
@@ -181,3 +219,6 @@ def matmul_4bit_w4a8(
     row_absmax = jnp.max(jnp.abs(x2), axis=1)
     out = _w4a8_call(x2, row_absmax, w, bias, out_dtype, tm, tn, tkb)
     return out[:M].reshape(*lead, N)
+
+
+matmul_4bit_w4a8.defvjp(_w4a8_fwd, _w4a8_bwd)

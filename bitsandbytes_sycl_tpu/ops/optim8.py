@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import interpret_mode, safe_inv
-from .dynamic8 import dynamic_decode, dynamic_encode
+from .dynamic8 import dynamic_decode, dynamic_encode, stochastic_adjust
 
 __all__ = ["optim8_blockwise_fused"]
 
@@ -38,16 +38,28 @@ __all__ = ["optim8_blockwise_fused"]
 _ROWS = 32  # blocks (rows of `blocksize`) per grid step
 
 
-def _requant_rows(s: jax.Array, signed: bool) -> Tuple[jax.Array, jax.Array]:
+def _requant_rows(s: jax.Array, signed: bool, u=None) -> Tuple[jax.Array, jax.Array]:
     amax = jnp.max(jnp.abs(s), axis=1, keepdims=True)
-    return dynamic_encode(s * safe_inv(amax), signed=signed), amax
+    normed = s * safe_inv(amax)
+    codes = dynamic_encode(normed, signed=signed)
+    if u is not None:
+        # stochastic rounding of the state requantization (the reference's
+        # dead STOCHASTIC template, kernel N3): unbiased over the dynamic
+        # grid, uniform noise supplied as a kernel input (pltpu.prng_* has
+        # no interpret-mode lowering, and the kernel is VPU- not DMA-bound)
+        codes = stochastic_adjust(codes, normed, u, signed=signed)
+    return codes, amax
 
 
 def _kernel2(
-    sc_ref, g_ref, p_ref, s1_ref, am1_ref, s2_ref, am2_ref,
-    po_ref, s1o_ref, am1o_ref, s2o_ref, am2o_ref,
-    *, name,
+    sc_ref, g_ref, p_ref, s1_ref, am1_ref, s2_ref, am2_ref, *rest,
+    name, stochastic,
 ):
+    if stochastic:
+        u_ref, po_ref, s1o_ref, am1o_ref, s2o_ref, am2o_ref = rest
+    else:
+        po_ref, s1o_ref, am1o_ref, s2o_ref, am2o_ref = rest
+        u_ref = None
     b1, b2, eps_c2, step_size, decay, gnorm_scale = (sc_ref[0, i] for i in range(6))
     g = g_ref[:].astype(jnp.float32) * gnorm_scale
     finite = jnp.isfinite(g)
@@ -68,8 +80,11 @@ def _kernel2(
     n2 = jnp.where(finite, n2, s2)
 
     po_ref[:] = np_.astype(po_ref.dtype)
-    c1, a1 = _requant_rows(n1, signed=True)
-    c2, a2 = _requant_rows(n2, signed=False)
+    u1 = u_ref[:] if u_ref is not None else None
+    # decorrelate the two states' noise with a golden-ratio scramble
+    u2 = jnp.mod(u1 * 0.6180339887 + 0.3819660113, 1.0) if u_ref is not None else None
+    c1, a1 = _requant_rows(n1, signed=True, u=u1)
+    c2, a2 = _requant_rows(n2, signed=False, u=u2)
     s1o_ref[:] = c1
     am1o_ref[:] = a1
     s2o_ref[:] = c2
@@ -77,10 +92,14 @@ def _kernel2(
 
 
 def _kernel1(
-    sc_ref, g_ref, p_ref, s1_ref, am1_ref,
-    po_ref, s1o_ref, am1o_ref,
-    *, name,
+    sc_ref, g_ref, p_ref, s1_ref, am1_ref, *rest,
+    name, stochastic,
 ):
+    if stochastic:
+        u_ref, po_ref, s1o_ref, am1o_ref = rest
+    else:
+        po_ref, s1o_ref, am1o_ref = rest
+        u_ref = None
     b1, b2, eps, lr, wd, gnorm_scale, is_step1 = (sc_ref[0, i] for i in range(7))
     g = g_ref[:].astype(jnp.float32) * gnorm_scale
     finite = jnp.isfinite(g)
@@ -109,7 +128,7 @@ def _kernel1(
     n1 = jnp.where(finite, n1, s1)
 
     po_ref[:] = np_.astype(po_ref.dtype)
-    c1, a1 = _requant_rows(n1, signed=True)
+    c1, a1 = _requant_rows(n1, signed=True, u=u_ref[:] if u_ref is not None else None)
     s1o_ref[:] = c1
     am1o_ref[:] = a1
 
@@ -123,6 +142,7 @@ def optim8_blockwise_fused(
     state2: Optional[jax.Array],
     absmax2: Optional[jax.Array],
     scalars: jax.Array,  # (8,) f32, see functional.optimizer_update_8bit_blockwise
+    u: Optional[jax.Array] = None,  # (nb, bs) uniform [0,1): stochastic rounding
 ):
     """Returns (p, state1, absmax1[, state2, absmax2]) in the same padded
     (nb, bs) / (nb,) layout, or None if the shape can't tile."""
@@ -132,7 +152,9 @@ def optim8_blockwise_fused(
     rows = _ROWS
 
     two = state2 is not None
-    kern = functools.partial(_kernel2 if two else _kernel1, name=optimizer_name)
+    kern = functools.partial(
+        _kernel2 if two else _kernel1, name=optimizer_name, stochastic=u is not None
+    )
     row = pl.BlockSpec((rows, bs), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col = pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -146,6 +168,9 @@ def optim8_blockwise_fused(
     if two:
         ins += [state2, absmax2.reshape(nb, 1)]
         in_specs += [row, col]
+    if u is not None:
+        ins.append(u)
+        in_specs.append(row)
 
     out = pl.pallas_call(
         kern,

@@ -79,6 +79,23 @@ sgd8bit = _partial(sgd, optim_bits=8)
 sgd32bit = _partial(sgd, optim_bits=32)
 momentum = sgd
 
+# --- LARS: momentum + per-layer trust-ratio clipping (reference
+# str2optimizer32bit["lars"] -> the momentum kernel with max_unorm,
+# functional.py:79; upstream bitsandbytes LARS defaults max_unorm=0.02
+# and requires momentum > 0) -------------------------------------------------
+def lars(learning_rate=1e-3, momentum=0.9, weight_decay=0.0, max_unorm=0.02, **kw):
+    if momentum == 0:
+        raise ValueError("LARS without momentum is not supported")
+    kw.setdefault("betas", (momentum, 0.0))
+    return make_optimizer(
+        "momentum", learning_rate=learning_rate, weight_decay=weight_decay,
+        max_unorm=max_unorm, **kw,
+    )
+
+
+lars8bit = _partial(lars, optim_bits=8)
+lars32bit = _partial(lars, optim_bits=32)
+
 # --- LAMB: Adam + trust-ratio clipping (reference optim/lamb.py uses
 # Optimizer2State(..., max_unorm=1.0)) ---------------------------------------
 def lamb(learning_rate=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0, max_unorm=1.0, **kw):
@@ -123,6 +140,7 @@ PagedAdam, PagedAdam8bit, PagedAdam32bit = paged_adam, paged_adam8bit, paged_ada
 AdamW, AdamW8bit, AdamW32bit = adamw, adamw8bit, adamw32bit
 PagedAdamW, PagedAdamW8bit, PagedAdamW32bit = paged_adamw, paged_adamw8bit, paged_adamw32bit
 SGD, SGD8bit, SGD32bit = sgd, sgd8bit, sgd32bit
+LARS, LARS8bit, LARS32bit = lars, lars8bit, lars32bit
 LAMB, LAMB8bit, LAMB32bit = lamb, lamb8bit, lamb32bit
 Lion, Lion8bit, Lion32bit = lion, lion8bit, lion32bit
 PagedLion, PagedLion8bit, PagedLion32bit = paged_lion, paged_lion8bit, paged_lion32bit
@@ -134,6 +152,7 @@ __all__ = [
     "adam", "adam8bit", "adam32bit", "paged_adam", "paged_adam8bit", "paged_adam32bit",
     "adamw", "adamw8bit", "adamw32bit", "paged_adamw", "paged_adamw8bit", "paged_adamw32bit",
     "sgd", "sgd8bit", "sgd32bit", "momentum",
+    "lars", "lars8bit", "lars32bit",
     "lamb", "lamb8bit", "lamb32bit",
     "lion", "lion8bit", "lion32bit", "paged_lion", "paged_lion8bit", "paged_lion32bit",
     "rmsprop", "rmsprop8bit", "rmsprop32bit",

@@ -81,6 +81,7 @@ def make_optimizer(
     is_paged: bool = False,
     mesh=None,
     shard_axis: str = "data",
+    stochastic_rounding: bool = False,
 ) -> optax.GradientTransformation:
     """Build a bnb-family optimizer as an optax GradientTransformation.
 
@@ -93,7 +94,8 @@ def make_optimizer(
     With `mesh` the 8-bit update runs under shard_map over `shard_axis`
     for dp-sharded states (a pallas_call under plain pjit would gather
     them); leaves whose dim0/blocks don't divide the axis fall back to
-    the unsharded call.
+    the unsharded call. stochastic_rounding=True requantizes the 8-bit
+    states with unbiased stochastic rounding (functional docstring).
     """
     if name not in _2STATE and name not in F.OPTIMIZER_FUNCS_1STATE:
         raise NotImplementedError(f"optimizer {name!r} not implemented")
@@ -140,6 +142,7 @@ def make_optimizer(
                     # _QMAP1/_QMAP2 ARE the dynamic maps: use the arithmetic
                     # gather-free codec (ops/dynamic8.py)
                     codec="dynamic",
+                    stochastic_rounding=stochastic_rounding,
                 )
                 n = int(np.prod(p.shape))
                 if (

@@ -151,6 +151,36 @@ def test_qlora_finetune_loss_decreases():
     assert float(jnp.abs(lora[0]["q_proj"]["B"]).max()) > 0
 
 
+def test_qlora_grad_through_a8_decode():
+    """W4A8 is training-safe: jax.grad through a model with a8_decode=True
+    (small-batch QLoRA routes rows<64 through the W4A8 kernel) returns
+    finite adapter grads close to the exact-path grads — the custom_vjp
+    backward is the exact dequant matmul (VERDICT r2 item 3)."""
+    import dataclasses as _dc
+
+    from bitsandbytes_sycl_tpu.models.lora import init_lora, qlora_loss_fn
+
+    cfg = LlamaConfig.tiny(num_layers=2, quant="nf4", kv_quant=False, dtype=jnp.float32)
+    cfg8 = _dc.replace(cfg, a8_decode=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    lora = init_lora(cfg, jax.random.PRNGKey(1), rank=4, targets=("q_proj", "v_proj"))
+    # nonzero B so grads flow through both A and B
+    lora = jax.tree.map(lambda x: x + 0.01 if x.ndim == 2 else x, lora)
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 9)), jnp.int32)
+
+    l_ex, g_ex = jax.value_and_grad(qlora_loss_fn(params, cfg))(lora, toks)
+    l_a8, g_a8 = jax.value_and_grad(qlora_loss_fn(params, cfg8))(lora, toks)
+    # losses agree to W4A8 activation-noise level; grads finite and close
+    assert np.isfinite(float(l_a8))
+    assert abs(float(l_a8) - float(l_ex)) / (abs(float(l_ex)) + 1e-9) < 0.05
+    flat_ex = jnp.concatenate([a.reshape(-1) for a in jax.tree.leaves(g_ex)])
+    flat_a8 = jnp.concatenate([a.reshape(-1) for a in jax.tree.leaves(g_a8)])
+    assert bool(jnp.isfinite(flat_a8).all())
+    assert float(jnp.abs(flat_a8).max()) > 0, "zero grads: vjp not wired"
+    rel = float(jnp.abs(flat_a8 - flat_ex).mean() / (jnp.abs(flat_ex).mean() + 1e-9))
+    assert rel < 0.25, rel
+
+
 def test_lora_merge_matches_adapter_forward():
     from bitsandbytes_sycl_tpu.models.lora import init_lora, merge_lora
 

@@ -95,6 +95,29 @@ def test_lamb_trust_ratio_bounds_update():
     assert rel < 0.06, rel
 
 
+def test_lars_momentum_with_trust_ratio():
+    """LARS = momentum + per-layer trust clipping (reference
+    str2optimizer32bit["lars"], functional.py:79). With a huge max_unorm
+    the clip never binds and LARS == SGD-with-momentum; with a tight one
+    the realized update norm is bounded."""
+    p0, gs = _make_data(n_steps=10)
+    p_ref, _ = _run(optax.sgd(1e-3, momentum=0.9), p0, gs)
+    p_lars, _ = _run(bnb_optim.lars32bit(1e-3, momentum=0.9, max_unorm=1e9), p0, gs)
+    np.testing.assert_allclose(np.asarray(p_lars["w"]), np.asarray(p_ref["w"]), atol=2e-6)
+
+    p_tight, _ = _run(bnb_optim.lars32bit(1e-1, momentum=0.9, max_unorm=0.01), p0, gs)
+    rel = np.linalg.norm(np.asarray(p_tight["w"]) - np.asarray(p0["w"])) / np.linalg.norm(
+        np.asarray(p0["w"])
+    )
+    assert rel < 0.12, rel
+
+    with pytest.raises(ValueError):  # upstream bnb: LARS requires momentum
+        bnb_optim.lars(1e-3, momentum=0)
+    # 8-bit variant constructs and runs
+    p8, _ = _run(bnb_optim.lars8bit(1e-3), p0, gs[:3])
+    assert not np.allclose(np.asarray(p8["w"]), np.asarray(p0["w"]))
+
+
 def test_adamw_decoupled_decay():
     p0 = {"w": jnp.ones((8, 8), jnp.float32)}
     gs = [{"w": jnp.zeros((8, 8), jnp.float32)}]
@@ -220,6 +243,93 @@ def test_optim8_pallas_kernel_matches_codec_path(name):
         np.testing.assert_allclose(np.asarray(po).ravel(), np.asarray(ref[0]), rtol=1e-4, atol=1e-7)
         assert np.mean(np.asarray(c1o).ravel() == np.asarray(ref[1])) > 0.999
         np.testing.assert_allclose(np.asarray(a1), np.asarray(ref[2]), rtol=1e-4)
+
+
+def test_stochastic_adjust_unbiased_and_degenerate():
+    """E[decode(stochastic codes)] must equal the input value (the whole
+    point of stochastic rounding); u=1 (never step) returns nearest."""
+    from bitsandbytes_sycl_tpu.ops.dynamic8 import (
+        dynamic_decode, dynamic_encode, stochastic_adjust,
+    )
+
+    rng = np.random.default_rng(0)
+    for signed in (True, False):
+        vals = rng.uniform(0.001 if not signed else -0.9, 0.9, size=(64,)).astype(np.float32)
+        x = jnp.asarray(np.repeat(vals, 512).reshape(64, 512))
+        codes = dynamic_encode(x, signed=signed)
+        u = jnp.asarray(rng.uniform(0, 1, x.shape), jnp.float32)
+        out = stochastic_adjust(codes, x, u, signed=signed)
+        dec = np.asarray(dynamic_decode(out, signed=signed))
+        # per-row mean of 512 independent roundings converges to the value
+        err = np.abs(dec.mean(axis=1) - vals)
+        step = np.abs(
+            np.asarray(dynamic_decode(jnp.clip(codes[:, :1].astype(jnp.int32) + 1, 0, 255).astype(jnp.uint8), signed=signed))[:, 0]
+            - np.asarray(dynamic_decode(codes[:, :1], signed=signed))[:, 0]
+        )
+        assert (err < np.maximum(step, 1e-7) * 0.35 + 1e-7).mean() > 0.9, err.max()
+        # u >= 1 never steps: exact nearest codes
+        same = stochastic_adjust(codes, x, jnp.ones_like(u), signed=signed)
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(codes))
+
+
+def test_optim8_stochastic_rounding_paths_agree():
+    """XLA codec path and the fused Pallas kernel must produce IDENTICAL
+    codes under stochastic rounding when fed the same noise, and an
+    adam8bit(stochastic_rounding=True) training step must still move
+    params sanely."""
+    from bitsandbytes_sycl_tpu.ops.optim8 import _ROWS, optim8_blockwise_fused
+
+    bs = 256
+    nb = _ROWS
+    n = nb * bs
+    rng = np.random.default_rng(9)
+    g = jnp.asarray(rng.normal(size=(n,)) * 0.01, jnp.float32)
+    p = jnp.asarray(rng.normal(size=(n,)) * 0.02, jnp.float32)
+    s1 = jnp.asarray(rng.integers(0, 256, n), jnp.uint8)
+    am1 = jnp.asarray(np.abs(rng.normal(size=(nb,))) * 1e-3, jnp.float32)
+    s2 = jnp.asarray(rng.integers(0, 256, n), jnp.uint8)
+    am2 = jnp.asarray(np.abs(rng.normal(size=(nb,))) * 1e-5, jnp.float32)
+
+    # the seed/noise the functional path derives for step=3
+    noise = jax.random.uniform(
+        jax.random.fold_in(jax.random.PRNGKey(0xB17B), jnp.int32(3)), (n,), jnp.float32
+    )
+    ref = F.optimizer_update_8bit_blockwise(
+        "adam", g, p, s1, am1, s2, am2, None, None,
+        beta1=0.9, beta2=0.999, eps=1e-8, step=3, lr=1e-3,
+        weight_decay=0.0, blocksize=bs, codec="dynamic", stochastic_rounding=True,
+    )
+    det = F.optimizer_update_8bit_blockwise(
+        "adam", g, p, s1, am1, s2, am2, None, None,
+        beta1=0.9, beta2=0.999, eps=1e-8, step=3, lr=1e-3,
+        weight_decay=0.0, blocksize=bs, codec="dynamic", stochastic_rounding=False,
+    )
+    # stochastic and deterministic codes differ somewhere but never by >1
+    d1 = np.asarray(ref[1], np.int32) - np.asarray(det[1], np.int32)
+    assert np.abs(d1).max() <= 1 and np.abs(d1).sum() > 0
+
+    c1 = 1.0 - 0.9**3
+    c2f = float(np.sqrt(1.0 - 0.999**3))
+    scalars = jnp.asarray(
+        [0.9, 0.999, 1e-8 * c2f, -1e-3 * c2f / c1, 1.0, 1.0, 0.0, 0.0], jnp.float32
+    )
+    out = optim8_blockwise_fused(
+        "adam", g.reshape(nb, bs), p.reshape(nb, bs),
+        s1.reshape(nb, bs), am1, s2.reshape(nb, bs), am2, scalars,
+        u=noise.reshape(nb, bs),
+    )
+    assert np.mean(np.asarray(out[1]).ravel() == np.asarray(ref[1])) > 0.999
+    assert np.mean(np.asarray(out[3]).ravel() == np.asarray(ref[3])) > 0.999
+
+    # end-to-end through make_optimizer
+    p0, gs = _make_data(n_steps=8, shape=(64, 128))
+    p_sr, _ = _run(bnb_optim.adam(optim_bits=8, min_8bit_size=256, stochastic_rounding=True), p0, gs)
+    p_dt, _ = _run(bnb_optim.adam(optim_bits=8, min_8bit_size=256), p0, gs)
+    assert not np.allclose(np.asarray(p_sr["w"]), np.asarray(p0["w"]))
+    rel = np.abs(np.asarray(p_sr["w"]) - np.asarray(p_dt["w"])).mean() / (
+        np.abs(np.asarray(p_dt["w"]) - np.asarray(p0["w"])).mean() + 1e-12
+    )
+    assert rel < 0.5, rel  # same trajectory up to rounding noise
 
 
 def test_optim8_pallas_nan_gradient_leaves_state():

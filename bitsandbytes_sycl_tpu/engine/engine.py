@@ -91,6 +91,7 @@ class InferenceEngine:
         self.ecfg = engine_cfg
         self.params = params
         self.mesh = mesh
+        self._tp_axis = tp_axis
         # multi-adapter serving: a stack_lora pytree; each request picks
         # its adapter via add_request(adapter_id=...) (S-LoRA style)
         self._lora = lora
@@ -175,9 +176,12 @@ class InferenceEngine:
             slot slots[k] — ONE jitted call (and one cache round-trip) per
             prefill batch; XLA chains the dynamic_update_slices in place.
             Invalid (padding) entries rewrite the slot's own current
-            content, i.e. a no-op."""
+            content, i.e. a no-op. Small K unrolls; large K rolls into a
+            fori_loop so HLO size stays O(1) in prefill batch (compile
+            time at max_batch>=32 was linear in K x cache leaves)."""
             K = slots.shape[0]
-            for k in range(K):
+
+            def ins_k(k, cache):
                 def ins(big, small):
                     # big (L, B, S, ...), small (L, K, S, ...)
                     small_k = jax.lax.dynamic_slice_in_dim(small, k, 1, axis=1)
@@ -186,7 +190,13 @@ class InferenceEngine:
                     small_k = jnp.where(valid[k], small_k.astype(big.dtype), cur)
                     return jax.lax.dynamic_update_slice(big, small_k, start)
 
-                cache = jax.tree_util.tree_map(ins, cache, cacheK)
+                return jax.tree_util.tree_map(ins, cache, cacheK)
+
+            if K > 16:
+                cache = jax.lax.fori_loop(0, K, ins_k, cache)
+            else:
+                for k in range(K):
+                    cache = ins_k(k, cache)
             if self._cache_sharding is not None:
                 cache = jax.lax.with_sharding_constraint(cache, self._cache_sharding)
             return cache
@@ -286,17 +296,20 @@ class InferenceEngine:
             raise ValueError("max_new_tokens must be >= 1")
         pre = self._prefixes[prefix] if prefix is not None else None
         plen = len(pre["tokens"]) if pre is not None else 0
-        if adapter_ids is not None:
-            n_ad = getattr(self, "_n_adapters", 1)
-            for a in adapter_ids:
-                if not 0 <= a < max(n_ad, 1):
-                    raise ValueError(f"adapter_id {a} out of range [0, {n_ad})")
-            if pre is not None and any(a != pre["adapter"] for a in adapter_ids):
-                # the prefix KV was computed WITH its adapter's deltas
-                raise ValueError(
-                    "prefix was registered with adapter "
-                    f"{pre['adapter']}; requests using it must match"
-                )
+        # omitting adapter_ids means adapter 0 for every request; make that
+        # explicit BEFORE the prefix check so a prefix registered with
+        # adapter!=0 can never be silently mixed with default-adapter decode
+        eff_adapter_ids = adapter_ids if adapter_ids is not None else [0] * len(prompts)
+        n_ad = getattr(self, "_n_adapters", 1)
+        for a in eff_adapter_ids:
+            if not 0 <= a < max(n_ad, 1):
+                raise ValueError(f"adapter_id {a} out of range [0, {n_ad})")
+        if pre is not None and any(a != pre["adapter"] for a in eff_adapter_ids):
+            # the prefix KV was computed WITH its adapter's deltas
+            raise ValueError(
+                "prefix was registered with adapter "
+                f"{pre['adapter']}; requests using it must match"
+            )
         for prompt in prompts:
             if plen + len(prompt) > self.mcfg.max_seq_len - 1:
                 raise ValueError("prompt longer than max_seq_len")
@@ -317,8 +330,7 @@ class InferenceEngine:
             toks[i, : len(prompt)] = prompt
             lens[i] = len(prompt)
         aid = np.zeros((Kb,), np.int32)
-        if adapter_ids is not None:
-            aid[: len(adapter_ids)] = adapter_ids
+        aid[: len(eff_adapter_ids)] = eff_adapter_ids
         if pre is not None:
             nxt, cacheK = self._prefix_prefill(
                 self.params, jnp.asarray(toks), jnp.asarray(lens),
@@ -453,14 +465,29 @@ class InferenceEngine:
         Requires equal-length prompts (the lockstep loop shares one
         cursor); use generate() for ragged continuous batching. Does not
         touch the slot pool/cache. EOS truncation matches generate()
-        (output includes the EOS token, nothing after it)."""
+        (output includes the EOS token, nothing after it).
+
+        Under a TP mesh both target and draft forwards route through
+        llama_forward_tp (the engine's own fwd): pass draft_params
+        pre-sharded with shard_llama_params(draft_cfg) on the same mesh.
+        The loop-carried caches inherit the kv_cache_specs shardings from
+        the shard_map out_specs via GSPMD propagation, so weights and KV
+        never gather."""
         from .speculative import speculative_generate_jit
 
         if self.mesh is not None:
-            raise NotImplementedError(
-                "speculative decoding under a TP mesh is not wired "
-                "(the jitted loop builds its own unsharded caches)"
-            )
+            # same divisibility contract as the engine's own TP forward —
+            # fail fast here rather than deep inside the jitted loop
+            tp = self.mesh.shape[self._tp_axis]
+            if (
+                draft_cfg.num_heads % tp
+                or draft_cfg.num_kv_heads % tp
+                or draft_cfg.intermediate_size % tp
+            ):
+                raise ValueError(
+                    f"draft config not divisible by TP={tp} "
+                    "(heads/kv_heads/intermediate_size)"
+                )
         if self._lora is not None:
             raise NotImplementedError(
                 "speculative decoding does not apply the engine's lora "
@@ -545,8 +572,13 @@ class InferenceEngine:
         self.active = np.asarray(snap["active"], bool).copy()
         self.slot_tokens = [list(t) for t in snap["slot_tokens"]]
         self.slot_budget = np.asarray(snap["slot_budget"], np.int32).copy()
-        if "slot_adapter" in snap:  # older snapshots predate multi-lora
+        if "slot_adapter" in snap:
             self.slot_adapter = np.asarray(snap["slot_adapter"], np.int32).copy()
+        else:
+            # older snapshots predate multi-lora: they were taken with every
+            # slot on adapter 0, so stale per-slot ids from THIS engine's
+            # prior serving must not leak into the resumed decode
+            self.slot_adapter = np.zeros_like(self.slot_adapter)
         self._last_tokens = np.asarray(snap["last_tokens"], np.int32).copy()
         if "rng" in snap:  # sampled decoding resumes bit-identically too
             self._rng = jax.random.wrap_key_data(jnp.asarray(snap["rng"]))

@@ -104,8 +104,16 @@ def speculative_generate(
     # cache would silently clamp writes onto earlier positions and
     # collapse the acceptance rate with no error surfaced
     need = T + max_new_tokens + gamma + 1
-    assert target_cfg.max_seq_len >= need, (target_cfg.max_seq_len, need)
-    assert draft_cfg.max_seq_len >= need, (draft_cfg.max_seq_len, need)
+    if target_cfg.max_seq_len < need:
+        raise ValueError(
+            f"target max_seq_len {target_cfg.max_seq_len} < required {need} "
+            "(prompt + max_new_tokens + gamma + 1)"
+        )
+    if draft_cfg.max_seq_len < need:
+        raise ValueError(
+            f"draft max_seq_len {draft_cfg.max_seq_len} < required {need} "
+            "(prompt + max_new_tokens + gamma + 1)"
+        )
     sampling = temperature > 0.0
     host_rng = np.random.default_rng(seed)
 
@@ -258,8 +266,16 @@ def speculative_generate_jit(
     """
     B, T = prompts.shape
     need = T + max_new_tokens + gamma + 2
-    assert target_cfg.max_seq_len >= need, (target_cfg.max_seq_len, need)
-    assert draft_cfg.max_seq_len >= need, (draft_cfg.max_seq_len, need)
+    if target_cfg.max_seq_len < need:
+        raise ValueError(
+            f"target max_seq_len {target_cfg.max_seq_len} < required {need} "
+            "(prompt + max_new_tokens + gamma + 1)"
+        )
+    if draft_cfg.max_seq_len < need:
+        raise ValueError(
+            f"draft max_seq_len {draft_cfg.max_seq_len} < required {need} "
+            "(prompt + max_new_tokens + gamma + 1)"
+        )
 
     cache_key = (target_cfg, draft_cfg, B, T, max_new_tokens, gamma,
                  target_forward, draft_forward, float(temperature))

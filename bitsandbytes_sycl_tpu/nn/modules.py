@@ -121,6 +121,14 @@ class Linear8bitLt(nn.Module):
         quantizes it on the fly (int8 surrogate) and gradients flow to it.
     has_fp16_weights=False -> frozen int8 weight CB + per-row scale SCB in
         "quants" (inference / memory-saving mode).
+
+    Kernel dispatch note: threshold > 0 WITHOUT `outlier_idx` runs the
+    dynamic per-call outlier path, which is XLA-only by measurement
+    (functional.llm_int8_matmul: feeding top_k-dependent gathers into the
+    fused Pallas kernel breaks its pipeline, 92us vs 37us pure-XLA at
+    4096^2 M=8). To get the fused kernel with outlier decomposition, set
+    `outlier_idx` (static column set, e.g. from utils.find_outlier_dims)
+    — measured 29us vs the 48us bf16 matmul.
     """
 
     features: int

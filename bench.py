@@ -4,34 +4,36 @@ to the bf16 matmul roofline on one chip (BASELINE.md target: >=90% of
 fp16-matmul-roofline tokens/s for 4-bit decode).
 
 Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-value        = bf16_matmul_time / nf4_decode_time for a 4096x4096 decode
-               step at batch 8 (i.e. NF4 tokens/s as a fraction of the
-               fp16-roofline tokens/s; 1.0 = parity, 3.56 = ideal 4-bit),
-               for the FASTEST NF4 serving path: round 2's W4A8 kernel
-               (int8 activations on the int8 MXU, ops/matmul_w4a8.py).
-               The exact-decode (bf16 activations) path is reported in
-               the extra "exact_path" field — it is VPU-bound at ~0.65x
-               (docs/PERFORMANCE.md).
+value        = geometric mean over the three 7B projection shapes
+               (4096x4096, 11008x4096, 4096x11008) of
+               bf16_matmul_time / nf4_decode_time at decode batch M=8,
+               for the FASTEST NF4 serving path (W4A8, ops/matmul_w4a8.py).
+               1.0 = parity with the bf16 matmul, 3.56 = ideal 4-bit.
+               Multi-shape + min-over-reps makes the number robust to the
+               documented +-10% single-shape run variance (VERDICT r2).
+extra fields = per-shape ratios, the exact-decode path (bf16 activations,
+               VPU-bound), int4, and the large-M prefill ratio (M=2048
+               via the round-3 dequant-once-to-HBM route).
 vs_baseline  = value / 0.90 (the north-star threshold).
 
 Methodology (CLAUDE.md "Measuring on the axon TPU"):
-- np.asarray on the output forces completion (block_until_ready is a
-  no-op on the axon backend — the round-1 bench failure).
-- Large arrays go through jit ARGUMENTS (captured constants serialize
-  into the remote Mosaic compile request: HTTP 413).
-- The weight is made loop-variant (absmax * (1 + 1e-30*i)) so XLA cannot
-  hoist the dequant out of the timing loop; every output element is
-  consumed via jnp.mean into the carry so nothing is DCE'd.
-- The tunnel adds ~25-35 ms/dispatch: time as min-over-reps of
+- np.asarray on a SCALAR output forces completion (block_until_ready is a
+  no-op on axon; returning the full carry ships MBs through the tunnel
+  and its ~100 ms jitter drowns the signal — round-3 lesson).
+- consumption: every output element folds back into the carry via
+  pad+reshape+sum segments — jnp.mean-style reduce consumption lets
+  XLA algebraically collapse reduce(dot) and time UNDER the roofline
+  (observed 28.7 us vs the 44 us MXU floor at M=256).
+- weights are loop-variant (absmax * (1 + 1e-30*i)) so dequant cannot
+  hoist; large arrays go through jit arguments (captured constants 413
+  the remote Mosaic compile).
+- the tunnel adds ~25-35 ms/dispatch: time as min-over-reps of
   (t(hi_iters) - t(lo_iters)) / (hi - lo), chained inside one jit.
-- The whole run retries with backoff on transient TPU errors
-  (FAILED_PRECONDITION when another process briefly held the chip), and
-  degrades to a smaller shape rather than exiting non-zero.
-- Each attempt runs in a SUBPROCESS with a hard timeout: the axon tunnel
-  has been observed to HANG (not error) mid-dispatch, and a blocked C
-  call cannot be interrupted in-process. The parent owns the JSON line.
+- every attempt runs in a SUBPROCESS with a hard timeout (the tunnel has
+  been observed to HANG mid-dispatch); the parent owns the JSON line and
+  degrades to fewer/smaller shapes rather than exiting non-zero.
 """
 
 import dataclasses
@@ -41,13 +43,12 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 M = 8  # decode batch
 
 
-def _child(n: int) -> int:
-    """Measure one shape and print the speed ratio; runs in a subprocess."""
+def _child(shapes_arg: str) -> int:
     import timeit
 
     import jax
@@ -63,14 +64,24 @@ def _child(n: int) -> int:
         matmul_4bit_fused, matmul_4bit_w4a8, quantize_4bit_native,
     )
 
-    def _measure(op, x, *arrs, lo=200, hi=1200, reps=4):
+    def _fold(y, K):
+        """Consume EVERY element of y into a (M, K) update (pad+segment-sum;
+        not a reduce XLA can fuse into the producing dot)."""
+        N = y.shape[1]
+        c = -(-N // K)
+        yp = jnp.pad(y, ((0, 0), (0, c * K - N))) if c * K != N else y
+        return yp.reshape(y.shape[0], c, K).sum(axis=1)
+
+    def measure(op, x, *arrs, lo=100, hi=600, reps=6):
+        K = x.shape[1]
+
         def runner(iters):
             @jax.jit
             def rr(x, *arrs):
                 def body(i, x):
-                    return x + jnp.mean(op(x, i, *arrs)).astype(x.dtype) * 1e-6
+                    return x + _fold(op(x, i, *arrs).astype(jnp.float32), K).astype(x.dtype) * 1e-4
 
-                return jax.lax.fori_loop(0, iters, body, x)
+                return jnp.sum(jax.lax.fori_loop(0, iters, body, x).astype(jnp.float32))
 
             np.asarray(rr(x, *arrs))  # warm compile + force completion
             return min(
@@ -80,79 +91,131 @@ def _child(n: int) -> int:
 
         return (runner(hi) - runner(lo)) / (hi - lo)
 
-    rng = np.random.default_rng(0)
-    W = jnp.asarray(rng.normal(size=(n, n)) * 0.02, jnp.float32)
-    qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
-    Wb = W.astype(jnp.bfloat16)
-    x = jnp.asarray(rng.normal(size=(M, n)), jnp.bfloat16)
+    # probe: catch a wedged tunnel cheaply before long compiles
+    a = jnp.ones((128, 128), jnp.bfloat16)
+    np.asarray(a @ a)
 
-    t_bf16 = _measure(lambda x, i, w: x @ ((1.0 + 1e-30 * i) * w.T), x, Wb)
-    t_nf4 = _measure(
-        lambda x, i, pk, am: matmul_4bit_fused(
-            x, dataclasses.replace(qw, packed=pk, absmax=am * (1.0 + 1e-30 * i))
-        ),
-        x, qw.packed, qw.absmax,
-    )
-    t_w4a8 = _measure(
-        lambda x, i, pk, am: matmul_4bit_w4a8(
-            x, dataclasses.replace(qw, packed=pk, absmax=am * (1.0 + 1e-30 * i))
-        ),
-        x, qw.packed, qw.absmax,
-    )
-    print(f"RATIO {t_bf16 / t_w4a8:.6f} EXACT {t_bf16 / t_nf4:.6f}", flush=True)
+    shapes = [tuple(int(v) for v in s.split("x")) for s in shapes_arg.split(",")]
+    rng = np.random.default_rng(0)
+    results = {}
+    for (n, k) in shapes:
+        W = jnp.asarray(rng.normal(size=(n, k)) * 0.02, jnp.float32)
+        qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+        qw4 = quantize_4bit_native(W, blocksize=64, quant_type="int4")
+        Wb = W.astype(jnp.bfloat16)
+        x = jnp.asarray(rng.normal(size=(M, k)), jnp.bfloat16)
+
+        def qvar(op, q):
+            return lambda x, i, pk, am: op(
+                x, dataclasses.replace(q, packed=pk, absmax=am * (1.0 + 1e-30 * i))
+            )
+
+        rec = {}
+        t_bf16 = measure(lambda x, i, w: x @ ((1.0 + 1e-30 * i) * w.T), x, Wb)
+        for name, op, q in (
+            ("w4a8", matmul_4bit_w4a8, qw),
+            ("exact", matmul_4bit_fused, qw),
+            ("int4", matmul_4bit_fused, qw4),
+        ):
+            try:
+                t = measure(qvar(op, q), x, q.packed, q.absmax)
+                rec[name] = t_bf16 / t
+            except Exception as e:  # noqa: BLE001
+                print(f"shape {n}x{k} {name} failed: {str(e)[:120]}",
+                      file=sys.stderr, flush=True)
+        results[f"{n}x{k}"] = rec
+
+    # prefill ratio (round-3 HBM-dequant route), first shape only
+    n, k = shapes[0]
+    if n == k == 4096:
+        W = jnp.asarray(rng.normal(size=(n, k)) * 0.02, jnp.float32)
+        qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+        Wb = W.astype(jnp.bfloat16)
+        xp = jnp.asarray(rng.normal(size=(2048, k)), jnp.bfloat16)
+        try:
+            t_bf = measure(lambda x, i, w: x @ ((1.0 + 1e-30 * i) * w.T), xp, Wb,
+                           lo=30, hi=130)
+            t_nf = measure(
+                lambda x, i, pk, am: matmul_4bit_fused(
+                    x, dataclasses.replace(qw, packed=pk, absmax=am * (1.0 + 1e-30 * i))
+                ),
+                xp, qw.packed, qw.absmax, lo=30, hi=130,
+            )
+            results["prefill_2048"] = {"nf4": t_bf / t_nf}
+        except Exception as e:  # noqa: BLE001
+            print(f"prefill bench failed: {str(e)[:120]}", file=sys.stderr, flush=True)
+
+    print("RESULT " + json.dumps(results), flush=True)
     return 0
 
-def _attempt(n: int, timeout_s: int):
-    """One subprocess attempt; returns (ratio or None, error string)."""
+
+def _attempt(shapes: str, timeout_s: int):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # child must see the TPU
     try:
         res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+            [sys.executable, os.path.abspath(__file__), "--child", shapes],
             capture_output=True, text=True, timeout=timeout_s, env=env,
         )
     except subprocess.TimeoutExpired:
         return None, f"timeout after {timeout_s}s (tunnel hang)"
     for line in res.stdout.splitlines():
-        if line.startswith("RATIO "):
-            parts = line.split()
-            return (float(parts[1]), float(parts[3])), ""
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):]), ""
     tail = (res.stderr or "").strip().splitlines()
     return None, (tail[-1][:200] if tail else f"rc={res.returncode}, no output")
 
 
+def _geomean(vals):
+    import math
+
+    vals = [v for v in vals if v and v > 0]
+    if not vals:
+        return 0.0
+    return math.exp(sum(math.log(v) for v in vals) / len(vals))
+
+
 def main():
     last_err = "unknown"
-    # (shape, attempts, per-attempt timeout): full shape first, degraded
-    # shapes as fallbacks so a transient failure still yields a valid line.
-    # 60 s backoff between failures: FAILED_PRECONDITION states have been
-    # observed to persist for minutes before the backend resets.
-    plan = ((4096, 2, 420), (2048, 2, 300), (1024, 1, 240))
-    for n, attempts, timeout_s in plan:
+    full = "4096x4096,11008x4096,4096x11008"
+    plan = ((full, 1, 1500), (full, 1, 1500), ("4096x4096", 2, 600), ("2048x2048", 1, 420))
+    for shapes, attempts, timeout_s in plan:
         for a in range(attempts):
-            value, err = _attempt(n, timeout_s)
-            if value is not None:
-                w4a8, exact = value
-                rec = {
-                    "metric": f"nf4_fused_decode_speed_vs_bf16_matmul_{n}",
-                    "value": round(w4a8, 4),
-                    "unit": "x (1.0=bf16 parity, 3.56=ideal 4-bit; W4A8 path)",
-                    "vs_baseline": round(w4a8 / 0.90, 4),
-                    "exact_path": round(exact, 4),
-                }
-                if n != 4096:
-                    rec["degraded_from"] = 4096
-                print(json.dumps(rec), flush=True)
-                return 0
+            res, err = _attempt(shapes, timeout_s)
+            if res is not None:
+                shape_keys = [kk for kk in res if kk != "prefill_2048"]
+                value = _geomean([res[kk].get("w4a8") for kk in shape_keys])
+                if value <= 0:
+                    last_err = "no w4a8 ratios measured"
+                else:
+                    rec = {
+                        "metric": "nf4_decode_speed_vs_bf16_matmul_geomean",
+                        "value": round(value, 4),
+                        "unit": "x (1.0=bf16 parity, 3.56=ideal 4-bit; W4A8 path, "
+                                "geomean over 7B projection shapes, M=8)",
+                        "vs_baseline": round(value / 0.90, 4),
+                        "exact_path": round(
+                            _geomean([res[kk].get("exact") for kk in shape_keys]), 4
+                        ),
+                        "int4_path": round(
+                            _geomean([res[kk].get("int4") for kk in shape_keys]), 4
+                        ),
+                        "per_shape": {
+                            kk: {m: round(v, 4) for m, v in res[kk].items()}
+                            for kk in res
+                        },
+                    }
+                    if shapes != full:
+                        rec["degraded_from"] = full
+                    print(json.dumps(rec), flush=True)
+                    return 0
             last_err = err
-            print(f"attempt n={n} #{a} failed: {err}", file=sys.stderr, flush=True)
-            if (n, a) != (plan[-1][0], plan[-1][1] - 1):
-                time.sleep(60)
-    # never exit non-zero with no JSON: emit a sentinel record
+            print(f"attempt shapes={shapes} #{a} failed: {err}", file=sys.stderr, flush=True)
+            time.sleep(60)
     print(
         json.dumps(
             {
-                "metric": "nf4_fused_decode_speed_vs_bf16_matmul_4096",
+                "metric": "nf4_decode_speed_vs_bf16_matmul_geomean",
                 "value": 0.0,
                 "unit": "x (benchmark failed; see stderr)",
                 "vs_baseline": 0.0,
@@ -166,5 +229,5 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
-        sys.exit(_child(int(sys.argv[2])))
+        sys.exit(_child(sys.argv[2]))
     sys.exit(main())

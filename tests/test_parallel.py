@@ -93,6 +93,43 @@ def test_tp_all_gather_matmul_4bit(setup):
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
 
 
+def test_tp_all_gather_wire_format_is_4bit(setup):
+    """The FSDP-style gather must move PACKED 4-bit bytes over the
+    interconnect, never the dequantized weight: the compiled HLO contains
+    exactly one u8 weight all-gather of K/2 x N_local bytes (4x less wire
+    traffic than a bf16 gather, 8x less than f32) plus the small scale
+    gather. On TPU, XLA emits these as async start/done pairs that the
+    latency-hiding scheduler overlaps with prior compute — the wire
+    format proven here is what makes that overlap cheap enough to hide
+    (docs/SCALING.md efficiency model)."""
+    import dataclasses
+    import re
+
+    _W, x, qw, _ref = setup
+    mesh = make_mesh({"model": 4})
+    qws = shard_qweight(qw, mesh, dim="col")
+
+    f = jax.jit(
+        lambda x, pk, am: tp_all_gather_matmul_4bit(
+            x, dataclasses.replace(qws, packed=pk, absmax=am), mesh,
+            compute_dtype=jnp.float32,
+        )
+    )
+    txt = f.lower(x, qws.packed, qws.absmax).compile().as_text()
+    gathers = re.findall(r"=\s*(\w+)\[([\d,]+)\]\S*\s+all-gather\(", txt)
+    assert gathers, "no all-gather in compiled HLO"
+    u8 = [dims for dty, dims in gathers if dty.startswith("u8")]
+    assert len(u8) == 1, gathers
+    # local operand: (K/2, N/4) packed bytes
+    shp = tuple(int(v) for v in u8[0].split(","))
+    assert K // 2 * N in (shp[0] * shp[1],), (shp, gathers)
+    # nothing dequantized rides the wire: no f32/bf16 gather of weight size
+    for dty, dims in gathers:
+        if not dty.startswith("u8"):
+            sz = np.prod([int(v) for v in dims.split(",")])
+            assert sz <= K * N // 64 * 2, ("non-scale float gather", dty, dims)
+
+
 def test_tp_int8_col_matches_single_device(setup):
     W, x, _qw, _ref = setup
     mesh = make_mesh({"model": 4})

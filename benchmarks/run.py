@@ -264,6 +264,72 @@ def model7b_decode(quant="nf4"):
     _emit(f"llama7b_{quant}{suffix}_int8kv_decode_b8", B / t, "tok/s", 200.0)
 
 
+def model7b_prefill(quant="nf4"):
+    """Full-size Llama-7B PREFILL (B=8, T=512 -> M=4096 rows per linear):
+    the workload the round-3 prefill routing targets. Reports tok/s and,
+    for nf4, the same measurement with the round-2 routing (tm<=256, no
+    HBM-dequant route) for an in-place speedup ratio."""
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, init_params, llama_forward,
+    )
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit as m4
+
+    B, T, S = 8, 512, 1024
+    cfg = LlamaConfig(max_seq_len=S, quant=quant, kv_quant=True, dtype=jnp.bfloat16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    np.asarray(params["final_norm"])
+    toks = jnp.ones((B, T), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+    def measure():
+        cache = init_kv_cache(cfg, B)
+
+        @jax.jit
+        def prefill(params, cache, toks, pos, arr):
+            def step(carry, _):
+                cache, t = carry
+                logits, cache = llama_forward(params, cfg, t, cache, pos)
+                # feed a token derived from logits back so scan iterations chain
+                t = (t + jnp.argmax(logits[:, :1], axis=-1).astype(jnp.int32)) % 32000
+                return (cache, t), ()
+
+            (cache, t), _ = jax.lax.scan(step, (cache, toks), arr)
+            return t
+
+        def run(n):
+            np.asarray(prefill(params, cache, toks, pos, jnp.zeros((n,))))
+            return min(
+                timeit.timeit(
+                    lambda: np.asarray(prefill(params, cache, toks, pos, jnp.zeros((n,)))),
+                    number=1,
+                )
+                for _ in range(3)
+            )
+
+        return (run(8) - run(2)) / 6
+
+    t3 = measure()
+    _emit(f"llama7b_{quant}_prefill_b8_t512", B * T / t3, "tok/s", None)
+    if quant == "nf4":
+        saved = (m4._tm_candidates, m4.PREFILL_MIN_M, m4.PREFILL_MIN_M_UNALIGNED)
+        try:
+            # round-2 routing: fused kernel only, m-tiles capped at 64 for
+            # the whole-half-K down_proj (r2's tm=256 there OOMs Mosaic's
+            # scoped VMEM — r2 never ran a 7B prefill; 64 is the largest
+            # m-tile that compiles, so this measures r2's routing at its
+            # best-possible legal configuration)
+            m4._tm_candidates = lambda tkb, dt, whole_half=False: tuple(
+                c for c in (256, 128, 64, 32, 16, 8) if c * tkb <= 64 * 5504
+            ) or (8,)
+            m4.PREFILL_MIN_M = m4.PREFILL_MIN_M_UNALIGNED = 1 << 30
+            t2 = measure()
+            _emit("llama7b_nf4_prefill_r3_vs_r2_routing", t2 / t3, "x speedup", 1.0)
+        except Exception as e:  # pragma: no cover - depends on backend
+            print(f"# r2-routing emulation failed: {type(e).__name__}", file=sys.stderr)
+        finally:
+            m4._tm_candidates, m4.PREFILL_MIN_M, m4.PREFILL_MIN_M_UNALIGNED = saved
+
+
 ALL = {
     "nf4_matmul": nf4_matmul,
     "int8_matmul": int8_matmul,
@@ -273,7 +339,7 @@ ALL = {
     "model_decode": model_decode,
 }
 
-EXTRA = {"model7b_decode": model7b_decode}  # opt-in: heavy
+EXTRA = {"model7b_decode": model7b_decode, "model7b_prefill": model7b_prefill}  # opt-in: heavy
 
 
 

@@ -223,6 +223,9 @@ def load_llama_from_hf(model_dir: str, cfg=None, use_native_quantizer: bool = Tr
         for ours, theirs in _HF_LAYER_MAP.items():
             w = get(pre + theirs)
             layer[ours] = _quantize_linear(w, cfg) if ours.endswith("_proj") else w
+        if getattr(cfg, "attn_bias", False):  # Qwen2-style qkv biases
+            for b in ("q", "k", "v"):
+                layer[f"{b}_bias"] = get(pre + f"self_attn.{b}_proj.bias")
         layers.append(layer)
     params = {
         "embed": get("model.embed_tokens.weight").astype(cfg.dtype),

@@ -62,6 +62,22 @@ class LlamaConfig:
     llm_int8_threshold: float = 6.0
     kv_quant: bool = True  # int8 KV cache
     tie_embeddings: bool = False
+    # sliding-window attention (Mistral): query t attends keys in
+    # (t - window, t]. None = full causal. When the window BINDS
+    # (window < max_seq_len) attention takes the masked XLA path — the
+    # fused flash kernels currently cover full-causal only.
+    sliding_window: Optional[int] = None
+    # additive q/k/v projection biases (Qwen2): params carry
+    # q_bias/k_bias/v_bias per layer when True
+    attn_bias: bool = False
+    # MLP gate activation: "silu" (llama/mistral/qwen2) or "gelu_tanh"
+    # (Gemma's GeGLU; HF hidden_act "gelu_pytorch_tanh")
+    mlp_act: str = "silu"
+    # RMSNorm weight convention: True applies (1 + w) (Gemma stores the
+    # offset from unity, so a zero-init weight is the identity norm)
+    norm_offset: bool = False
+    # multiply token embeddings by sqrt(hidden_size) (Gemma)
+    scale_embeddings: bool = False
 
     @property
     def hd(self) -> int:
@@ -226,6 +242,11 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict:
         }
         layer["input_norm"] = jnp.ones((cfg.hidden_size,), jnp.float32)
         layer["post_attn_norm"] = jnp.ones((cfg.hidden_size,), jnp.float32)
+        if cfg.attn_bias:  # Qwen2-style additive qkv biases
+            bk = jax.random.split(lk[7], 3)
+            layer["q_bias"] = jax.random.normal(bk[0], (shapes["q_proj"][0],), jnp.float32) * 0.02
+            layer["k_bias"] = jax.random.normal(bk[1], (shapes["k_proj"][0],), jnp.float32) * 0.02
+            layer["v_bias"] = jax.random.normal(bk[2], (shapes["v_proj"][0],), jnp.float32) * 0.02
         layers.append(layer)
     params = {
         "embed": dense(keys[-2], (cfg.vocab_size, cfg.hidden_size), scale=0.02).astype(cfg.dtype),
@@ -288,9 +309,14 @@ def init_kv_cache(cfg: LlamaConfig, batch: int) -> Dict:
 def _use_fused_decode_attn(cfg: LlamaConfig) -> bool:
     """The flash-decode kernel runs compiled on TPU; interpret mode is too
     slow for the per-layer loop, so CPU tests take the XLA fallback (the
-    kernel itself is covered by interpret-mode unit tests)."""
+    kernel itself is covered by interpret-mode unit tests). A BINDING
+    sliding window (Mistral) also takes the masked XLA path — the flash
+    kernels cover full-causal attention only."""
     from ..ops.common import on_tpu
 
+    sw = getattr(cfg, "sliding_window", None)
+    if sw is not None and sw < cfg.max_seq_len:
+        return False
     return on_tpu()
 
 
@@ -340,10 +366,18 @@ def _kv_dequantize(q: jax.Array, absmax: jax.Array, dtype) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+def _mlp_act(cfg, gate_f32: jax.Array) -> jax.Array:
+    """Gate activation in f32: silu (llama) or tanh-gelu (Gemma GeGLU)."""
+    if getattr(cfg, "mlp_act", "silu") == "gelu_tanh":
+        return jax.nn.gelu(gate_f32, approximate=True)
+    return jax.nn.silu(gate_f32)
+
+
+def _rms_norm(x: jax.Array, w: jax.Array, eps: float, offset: bool = False) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+    wf = w.astype(jnp.float32) + 1.0 if offset else w  # Gemma stores w-1
+    return (xf * jax.lax.rsqrt(var + eps) * wf).astype(x.dtype)
 
 
 def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
@@ -467,6 +501,9 @@ def llama_forward(
         seq_lens = jnp.zeros((B,), jnp.int32)
 
     x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)  # (B,T,H)
+    if getattr(cfg, "scale_embeddings", False):  # Gemma: x * sqrt(hidden)
+        x = x * jnp.asarray(np.sqrt(cfg.hidden_size), cfg.dtype)
+    norm_off = getattr(cfg, "norm_offset", False)
     ids_bt = (
         jnp.broadcast_to(lora_ids[:, None], (B, T)) if lora_ids is not None else None
     )
@@ -475,20 +512,33 @@ def llama_forward(
     S = cfg.max_seq_len if use_cache else T
     # causal-with-cache mask: query t may attend cache slot s iff
     # s < seq_lens + (t - first_new + 1) i.e. s_pos <= q_pos
+    sw = getattr(cfg, "sliding_window", None)
     if use_cache:
         s_ids = jnp.arange(S)[None, None, :]  # (1,1,S)
         q_pos = positions[:, :, None]  # (B,T,1)
         mask = s_ids <= q_pos  # (B,T,S) absolute-position causal
+        if sw is not None:
+            mask = mask & (q_pos - s_ids < sw)  # Mistral window (t-w, t]
     else:
         mask = jnp.tril(jnp.ones((T, T), bool))[None]
+        if sw is not None:
+            q_ids = jnp.arange(T)[:, None]
+            mask = mask & ((q_ids - jnp.arange(T)[None, :]) < sw)[None]
         mask = jnp.broadcast_to(mask, (B, T, T))
 
     new_cache = dict(cache) if use_cache else None
     for li, layer in enumerate(params["layers"]):
-        h = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
-        q = apply_linear(h, layer["q_proj"], cfg, _lora_for(lora, li, "q_proj"), ids_bt).reshape(B, T, cfg.num_heads, cfg.hd)
-        k = apply_linear(h, layer["k_proj"], cfg, _lora_for(lora, li, "k_proj"), ids_bt).reshape(B, T, cfg.num_kv_heads, cfg.hd)
-        v = apply_linear(h, layer["v_proj"], cfg, _lora_for(lora, li, "v_proj"), ids_bt).reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        h = _rms_norm(x, layer["input_norm"], cfg.rms_eps, norm_off)
+        q = apply_linear(h, layer["q_proj"], cfg, _lora_for(lora, li, "q_proj"), ids_bt)
+        k = apply_linear(h, layer["k_proj"], cfg, _lora_for(lora, li, "k_proj"), ids_bt)
+        v = apply_linear(h, layer["v_proj"], cfg, _lora_for(lora, li, "v_proj"), ids_bt)
+        if "q_bias" in layer:  # Qwen2-style qkv biases
+            q = q + layer["q_bias"].astype(q.dtype)
+            k = k + layer["k_bias"].astype(k.dtype)
+            v = v + layer["v_bias"].astype(v.dtype)
+        q = q.reshape(B, T, cfg.num_heads, cfg.hd)
+        k = k.reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        v = v.reshape(B, T, cfg.num_kv_heads, cfg.hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
@@ -503,18 +553,18 @@ def llama_forward(
             o = jax.lax.psum(o, psum_axis)
         x = x + o
 
-        h = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
+        h = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, norm_off)
         gate = apply_linear(h, layer["gate_proj"], cfg, _lora_for(lora, li, "gate_proj"), ids_bt)
         up = apply_linear(h, layer["up_proj"], cfg, _lora_for(lora, li, "up_proj"), ids_bt)
         d = apply_linear(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(cfg.dtype) * up,
+            _mlp_act(cfg, gate.astype(jnp.float32)).astype(cfg.dtype) * up,
             layer["down_proj"], cfg, _lora_for(lora, li, "down_proj"), ids_bt,
         )
         if psum_axis is not None:  # row-parallel down_proj partial sums
             d = jax.lax.psum(d, psum_axis)
         x = x + d
 
-    x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = _rms_norm(x, params["final_norm"], cfg.rms_eps, norm_off)
     if cfg.tie_embeddings or "lm_head" not in params:
         logits = jnp.matmul(x, params["embed"].T.astype(cfg.dtype))
     else:

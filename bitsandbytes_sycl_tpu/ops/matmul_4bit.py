@@ -147,7 +147,11 @@ def _dequant_kernel(
     w_hi = _decode_plane(b, code, quant_type, decode_dtype, shift=4)
     w_lo = _decode_plane(b, code, quant_type, decode_dtype, shift=0)
     if compressed:
+        # f32 scratch sliced per k: 8-block-aligned (the caller pads the
+        # packed rows so tkb is always 8 quantization blocks — unaligned
+        # pl.ds sizes like K=11008's 43 blocks crash the Mosaic compiler)
         nb = w_ref.shape[0] // blocksize
+        k = pl.program_id(1)
         s = s_scr_ref[:, pl.ds(k * nb, nb), :]
     else:
         s = s_ref[:]
@@ -212,12 +216,36 @@ def _dequant_to_hbm_call(w: QLinearWeight, out_dtype, tn, tkb):
 
 
 def dequantize_transposed(w: QLinearWeight, out_dtype=jnp.bfloat16):
-    """W^T (K, N) densely decoded — Pallas when tileable, jnp fallback."""
+    """W^T (K, N) densely decoded — Pallas when tileable, jnp fallback.
+
+    k tiles are always exactly 8 quantization blocks: a whole-half tile
+    (5504 rows for K=11008) OOMs Mosaic's scoped VMEM on the decode
+    temporaries, and unaligned dynamic scale slices (43 blocks) crash the
+    compiler — so non-8-block halves PAD the packed rows up (zero scales
+    decode to zeros; the padded rows are sliced off the output)."""
+    import dataclasses as _dc
+
     N, K = w.shape
-    tn, tkb = _nk_tiles(w, N, K)
-    if tn is None or tkb is None or K % (2 * w.blocksize) != 0:
+    half = K // 2
+    bs = w.blocksize
+    tn = _pick_tile(N, (256, 128))
+    if tn is None or K % (2 * bs) != 0:
         return w.dequantize().T.astype(out_dtype)
-    return _dequant_to_hbm_call(w, out_dtype, tn, tkb)
+    step = 8 * bs
+    hp = ((half + step - 1) // step) * step
+    wq = w
+    if hp != half:
+        pad_rows = hp - half
+        wq = _dc.replace(
+            w,
+            packed=jnp.pad(w.packed, ((0, pad_rows), (0, 0))),
+            absmax=jnp.pad(w.absmax, ((0, 0), (0, pad_rows // bs), (0, 0))),
+            shape=(N, 2 * hp),
+        )
+    out = _dequant_to_hbm_call(wq, out_dtype, tn, step)  # (2*hp, N)
+    if hp != half:
+        out = out.reshape(2, hp, N)[:, :half, :].reshape(K, N)
+    return out
 
 
 # crossover to the dequant-once-to-HBM route (measured on v5e,
@@ -226,6 +254,16 @@ def dequantize_transposed(w: QLinearWeight, out_dtype=jnp.bfloat16):
 # (~110 us at 4096^2) amortizes and the dense MXU matmul runs at the
 # bf16 roofline.
 PREFILL_MIN_M = 2048
+
+# whole-half-K weights (half not a multiple of 8 quant blocks, e.g.
+# llama-7B down_proj K=11008 -> tkb=5504): the fused kernel's decode
+# temporaries are (tkb, tn) blocks, so Mosaic's 16 MB scoped-VMEM stack
+# caps the m-tile hard — tm=256 OOMs at 24 MB (measured v5e), tm<=64
+# compiles. With m-tiles that small the per-m-tile weight re-decode
+# dominates much earlier, so these weights cross over to the
+# dequant-once route at much smaller M.
+UNALIGNED_TM_MAX = 64
+PREFILL_MIN_M_UNALIGNED = 256
 
 
 @partial(jax.jit, static_argnames=("compute_dtype", "tm", "tn", "tkb", "decode_dtype"))
@@ -372,7 +410,8 @@ def _matmul_4bit_fused_impl(
             out = out + bias
         return out.reshape(*lead, N)
 
-    if M >= PREFILL_MIN_M:
+    whole_half = tkb == K // 2 and (K // 2) % (8 * w.blocksize) != 0
+    if M >= (PREFILL_MIN_M_UNALIGNED if whole_half else PREFILL_MIN_M):
         # very large M: decode the weight ONCE to a dense (K, N) HBM array
         # and run one MXU matmul at the bf16 roofline (reference MatMul4Bit
         # forward shape, autograd/_functions.py:507) — the fused kernel
@@ -385,11 +424,11 @@ def _matmul_4bit_fused_impl(
             out = out + bias
         return out.reshape(*lead, N)
 
-    tm = _pick_tile(M, _tm_candidates(tkb, compute_dtype))
+    tm = _pick_tile(M, _tm_candidates(tkb, compute_dtype, whole_half))
     if tm is None:  # pad small/ragged M up to a multiple of 8
         Mp = ((M + 7) // 8) * 8
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        tm = _pick_tile(Mp, _tm_candidates(tkb, compute_dtype))
+        tm = _pick_tile(Mp, _tm_candidates(tkb, compute_dtype, whole_half))
         out = _matmul_4bit_call(x2, w, bias, compute_dtype, tm, tn, tkb, decode_dtype)
         return out[:M].reshape(*lead, N)
 
@@ -403,10 +442,14 @@ def _matmul_4bit_fused_impl(
 _TM_CAP_ELEMS = 1_500_000
 
 
-def _tm_candidates(tkb: int, compute_dtype) -> tuple:
+def _tm_candidates(tkb: int, compute_dtype, whole_half: bool = False) -> tuple:
     cap = _TM_CAP_ELEMS // max(tkb, 1)
     if jnp.dtype(compute_dtype).itemsize > 2:
         cap //= 2
+    if whole_half:
+        # whole-half k tiles: (tkb, tn) decode temporaries eat most of the
+        # scoped-VMEM stack; tm=256 OOMs at tkb=5504 (measured), 64 fits
+        cap = min(cap, UNALIGNED_TM_MAX)
     cands = tuple(c for c in (1024, 512, 256, 128, 64, 32, 16, 8) if c <= cap)
     return cands or (8,)
 

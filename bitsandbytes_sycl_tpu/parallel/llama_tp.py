@@ -96,6 +96,9 @@ def llama_param_specs(params: Dict, cfg: LlamaConfig, axis: str = "model") -> Di
         for name, w in layer.items():
             if name.endswith("_proj"):
                 ls[name] = _proj_spec(name, w, axis)
+            elif name in ("q_bias", "k_bias", "v_bias"):
+                # qkv biases shard with their column-parallel projections
+                ls[name] = P(axis)
             else:
                 ls[name] = P()
         specs["layers"].append(ls)

@@ -148,3 +148,80 @@ def test_hf_import_bf16_checkpoint(tmp_path):
     got = np.asarray(logits, np.float32)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 5e-2, rel  # bf16 storage noise on a tiny random model
+
+
+# ---------------------------------------------------------------------------
+# Qwen2 (llama + qkv biases) and Mistral (llama + sliding window)
+# ---------------------------------------------------------------------------
+
+
+def test_hf_qwen2_fp_parity(tmp_path):
+    """Tiny HF Qwen2 -> load_qwen2_from_hf (llama loader + bias tensors)
+    must reproduce transformers logits; biases must actually matter."""
+    from bitsandbytes_sycl_tpu.models.qwen2 import load_qwen2_from_hf, qwen2_forward
+
+    cfg_hf = transformers.Qwen2Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-6,
+        rope_theta=10000.0, tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    model = transformers.Qwen2ForCausalLM(cfg_hf).eval()
+    with torch.no_grad():  # HF zero-inits biases: give them real values
+        for layer in model.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj):
+                proj.bias.normal_(0.0, 0.05)
+    d = tmp_path / "hf_qwen2"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 12))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, params = load_qwen2_from_hf(str(d))
+    assert cfg.attn_bias and "q_bias" in params["layers"][0]
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_qwen2_from_hf(str(d), cfg=cfg)
+    logits, _ = qwen2_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+    # dropping the biases must change the logits (they're live in the fwd)
+    params_nb = dict(params)
+    params_nb["layers"] = [
+        {k: v for k, v in l.items() if not k.endswith("_bias")} for l in params["layers"]
+    ]
+    logits_nb, _ = qwen2_forward(params_nb, cfg, jnp.asarray(toks.numpy()))
+    assert float(jnp.abs(logits - logits_nb).max()) > 0
+
+
+def test_hf_mistral_fp_parity(tmp_path):
+    """Tiny HF Mistral (sliding window binding at T > window) through
+    load_mistral_from_hf matches transformers' windowed attention."""
+    from bitsandbytes_sycl_tpu.models.mistral import load_mistral_from_hf, mistral_forward
+
+    cfg_hf = transformers.MistralConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, sliding_window=8,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(3)
+    model = transformers.MistralForCausalLM(cfg_hf).eval()
+    d = tmp_path / "hf_mistral"
+    model.save_pretrained(d, safe_serialization=True)
+    T = 24  # > window: the mask binds
+    toks = torch.randint(0, 256, (2, T))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_mistral_from_hf(str(d))
+    assert cfg.sliding_window == 8
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_mistral_from_hf(str(d), cfg=cfg)
+    logits, _ = mistral_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel

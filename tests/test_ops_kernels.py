@@ -133,6 +133,48 @@ def test_matmul_4bit_fused_fallback_shapes():
         quantize_4bit_native(W, blocksize=64, quant_type="nf4")
 
 
+def test_matmul_4bit_whole_half_routing():
+    """Weights whose packed half is not a multiple of 8 quant blocks
+    (llama-7B down_proj K=11008 -> one whole-half 5504-row k tile) must
+    (a) cap the fused kernel's m-tile at UNALIGNED_TM_MAX — tm=256 there
+    exceeds Mosaic's 16 MB scoped-VMEM stack on v5e (measured 24 MB) —
+    and (b) cross over to the dequant-once-to-HBM route at the LOWER
+    PREFILL_MIN_M_UNALIGNED threshold, where the per-m-tile weight
+    re-decode already dominates."""
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit as m4
+
+    K = 1408  # half = 704 = 11 blocks of 64: not 8-block aligned
+    rng = np.random.default_rng(7)
+    W = jnp.asarray(rng.normal(size=(256, K)) * 0.02, jnp.float32)
+    qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+    tn, tkb = m4._nk_tiles(qw, 256, K)
+    assert tkb == K // 2  # the whole-half escape hatch fired
+    assert max(m4._tm_candidates(tkb, jnp.bfloat16, True)) <= m4.UNALIGNED_TM_MAX
+
+    calls = {"n": 0}
+    orig = m4.dequantize_transposed
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    m4.dequantize_transposed = counted
+    try:
+        ref = lambda x: np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+        # M just above the unaligned crossover: HBM-dequant route
+        x = jnp.asarray(rng.normal(size=(m4.PREFILL_MIN_M_UNALIGNED, K)), jnp.float32)
+        y = m4.matmul_4bit_fused(x, qw, compute_dtype=jnp.float32)
+        assert calls["n"] == 1, "unaligned-half weight did not take the HBM route"
+        np.testing.assert_allclose(np.asarray(y), ref(x), rtol=2e-2, atol=2e-2)
+        # M below it: fused kernel (no dequant call), tm capped
+        x2 = jnp.asarray(rng.normal(size=(128, K)), jnp.float32)
+        y2 = m4.matmul_4bit_fused(x2, qw, compute_dtype=jnp.float32)
+        assert calls["n"] == 1
+        np.testing.assert_allclose(np.asarray(y2), ref(x2), rtol=2e-2, atol=2e-2)
+    finally:
+        m4.dequantize_transposed = orig
+
+
 def test_gemv_4bit_auto_routes_to_fused_kernel(weight):
     """Concrete bnb-format weights hit the fused kernel through a cached
     one-time repack (reference auto-dispatch, _functions.py:565-575)."""

@@ -114,7 +114,7 @@ def llama_forward_pp(
         embed = rest_l["embed"]
 
         def embed_mb(i):
-            return jnp.take(embed, micros[i], axis=0).astype(cfg.dtype)
+            return _embed(embed, micros[i], cfg)
 
         buf = jnp.zeros((mb, T, H), cfg.dtype)  # stage input register
         outs = jnp.zeros((n_micro, mb, T, H), cfg.dtype)
@@ -146,7 +146,7 @@ def llama_forward_pp(
                 jnp.where(sid == S - 1, outs, jnp.zeros_like(outs)), axis
             )
         x = outs.reshape(B, T, H)
-        x = _rms(x, rest_l["final_norm"], cfg.rms_eps)
+        x = _rms(x, rest_l["final_norm"], cfg.rms_eps, getattr(cfg, "norm_offset", False))
         if "lm_head" in rest_l:
             from ..models.llama import apply_linear
 
@@ -165,10 +165,22 @@ def llama_forward_pp(
     return fn(stage_layers, rest, tokens)
 
 
-def _rms(x, w, eps):
+def _rms(x, w, eps, offset: bool = False):
     xf = x.astype(jnp.float32)
     n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-    return (n * w.astype(jnp.float32)).astype(x.dtype)
+    wf = w.astype(jnp.float32) + 1.0 if offset else w.astype(jnp.float32)
+    return (n * wf).astype(x.dtype)
+
+
+def _embed(embed, toks, cfg):
+    """Token embedding incl. Gemma's sqrt(hidden) scaling — mirrors the
+    embed step of models.llama.llama_forward."""
+    x = jnp.take(embed, toks, axis=0).astype(cfg.dtype)
+    if getattr(cfg, "scale_embeddings", False):
+        import numpy as _np
+
+        x = x * jnp.asarray(_np.sqrt(cfg.hidden_size), cfg.dtype)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -202,14 +214,15 @@ def _run_single_layer_cached(layer, cfg: LlamaConfig, x, cache1, positions, psum
     """One decoder layer on pre-embedded activations with a single-layer
     KV-cache view (leaves (1, B, ...)). Mirrors llama_forward's cached
     layer body via the shared write_and_attend."""
-    from ..models.llama import _rms_norm, _rope, apply_linear, write_and_attend
+    from ..models.llama import _mlp_act, _rms_norm, _rope, apply_linear, write_and_attend
 
     B, T, _ = x.shape
     S = cache1["k"].shape[-1]  # max_seq (last axis of transposed K)
     s_ids = jnp.arange(S)[None, None, :]
     mask = s_ids <= positions[:, :, None]  # (B, T, S) absolute causal
+    norm_off = getattr(cfg, "norm_offset", False)
 
-    h = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
+    h = _rms_norm(x, layer["input_norm"], cfg.rms_eps, norm_off)
     q = apply_linear(h, layer["q_proj"], cfg).reshape(B, T, cfg.num_heads, cfg.hd)
     k = apply_linear(h, layer["k_proj"], cfg).reshape(B, T, cfg.num_kv_heads, cfg.hd)
     v = apply_linear(h, layer["v_proj"], cfg).reshape(B, T, cfg.num_kv_heads, cfg.hd)
@@ -221,11 +234,11 @@ def _run_single_layer_cached(layer, cfg: LlamaConfig, x, cache1, positions, psum
     if psum_axis is not None:
         o = jax.lax.psum(o, psum_axis)
     x = x + o
-    h = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps)
+    h = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, norm_off)
     gate = apply_linear(h, layer["gate_proj"], cfg)
     up = apply_linear(h, layer["up_proj"], cfg)
     d = apply_linear(
-        jax.nn.silu(gate.astype(jnp.float32)).astype(cfg.dtype) * up, layer["down_proj"], cfg
+        _mlp_act(cfg, gate.astype(jnp.float32)).astype(cfg.dtype) * up, layer["down_proj"], cfg
     )
     if psum_axis is not None:
         d = jax.lax.psum(d, psum_axis)
@@ -315,7 +328,7 @@ def llama_forward_pp_decode(
             valid = jnp.logical_and(t - sid >= 0, t - sid < n_micro)
             x_in = jnp.where(
                 sid == 0,
-                jnp.take(embed, micros[m], axis=0).astype(cfg.dtype),
+                _embed(embed, micros[m], cfg),
                 buf,
             )
             pos = pos_m[m]  # (mb, T)
@@ -358,7 +371,7 @@ def llama_forward_pp_decode(
                 jnp.where(sid == S - 1, outs, jnp.zeros_like(outs)), axis
             )
         x = outs.reshape(B, T, H)
-        x = _rms(x, rest_l["final_norm"], cfg.rms_eps)
+        x = _rms(x, rest_l["final_norm"], cfg.rms_eps, getattr(cfg, "norm_offset", False))
         if "lm_head" in rest_l:
             from ..models.llama import apply_linear
 
@@ -380,13 +393,14 @@ def llama_forward_pp_decode(
 def _run_single_layer(layer, cfg1: LlamaConfig, x: jax.Array) -> jax.Array:
     """One decoder layer on pre-embedded activations (B, T, H), cacheless
     causal attention — mirrors the layer body of models.llama.llama_forward."""
-    from ..models.llama import _attention, _rms_norm, _rope, apply_linear
+    from ..models.llama import _attention, _mlp_act, _rms_norm, _rope, apply_linear
 
     B, T, H = x.shape
     positions = jnp.broadcast_to(jnp.arange(T), (B, T))
     mask = jnp.broadcast_to(jnp.tril(jnp.ones((T, T), bool))[None], (B, T, T))
+    norm_off = getattr(cfg1, "norm_offset", False)
 
-    h = _rms_norm(x, layer["input_norm"], cfg1.rms_eps)
+    h = _rms_norm(x, layer["input_norm"], cfg1.rms_eps, norm_off)
     q = apply_linear(h, layer["q_proj"], cfg1).reshape(B, T, cfg1.num_heads, cfg1.hd)
     k = apply_linear(h, layer["k_proj"], cfg1).reshape(B, T, cfg1.num_kv_heads, cfg1.hd)
     v = apply_linear(h, layer["v_proj"], cfg1).reshape(B, T, cfg1.num_kv_heads, cfg1.hd)
@@ -395,10 +409,10 @@ def _run_single_layer(layer, cfg1: LlamaConfig, x: jax.Array) -> jax.Array:
     attn = _attention(q, k, v, mask, cfg1.dtype)
     attn = attn.reshape(B, T, cfg1.num_heads * cfg1.hd)
     x = x + apply_linear(attn, layer["o_proj"], cfg1)
-    h = _rms_norm(x, layer["post_attn_norm"], cfg1.rms_eps)
+    h = _rms_norm(x, layer["post_attn_norm"], cfg1.rms_eps, norm_off)
     gate = apply_linear(h, layer["gate_proj"], cfg1)
     up = apply_linear(h, layer["up_proj"], cfg1)
     x = x + apply_linear(
-        jax.nn.silu(gate.astype(jnp.float32)).astype(cfg1.dtype) * up, layer["down_proj"], cfg1
+        _mlp_act(cfg1, gate.astype(jnp.float32)).astype(cfg1.dtype) * up, layer["down_proj"], cfg1
     )
     return x

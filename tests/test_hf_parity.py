@@ -225,3 +225,42 @@ def test_hf_mistral_fp_parity(tmp_path):
     got = np.asarray(logits, np.float32)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 2e-2, rel
+
+
+# ---------------------------------------------------------------------------
+# Gemma (llama + GeGLU + (1+w) norms + scaled/tied embeddings + wide hd)
+# ---------------------------------------------------------------------------
+
+
+def test_hf_gemma_fp_parity(tmp_path):
+    """Tiny HF Gemma (decoupled head_dim: 4 heads x 32 != 256 hidden)
+    through load_gemma_from_hf must reproduce transformers logits — this
+    exercises all four Gemma hooks at once (a wrong (1+w)/GeGLU/scaling
+    convention shows up as a large rel error)."""
+    from bitsandbytes_sycl_tpu.models.gemma import gemma_forward, load_gemma_from_hf
+
+    cfg_hf = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128, rms_norm_eps=1e-6,
+        rope_theta=10000.0, hidden_act="gelu_pytorch_tanh",
+        hidden_activation="gelu_pytorch_tanh", tie_word_embeddings=True,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(5)
+    model = transformers.GemmaForCausalLM(cfg_hf).eval()
+    d = tmp_path / "hf_gemma"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 12))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_gemma_from_hf(str(d))
+    assert cfg.hd == 32 and cfg.norm_offset and cfg.tie_embeddings
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_gemma_from_hf(str(d), cfg=cfg)
+    assert "lm_head" not in params  # tied
+    logits, _ = gemma_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel

@@ -63,9 +63,9 @@ class LlamaConfig:
     kv_quant: bool = True  # int8 KV cache
     tie_embeddings: bool = False
     # sliding-window attention (Mistral): query t attends keys in
-    # (t - window, t]. None = full causal. When the window BINDS
-    # (window < max_seq_len) attention takes the masked XLA path — the
-    # fused flash kernels currently cover full-causal only.
+    # (t - window, t]. None = full causal. Rides the fused int8-KV flash
+    # kernels via their static `window` mask (ops/attention.py); the
+    # uncached / non-int8 paths apply the same window in the XLA mask.
     sliding_window: Optional[int] = None
     # additive q/k/v projection biases (Qwen2): params carry
     # q_bias/k_bias/v_bias per layer when True
@@ -309,14 +309,11 @@ def init_kv_cache(cfg: LlamaConfig, batch: int) -> Dict:
 def _use_fused_decode_attn(cfg: LlamaConfig) -> bool:
     """The flash-decode kernel runs compiled on TPU; interpret mode is too
     slow for the per-layer loop, so CPU tests take the XLA fallback (the
-    kernel itself is covered by interpret-mode unit tests). A BINDING
-    sliding window (Mistral) also takes the masked XLA path — the flash
-    kernels cover full-causal attention only."""
+    kernel itself is covered by interpret-mode unit tests). Sliding
+    windows (Mistral) ride the same kernels via their static `window`
+    mask parameter."""
     from ..ops.common import on_tpu
 
-    sw = getattr(cfg, "sliding_window", None)
-    if sw is not None and sw < cfg.max_seq_len:
-        return False
     return on_tpu()
 
 
@@ -434,6 +431,7 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
         new_cache["v_scale"] = _cache_write(
             new_cache["v_scale"], li, vs.transpose(0, 2, 1), starts, pos_axis=1
         )
+        window = getattr(cfg, "sliding_window", None)
         if T == 1 and _use_fused_decode_attn(cfg):
             from ..ops.attention import decode_attention_int8
 
@@ -441,7 +439,7 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
             attn = decode_attention_int8(
                 q, new_cache["k"][li], new_cache["k_scale"][li],
                 new_cache["v"][li], new_cache["v_scale"][li],
-                lengths=positions[:, 0] + 1,
+                lengths=positions[:, 0] + 1, window=window,
             )
         elif T > 1 and _use_fused_decode_attn(cfg):
             from ..ops.attention import prefill_attention_int8
@@ -450,7 +448,7 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
             attn = prefill_attention_int8(
                 q, new_cache["k"][li], new_cache["k_scale"][li],
                 new_cache["v"][li], new_cache["v_scale"][li],
-                starts=starts,
+                starts=starts, window=window,
             )
         if attn is not None:
             return attn, new_cache

@@ -46,7 +46,7 @@ def _attn_kernel(
     len_ref,  # scalar prefetch: (B,) int32 valid lengths
     q_ref, k_ref, ks_ref, v_ref, vs_ref,
     o_ref,
-    *, S, R, scale,
+    *, S, R, scale, window=None,
 ):
     b = pl.program_id(0)
 
@@ -66,7 +66,12 @@ def _attn_kernel(
     sc = sc * (ks_ref[:].reshape(1, S) * scale)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
-    sc = jnp.where(pos < len_ref[b], sc, -1e30)
+    valid = pos < len_ref[b]
+    if window is not None:
+        # sliding window (Mistral): the query at position len-1 attends
+        # keys in (len-1-window, len-1], i.e. slots >= len - window
+        valid = jnp.logical_and(valid, pos >= len_ref[b] - window)
+    sc = jnp.where(valid, sc, -1e30)
 
     m = jnp.max(sc, axis=1, keepdims=True)  # (R, 1)
     w = jnp.exp(sc - m)  # (R, S)
@@ -86,8 +91,8 @@ def _attn_kernel(
     o_ref[:] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-@jax.jit
-def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths):
+@partial(jax.jit, static_argnames=("window",))
+def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths, window=None):
     # q4 is grouped (B, Hkv, rep, D): q heads [h*rep, (h+1)*rep) share kv
     # head h, so the grid runs per KV head and each kv tile is read once
     B, Hkv, rep, D = q4.shape
@@ -108,7 +113,8 @@ def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths):
         ),
     )
     kernel = functools.partial(
-        _attn_kernel, S=S, R=rep, scale=1.0 / (float(np.sqrt(D)) * 127.0)
+        _attn_kernel, S=S, R=rep, scale=1.0 / (float(np.sqrt(D)) * 127.0),
+        window=window,
     )
     return pl.pallas_call(
         kernel,
@@ -130,6 +136,7 @@ def decode_attention_int8(
     vq: jax.Array,  # (B, Hkv, S, D) int8
     vs: jax.Array,  # (B, Hkv, S) f32
     lengths: jax.Array,  # (B,) int32: cache slots [0, len) are valid
+    window: Optional[int] = None,  # sliding window (Mistral): attend slots >= len-window
 ) -> Optional[jax.Array]:
     """Single-step (T=1) attention over an int8 KV cache, one fused kernel.
 
@@ -144,10 +151,13 @@ def decode_attention_int8(
         return None
     if 2 * S * D > 8 * 1024 * 1024:  # BOTH whole-S int8 tiles (K and V) stay resident
         return None
+    if window is not None and window >= S:
+        window = None  # can never bind: drop the extra mask ops
     # group q heads by their kv head: (B,1,Hq,D) -> (B, Hkv, rep, D)
     q4 = q.reshape(B, Hkv, Hq // Hkv, D)
     out = _decode_attn_call(
-        q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), lengths
+        q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), lengths,
+        window=window,
     )
     return out.reshape(B, 1, Hq, D)
 
@@ -166,7 +176,7 @@ def _prefill_kernel(
     q_ref, k_ref, ks_ref, v_ref, vs_ref,
     o_ref,
     m_ref, l_ref, acc_ref,
-    *, tq, ts, nkv, scale,
+    *, tq, ts, nkv, scale, window=None,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -189,7 +199,13 @@ def _prefill_kernel(
     # iff s <= start_b + qi*tq + r  (cache holds [0, start+T) after writes)
     q_pos = start_ref[b] + qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 0)
     k_pos = si * ts + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 1)
-    sc = jnp.where(k_pos <= q_pos, sc, -1e30)
+    valid = k_pos <= q_pos
+    if window is not None:
+        # sliding window (Mistral): query t attends keys in (t-window, t];
+        # the diagonal k==q is always in-window, so every row keeps >= 1
+        # valid slot and the online-softmax l stays >= 1
+        valid = jnp.logical_and(valid, q_pos - k_pos < window)
+    sc = jnp.where(valid, sc, -1e30)
 
     m_prev = m_ref[:]  # (TQ, 1)
     m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
@@ -211,8 +227,8 @@ def _prefill_kernel(
         o_ref[:] = (acc_ref[:] / l_ref[:]).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("tq", "ts"))
-def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts):
+@partial(jax.jit, static_argnames=("tq", "ts", "window"))
+def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts, window=None):
     B, Hq, T, D = q4.shape
     S, Hkv = vq.shape[2], vq.shape[1]
     nq, nkv = T // tq, S // ts
@@ -246,7 +262,8 @@ def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts):
         ],
     )
     kernel = functools.partial(
-        _prefill_kernel, tq=tq, ts=ts, nkv=nkv, scale=1.0 / (float(np.sqrt(D)) * 127.0)
+        _prefill_kernel, tq=tq, ts=ts, nkv=nkv,
+        scale=1.0 / (float(np.sqrt(D)) * 127.0), window=window,
     )
     return pl.pallas_call(
         kernel,
@@ -270,6 +287,7 @@ def prefill_attention_int8(
     starts: jax.Array,  # (B,) absolute position of query row 0 per batch
     tq: int = 256,
     ts: int = 512,
+    window: Optional[int] = None,  # sliding window (Mistral): keys in (t-window, t]
 ) -> Optional[jax.Array]:
     """Causal flash attention over the int8 KV cache for prefill (T > 1).
     Returns (B, T, Hq, D) or None if untileable (caller falls back)."""
@@ -285,8 +303,11 @@ def prefill_attention_int8(
         ts //= 2
     if T % tq != 0 or S % ts != 0 or tq < 8 or ts < 128:
         return None
+    if window is not None and window >= S:
+        window = None  # can never bind
     q4 = q.transpose(0, 2, 1, 3)  # (B, Hq, T, D)
     out = _prefill_attn_call(
-        q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), starts, tq, ts
+        q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), starts, tq, ts,
+        window=window,
     )
     return out.transpose(0, 2, 1, 3)

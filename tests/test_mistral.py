@@ -79,7 +79,7 @@ def test_prefill_decode_consistency(setup):
 
 def test_engine_serves_mistral(setup):
     """The engine's forward contract covers the family (window < cache len
-    forces the masked XLA attention path on every backend)."""
+    covers the family; CPU tests take the XLA attention fallback)."""
     from bitsandbytes_sycl_tpu.engine import EngineConfig, InferenceEngine
 
     cfg, params = setup
@@ -179,3 +179,35 @@ def test_qwen2_tensor_parallel_biases_shard():
         jnp.broadcast_to(jnp.arange(8), (2, 8)), mesh, "model",
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_windowed_fused_attention_matches_xla_path(monkeypatch):
+    """Force the fused int8-KV kernels on (interpret mode on CPU) for a
+    BINDING window: logits must match the masked-XLA fallback — proving
+    Mistral rides the flash kernels rather than forfeiting them (round-3
+    change: the kernels grew a static `window` mask)."""
+    from bitsandbytes_sycl_tpu.models import llama as L
+
+    cfg = MistralConfig.tiny(
+        hidden_size=256, num_heads=2, num_kv_heads=2, head_dim=128,
+        max_seq_len=128, sliding_window=16, num_layers=1,
+        quant="none", dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(5))
+    T = 40  # > window: binding
+    toks = jnp.asarray(np.random.default_rng(9).integers(0, 256, (1, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (1, T))
+
+    def run():
+        cache = init_kv_cache(cfg, 1)
+        lp, cache = mistral_forward(params, cfg, toks, cache, pos)
+        ld, _ = mistral_forward(
+            params, cfg, toks[:, -1:] * 0 + 7, cache, jnp.full((1, 1), T, jnp.int32)
+        )
+        return np.asarray(lp, np.float32), np.asarray(ld, np.float32)
+
+    xp, xd = run()  # XLA fallback (CPU default)
+    monkeypatch.setattr(L, "_use_fused_decode_attn", lambda cfg: True)
+    fp, fd = run()  # fused kernels, interpret mode
+    np.testing.assert_allclose(fp, xp, rtol=2e-3, atol=2e-3)  # prefill kernel
+    np.testing.assert_allclose(fd, xd, rtol=2e-3, atol=2e-3)  # decode kernel

@@ -631,3 +631,66 @@ def test_matmul_4bit_fused_whole_half_tile():
     y8 = np.asarray(matmul_4bit_w4a8(x, qw, out_dtype=jnp.float32))
     rel = np.abs(y8 - ref).mean() / np.abs(ref).mean()
     assert rel < 0.02, rel
+
+
+def test_decode_attention_int8_sliding_window():
+    """window=w must equal the dequant path with the (len-w, len] mask
+    (Mistral decode); window >= S must equal the unwindowed kernel."""
+    B, S, Hkv, D = 2, 256, 2, 128
+    Hq = 4
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    kq, ks = L._kv_quantize(k)
+    vq, vs = L._kv_quantize(v)
+    lengths = jnp.asarray([117, 256], jnp.int32)
+    kqh, ksh = kq.transpose(0, 2, 3, 1), ks.transpose(0, 2, 1)
+    vqh, vsh = vq.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1)
+
+    w = 64
+    out = decode_attention_int8(q, kqh, ksh, vqh, vsh, lengths, window=w)
+    kf = L._kv_dequantize(kq, ks, jnp.float32)
+    vf = L._kv_dequantize(vq, vs, jnp.float32)
+    s_ids = jnp.arange(S)[None, None, :]
+    mask = (s_ids < lengths[:, None, None]) & (s_ids >= lengths[:, None, None] - w)
+    ref = L._attention(q, kf, vf, mask, jnp.float32)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 5e-3, rel
+    # the window must actually bind (differ from full attention)
+    full = decode_attention_int8(q, kqh, ksh, vqh, vsh, lengths)
+    assert float(jnp.abs(out - full).max()) > 0
+    # non-binding window (>= S) short-circuits to the unwindowed kernel
+    out_big = decode_attention_int8(q, kqh, ksh, vqh, vsh, lengths, window=S)
+    np.testing.assert_array_equal(np.asarray(out_big), np.asarray(full))
+
+
+def test_prefill_attention_int8_sliding_window():
+    """Windowed flash prefill == dequant path with the causal-and-window
+    mask, including kv chunks fully outside the window (w < ts)."""
+    from bitsandbytes_sycl_tpu.ops.attention import prefill_attention_int8
+
+    B, T, S, Hkv, D = 2, 32, 256, 2, 128
+    Hq = 4
+    rng = np.random.default_rng(22)
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    kq, ks = L._kv_quantize(k)
+    vq, vs = L._kv_quantize(v)
+    starts = jnp.asarray([0, 160], jnp.int32)  # batch 1: rows far into the cache
+    kqt, ksh = kq.transpose(0, 2, 3, 1), ks.transpose(0, 2, 1)
+    vqh, vsh = vq.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1)
+
+    w = 48  # < ts=128: some kv chunks are fully masked for some q rows
+    out = prefill_attention_int8(q, kqt, ksh, vqh, vsh, starts, tq=16, ts=128, window=w)
+    assert out is not None
+
+    kf = L._kv_dequantize(kq, ks, jnp.float32)
+    vf = L._kv_dequantize(vq, vs, jnp.float32)
+    s_ids = jnp.arange(S)[None, None, :]
+    q_pos = (starts[:, None] + jnp.arange(T)[None, :])[:, :, None]
+    mask = (s_ids <= q_pos) & (q_pos - s_ids < w)
+    ref = L._attention(q, kf, vf, mask, jnp.float32)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 5e-3, rel

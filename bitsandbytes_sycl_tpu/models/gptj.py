@@ -33,6 +33,13 @@ class GPTJConfig:
     rotary_dim: int = 64
     max_seq_len: int = 2048
     ln_eps: float = 1e-5
+    # rotary convention on the first rotary_dim dims: "gptj" = interleaved
+    # rotate_every_two; "neox" = half-split (Phi-1/2, GPT-NeoX)
+    rope_style: str = "gptj"
+    rope_theta: float = 10000.0
+    # additive biases on q/k/v/out projections (Phi); fc/head biases are
+    # always present (GPT-J has them)
+    attn_bias: bool = False
     dtype: Any = jnp.bfloat16
     quant: str = "nf4"
     blocksize: int = 64
@@ -66,13 +73,15 @@ def _ln(x, w, b, eps):
     return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
 
 
-def _rope_interleaved(x: jax.Array, positions: jax.Array, rotary_dim: int) -> jax.Array:
+def _rope_interleaved(
+    x: jax.Array, positions: jax.Array, rotary_dim: int, theta: float = 10000.0
+) -> jax.Array:
     """GPT-J rotary: rotate_every_two on the first rotary_dim dims
     (pairs (0,1),(2,3),...), rest passed through."""
     B, T, H, D = x.shape
     r = rotary_dim
     xr, xp = x[..., :r].astype(jnp.float32), x[..., r:]
-    freqs = 1.0 / (10000.0 ** (jnp.arange(0, r, 2, dtype=jnp.float32) / r))
+    freqs = 1.0 / (theta ** (jnp.arange(0, r, 2, dtype=jnp.float32) / r))
     ang = positions.astype(jnp.float32)[:, :, None] * freqs[None, None, :]  # (B,T,r/2)
     cos = jnp.cos(ang)[:, :, None, :]
     sin = jnp.sin(ang)[:, :, None, :]
@@ -80,6 +89,18 @@ def _rope_interleaved(x: jax.Array, positions: jax.Array, rotary_dim: int) -> ja
     x2 = xr[..., 1::2]
     ro = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1).reshape(B, T, H, r)
     return jnp.concatenate([ro.astype(x.dtype), xp], axis=-1)
+
+
+def _rope_neox_partial(
+    x: jax.Array, positions: jax.Array, rotary_dim: int, theta: float = 10000.0
+) -> jax.Array:
+    """Phi/GPT-NeoX rotary: llama-style half-split rotation applied to the
+    first rotary_dim dims only, rest passed through (HF PhiAttention
+    partial_rotary_factor semantics)."""
+    from .llama import _rope
+
+    xr, xp = x[..., :rotary_dim], x[..., rotary_dim:]
+    return jnp.concatenate([_rope(xr, positions, theta), xp], axis=-1)
 
 
 def init_gptj_kv_cache(cfg: GPTJConfig, batch: int) -> Dict:
@@ -99,21 +120,29 @@ def init_gptj_params(cfg: GPTJConfig, key: jax.Array) -> Dict:
         return jax.random.normal(k, shape, jnp.float32) * scale
 
     h, ff = cfg.hidden_size, 4 * cfg.hidden_size
+    qdim = cfg.num_heads * cfg.hd
     layers = []
     for li in range(cfg.num_layers):
         lk = jax.random.split(keys[li], 6)
-        layers.append({
+        layer = {
             "ln_w": jnp.ones((h,), jnp.float32),
             "ln_b": jnp.zeros((h,), jnp.float32),
-            "q_proj": _quantize_linear(dense(lk[0], (h, h)), cfg),
-            "k_proj": _quantize_linear(dense(lk[1], (h, h)), cfg),
-            "v_proj": _quantize_linear(dense(lk[2], (h, h)), cfg),
-            "out_proj": _quantize_linear(dense(lk[3], (h, h)), cfg),
+            "q_proj": _quantize_linear(dense(lk[0], (qdim, h)), cfg),
+            "k_proj": _quantize_linear(dense(lk[1], (qdim, h)), cfg),
+            "v_proj": _quantize_linear(dense(lk[2], (qdim, h)), cfg),
+            "out_proj": _quantize_linear(dense(lk[3], (h, qdim)), cfg),
             "fc_in": _quantize_linear(dense(lk[4], (ff, h)), cfg),
             "fc_in_b": jnp.zeros((ff,), jnp.float32),
             "fc_out": _quantize_linear(dense(lk[5], (h, ff)), cfg),
             "fc_out_b": jnp.zeros((h,), jnp.float32),
-        })
+        }
+        if cfg.attn_bias:  # Phi-style biased q/k/v/dense
+            bk = jax.random.split(keys[li], 4)
+            layer["q_bias"] = jax.random.normal(bk[0], (qdim,), jnp.float32) * 0.02
+            layer["k_bias"] = jax.random.normal(bk[1], (qdim,), jnp.float32) * 0.02
+            layer["v_bias"] = jax.random.normal(bk[2], (qdim,), jnp.float32) * 0.02
+            layer["out_bias"] = jax.random.normal(bk[3], (h,), jnp.float32) * 0.02
+        layers.append(layer)
     return {
         "wte": dense(keys[-2], (cfg.vocab_size, h), scale=0.02).astype(cfg.dtype),
         "layers": layers,
@@ -149,11 +178,23 @@ def gptj_forward(
     new_cache = dict(cache) if use_cache else None
     for li, layer in enumerate(params["layers"]):
         h = _ln(x, layer["ln_w"], layer["ln_b"], cfg.ln_eps)
-        q = apply_linear(h, layer["q_proj"], cfg).reshape(B, T, cfg.num_heads, cfg.hd)
-        k = apply_linear(h, layer["k_proj"], cfg).reshape(B, T, cfg.num_heads, cfg.hd)
-        v = apply_linear(h, layer["v_proj"], cfg).reshape(B, T, cfg.num_heads, cfg.hd)
-        q = _rope_interleaved(q, positions, cfg.rotary_dim)
-        k = _rope_interleaved(k, positions, cfg.rotary_dim)
+        q = apply_linear(h, layer["q_proj"], cfg)
+        k = apply_linear(h, layer["k_proj"], cfg)
+        v = apply_linear(h, layer["v_proj"], cfg)
+        if "q_bias" in layer:  # Phi-style biased attention projections
+            q = q + layer["q_bias"].astype(q.dtype)
+            k = k + layer["k_bias"].astype(k.dtype)
+            v = v + layer["v_bias"].astype(v.dtype)
+        q = q.reshape(B, T, cfg.num_heads, cfg.hd)
+        k = k.reshape(B, T, cfg.num_heads, cfg.hd)
+        v = v.reshape(B, T, cfg.num_heads, cfg.hd)
+        rope = (
+            _rope_neox_partial
+            if getattr(cfg, "rope_style", "gptj") == "neox"
+            else _rope_interleaved
+        )
+        q = rope(q, positions, cfg.rotary_dim, cfg.rope_theta)
+        k = rope(k, positions, cfg.rotary_dim, cfg.rope_theta)
 
         if use_cache:
             attn, new_cache = write_and_attend(new_cache, li, q, k, v, positions, mask, cfg)
@@ -173,6 +214,8 @@ def gptj_forward(
             # row-parallel partial sums; biases are added ONCE, after
             attn_out = jax.lax.psum(attn_out, psum_axis)
             ff = jax.lax.psum(ff, psum_axis)
+        if "out_bias" in layer:  # Phi: biased attention dense
+            attn_out = attn_out + layer["out_bias"].astype(cfg.dtype)
         ff = ff + layer["fc_out_b"].astype(cfg.dtype)
 
         x = x + attn_out + ff

@@ -42,8 +42,11 @@ def gptj_param_specs(params: Dict, cfg: GPTJConfig, axis: str = "model") -> Dict
         for name, w in layer.items():
             if name in _COL or name in _ROW:
                 ls[name] = _proj_spec(name, w, axis, col=_COL, row=_ROW)
-            elif name == "fc_in_b":
-                ls[name] = P(axis)  # shards with fc_in's output channels
+            elif name in ("fc_in_b", "q_bias", "k_bias", "v_bias"):
+                # shard with the column-parallel projection's output
+                # channels (fc_in / Phi's biased q/k/v); out_bias stays
+                # replicated — gptj_forward adds it once, after the psum
+                ls[name] = P(axis)
             else:
                 ls[name] = P()
         specs["layers"].append(ls)

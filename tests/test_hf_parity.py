@@ -228,6 +228,61 @@ def test_hf_mistral_fp_parity(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Phi (gptj substrate + NeoX partial rotary + biased attention projections)
+# ---------------------------------------------------------------------------
+
+
+def test_hf_phi_fp_parity_and_cache_decode(tmp_path):
+    """Tiny HF Phi (partial_rotary_factor < 1, biased q/k/v/dense) through
+    load_phi_from_hf must reproduce transformers logits — a wrong rope
+    convention (interleaved vs half-split) or dropped bias shows up as a
+    large rel error. Then prefill+decode through the int8 cache must
+    match the cacheless forward."""
+    from bitsandbytes_sycl_tpu.models.phi import load_phi_from_hf, phi_forward
+    from bitsandbytes_sycl_tpu.models.gptj import init_gptj_kv_cache
+
+    cfg_hf = transformers.PhiConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=1024,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, layer_norm_eps=1e-5,
+        partial_rotary_factor=0.5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(7)
+    model = transformers.PhiForCausalLM(cfg_hf).eval()
+    with torch.no_grad():  # exercise the bias path with real values
+        for layer in model.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj, layer.self_attn.dense):
+                proj.bias.normal_(0.0, 0.05)
+    d = tmp_path / "hf_phi"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 12))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_phi_from_hf(str(d))
+    assert cfg.rope_style == "neox" and cfg.rotary_dim == 32  # 0.5 * hd=64
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_phi_from_hf(str(d), cfg=cfg)
+    assert "q_bias" in params["layers"][0]
+    logits, _ = phi_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+    # prefill + decode through the int8 KV cache == cacheless forward
+    B, T = toks.shape
+    cache = init_gptj_kv_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T - 1), (B, T - 1))
+    _, cache = phi_forward(params, cfg, jnp.asarray(toks.numpy()[:, :-1]), cache, pos)
+    posd = jnp.full((B, 1), T - 1, jnp.int32)
+    ld, _ = phi_forward(params, cfg, jnp.asarray(toks.numpy()[:, -1:]), cache, posd)
+    rel2 = np.linalg.norm(np.asarray(ld[:, 0]) - got[:, -1]) / np.linalg.norm(got[:, -1])
+    assert rel2 < 0.05, rel2
+
+
+# ---------------------------------------------------------------------------
 # Gemma (llama + GeGLU + (1+w) norms + scaled/tied embeddings + wide hd)
 # ---------------------------------------------------------------------------
 

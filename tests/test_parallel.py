@@ -545,6 +545,51 @@ def test_gptj_forward_tp_matches_single_device():
     )
 
 
+def test_phi_forward_tp_matches_single_device():
+    """Phi TP (GPT-J block + NeoX partial rotary + biased q/k/v/dense):
+    the qkv biases shard with their column-parallel projections and the
+    dense bias is added once after the psum — prefill+decode over the
+    sharded int8 cache == single-device."""
+    from jax.sharding import NamedSharding
+    from bitsandbytes_sycl_tpu.models.gptj import gptj_forward, init_gptj_kv_cache, init_gptj_params
+    from bitsandbytes_sycl_tpu.models.phi import PhiConfig
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from bitsandbytes_sycl_tpu.parallel.gptj_tp import gptj_forward_tp, shard_gptj_params
+    from bitsandbytes_sycl_tpu.parallel.llama_tp import kv_cache_specs
+
+    cfg = PhiConfig(
+        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
+        rotary_dim=64, max_seq_len=64, quant="nf4", kv_quant=True,
+        dtype=jnp.float32,
+    )
+    assert cfg.attn_bias and cfg.rope_style == "neox"
+    params = init_gptj_params(cfg, jax.random.PRNGKey(3))
+    mesh = make_mesh({"model": 4})
+    sp = shard_gptj_params(params, cfg, mesh)
+
+    B, T = 2, 6
+    toks = jnp.asarray(np.random.default_rng(4).integers(0, 256, (B, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+    cache = init_gptj_kv_cache(cfg, B)
+    cache_sh = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        cache, kv_cache_specs(cfg),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+    lt, ct = gptj_forward_tp(sp, cfg, toks, cache_sh, pos, mesh)
+    l1, c1 = gptj_forward(params, cfg, toks, cache, pos)
+    np.testing.assert_allclose(
+        np.asarray(lt, np.float32), np.asarray(l1, np.float32), rtol=2e-2, atol=2e-2
+    )
+    posd = jnp.full((B, 1), T, jnp.int32)
+    ldt, _ = gptj_forward_tp(sp, cfg, toks[:, -1:], ct, posd, mesh)
+    ld1, _ = gptj_forward(params, cfg, toks[:, -1:], c1, posd)
+    np.testing.assert_allclose(
+        np.asarray(ldt, np.float32), np.asarray(ld1, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
 def test_llama_forward_tp_with_a8_decode():
     """a8_decode inside shard_map TP: the W4A8 kernel runs on local
     shards; decode must stay within int8-activation noise of the

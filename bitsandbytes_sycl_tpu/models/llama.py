@@ -78,6 +78,13 @@ class LlamaConfig:
     norm_offset: bool = False
     # multiply token embeddings by sqrt(hidden_size) (Gemma)
     scale_embeddings: bool = False
+    # mixture-of-experts FFN (Mixtral): num_experts > 1 replaces the
+    # dense MLP with a top-k routed MoE — params carry per-layer
+    # `router` (E, h) and `experts` (stacked quantized gate/up/down,
+    # leading dim E). Routing follows HF Mixtral: softmax over all E,
+    # top-k, renormalize.
+    num_experts: int = 1
+    num_experts_per_tok: int = 2
 
     @property
     def hd(self) -> int:
@@ -232,14 +239,28 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict:
         scale = scale or (1.0 / np.sqrt(shape[1]))
         return (jax.random.normal(k, shape, jnp.float32) * scale)
 
+    moe = getattr(cfg, "num_experts", 1) > 1
     layers = []
     for li in range(cfg.num_layers):
         lk = jax.random.split(keys[li], 8)
         shapes = _fp_layer_shapes(cfg)
+        if moe:  # the dense MLP is replaced by router + stacked experts
+            mlp_names = ("gate_proj", "up_proj", "down_proj")
+            mlp_shapes = {n: shapes.pop(n) for n in mlp_names}
         layer = {
             name: _quantize_linear(dense(lk[j], shape), cfg)
             for j, (name, shape) in enumerate(shapes.items())
         }
+        if moe:
+            ek = jax.random.split(lk[6], cfg.num_experts + 1)
+            layer["router"] = dense(ek[-1], (cfg.num_experts, cfg.hidden_size))
+            layer["experts"] = stack_experts([
+                {
+                    n: _quantize_linear(dense(jax.random.fold_in(ek[e], j), s), cfg)
+                    for j, (n, s) in enumerate(mlp_shapes.items())
+                }
+                for e in range(cfg.num_experts)
+            ])
         layer["input_norm"] = jnp.ones((cfg.hidden_size,), jnp.float32)
         layer["post_attn_norm"] = jnp.ones((cfg.hidden_size,), jnp.float32)
         if cfg.attn_bias:  # Qwen2-style additive qkv biases
@@ -368,6 +389,77 @@ def _mlp_act(cfg, gate_f32: jax.Array) -> jax.Array:
     if getattr(cfg, "mlp_act", "silu") == "gelu_tanh":
         return jax.nn.gelu(gate_f32, approximate=True)
     return jax.nn.silu(gate_f32)
+
+
+def stack_experts(expert_list: list):
+    """Stack per-expert weight pytrees (dicts of quantized/fp linears)
+    into one pytree whose leaves carry a leading expert dim E — the
+    layout MoE params use. Leading-dim stacking is what makes expert
+    parallelism a plain sharding decision: P("model", None, ...) on the
+    expert dim and shard_map hands each device its local experts."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *expert_list)
+
+
+def _expert_slice(experts, e: int):
+    """Static index of expert e out of the stacked pytree (aux metadata
+    such as QLinearWeight.shape already describes ONE expert)."""
+    return jax.tree.map(lambda a: a[e], experts)
+
+
+def _moe_ffn(h: jax.Array, layer: Dict, cfg: LlamaConfig, psum_axis: Optional[str]) -> jax.Array:
+    """Top-k routed mixture-of-experts FFN (Mixtral block_sparse_moe,
+    HF MixtralSparseMoeBlock semantics: softmax over ALL experts first,
+    then top-k, then renormalize the chosen weights).
+
+    Dense-combine design (TPU-first): every local expert runs on all
+    tokens and the router weight masks its contribution. At decode the
+    step is HBM-bound on expert weight reads — which routing cannot
+    avoid once any token in the batch picks an expert — so dense combine
+    costs ~nothing extra and keeps shapes static (no scatter/gather, no
+    capacity overflow). At prefill it spends E/k-times the dense-MLP
+    FLOPs; expert parallelism divides that back by the mesh axis (each
+    device computes only its E/tp local experts on replicated tokens and
+    the contributions ride the existing down_proj psum).
+
+    Under `psum_axis` the stacked experts are sharded on their leading
+    dim while the router stays replicated: routing is computed globally
+    and each device slices its own E_local window of the combine
+    weights via axis_index. The caller psums the returned partial sum.
+    """
+    router_w = layer["router"]  # (E_global, h) fp, replicated
+    e_global = router_w.shape[0]
+    k = cfg.num_experts_per_tok
+    logits = jnp.matmul(
+        h.astype(jnp.float32), router_w.T.astype(jnp.float32)
+    )  # (B, T, E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topw, topi = jax.lax.top_k(probs, k)
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    # scatter the k renormalized weights back to a dense (B, T, E) mask
+    w_full = jnp.sum(
+        jax.nn.one_hot(topi, e_global, dtype=jnp.float32) * topw[..., None], axis=-2
+    )
+    experts = layer["experts"]
+    e_local = jax.tree.leaves(experts)[0].shape[0]
+    if psum_axis is not None:
+        # always slice under a mesh axis (tp=1 slices at 0 — identity):
+        # the caller psums the return value, so each device must
+        # contribute ONLY its local experts' share
+        e0 = jax.lax.axis_index(psum_axis) * e_local
+        w_loc = jax.lax.dynamic_slice_in_dim(w_full, e0, e_local, axis=-1)
+    else:
+        w_loc = w_full
+    out = jnp.zeros(h.shape, jnp.float32)
+    for e in range(e_local):
+        ex = _expert_slice(experts, e)
+        gate = apply_linear(h, ex["gate_proj"], cfg)
+        up = apply_linear(h, ex["up_proj"], cfg)
+        d = apply_linear(
+            _mlp_act(cfg, gate.astype(jnp.float32)).astype(cfg.dtype) * up,
+            ex["down_proj"], cfg,
+        )
+        out = out + w_loc[..., e : e + 1] * d.astype(jnp.float32)
+    return out.astype(cfg.dtype)
 
 
 def _rms_norm(x: jax.Array, w: jax.Array, eps: float, offset: bool = False) -> jax.Array:
@@ -552,13 +644,16 @@ def llama_forward(
         x = x + o
 
         h = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, norm_off)
-        gate = apply_linear(h, layer["gate_proj"], cfg, _lora_for(lora, li, "gate_proj"), ids_bt)
-        up = apply_linear(h, layer["up_proj"], cfg, _lora_for(lora, li, "up_proj"), ids_bt)
-        d = apply_linear(
-            _mlp_act(cfg, gate.astype(jnp.float32)).astype(cfg.dtype) * up,
-            layer["down_proj"], cfg, _lora_for(lora, li, "down_proj"), ids_bt,
-        )
-        if psum_axis is not None:  # row-parallel down_proj partial sums
+        if "experts" in layer:  # Mixtral MoE block (LoRA targets attention only)
+            d = _moe_ffn(h, layer, cfg, psum_axis)
+        else:
+            gate = apply_linear(h, layer["gate_proj"], cfg, _lora_for(lora, li, "gate_proj"), ids_bt)
+            up = apply_linear(h, layer["up_proj"], cfg, _lora_for(lora, li, "up_proj"), ids_bt)
+            d = apply_linear(
+                _mlp_act(cfg, gate.astype(jnp.float32)).astype(cfg.dtype) * up,
+                layer["down_proj"], cfg, _lora_for(lora, li, "down_proj"), ids_bt,
+            )
+        if psum_axis is not None:  # row-parallel / expert-parallel partial sums
             d = jax.lax.psum(d, psum_axis)
         x = x + d
 

@@ -94,13 +94,19 @@ def llama_param_specs(params: Dict, cfg: LlamaConfig, axis: str = "model") -> Di
     for layer in params["layers"]:
         ls = {}
         for name, w in layer.items():
-            if name.endswith("_proj"):
+            if name == "experts":
+                # expert parallelism: stacked expert weights shard on
+                # their leading (expert) dim; each expert stays whole
+                ls[name] = jax.tree.map(
+                    lambda a: P(axis, *([None] * (a.ndim - 1))), w
+                )
+            elif name.endswith("_proj"):
                 ls[name] = _proj_spec(name, w, axis)
             elif name in ("q_bias", "k_bias", "v_bias"):
                 # qkv biases shard with their column-parallel projections
                 ls[name] = P(axis)
             else:
-                ls[name] = P()
+                ls[name] = P()  # norms + the MoE router stay replicated
         specs["layers"].append(ls)
     if "lm_head" in params:
         specs["lm_head"] = jax.tree.map(lambda _: P(), params["lm_head"])
@@ -134,6 +140,10 @@ def _localize(obj, tp: int):
     hands the body local leaves but dataclass meta (logical N, K) still
     describes the global weight."""
     if isinstance(obj, QLinearWeight):
+        if obj.packed.ndim != 2:
+            # stacked experts (E, K/2, N): sharded on the expert dim
+            # only — the per-expert metadata is already local
+            return obj
         K = obj.packed.shape[0] * 2
         N = obj.packed.shape[1]
         return QLinearWeight(
@@ -166,6 +176,10 @@ def llama_forward_tp(
             f"TP={tp} must divide num_heads({cfg.num_heads}), "
             f"num_kv_heads({cfg.num_kv_heads}) and intermediate_size"
             f"({cfg.intermediate_size})"
+        )
+    if getattr(cfg, "num_experts", 1) > 1 and cfg.num_experts % tp:
+        raise ValueError(
+            f"EP={tp} must divide num_experts({cfg.num_experts})"
         )
     cfg_local = dataclasses.replace(
         cfg,

@@ -2,18 +2,19 @@
 reference lacks — its only models are an MLP test net and HF GPT-J via
 hooks, tests_pvc/test_simple_nn.py, test_int8_hf.py)."""
 
-from . import gemma, gptj, llama, lora, mistral, mixtral, phi, qwen2
+from . import gemma, gptj, llama, lora, mistral, mixtral, neox, phi, qwen2
 from .gemma import GemmaConfig, gemma_forward, load_gemma_from_hf
 from .gptj import GPTJConfig, gptj_forward, init_gptj_kv_cache, init_gptj_params
 from .llama import LlamaConfig, init_params, llama_forward, quantize_params
 from .lora import init_lora, merge_lora, qlora_loss_fn
 from .mistral import MistralConfig, load_mistral_from_hf, mistral_forward
 from .mixtral import MixtralConfig, load_mixtral_from_hf, mixtral_forward
+from .neox import NeoXConfig, load_neox_from_hf, neox_forward
 from .phi import PhiConfig, load_phi_from_hf, phi_forward
 from .qwen2 import Qwen2Config, load_qwen2_from_hf, qwen2_forward
 
 __all__ = [
-    "llama", "gptj", "lora", "mistral", "mixtral", "qwen2", "gemma", "phi",
+    "llama", "gptj", "lora", "mistral", "mixtral", "qwen2", "gemma", "phi", "neox",
     "LlamaConfig", "init_params", "llama_forward", "quantize_params",
     "GPTJConfig", "gptj_forward", "init_gptj_kv_cache", "init_gptj_params",
     "MistralConfig", "mistral_forward", "load_mistral_from_hf",
@@ -21,5 +22,6 @@ __all__ = [
     "Qwen2Config", "qwen2_forward", "load_qwen2_from_hf",
     "GemmaConfig", "gemma_forward", "load_gemma_from_hf",
     "PhiConfig", "phi_forward", "load_phi_from_hf",
+    "NeoXConfig", "neox_forward", "load_neox_from_hf",
     "init_lora", "merge_lora", "qlora_loss_fn",
 ]

@@ -37,6 +37,9 @@ class GPTJConfig:
     # rotate_every_two; "neox" = half-split (Phi-1/2, GPT-NeoX)
     rope_style: str = "gptj"
     rope_theta: float = 10000.0
+    # MLP activation: "gelu_tanh" (GPT-J/Phi, HF gelu_new) or "gelu"
+    # (GPT-NeoX exact erf gelu)
+    act: str = "gelu_tanh"
     # additive biases on q/k/v/out projections (Phi); fc/head biases are
     # always present (GPT-J has them)
     attn_bias: bool = False
@@ -178,6 +181,13 @@ def gptj_forward(
     new_cache = dict(cache) if use_cache else None
     for li, layer in enumerate(params["layers"]):
         h = _ln(x, layer["ln_w"], layer["ln_b"], cfg.ln_eps)
+        # GPT-NeoX: the parallel MLP branch reads its OWN LayerNorm of
+        # the layer input (use_parallel_residual); GPT-J/Phi share h
+        h_mlp = (
+            _ln(x, layer["ln2_w"], layer["ln2_b"], cfg.ln_eps)
+            if "ln2_w" in layer
+            else h
+        )
         q = apply_linear(h, layer["q_proj"], cfg)
         k = apply_linear(h, layer["k_proj"], cfg)
         v = apply_linear(h, layer["v_proj"], cfg)
@@ -206,9 +216,13 @@ def gptj_forward(
         attn = attn.astype(cfg.dtype).reshape(B, T, -1)
         attn_out = apply_linear(attn, layer["out_proj"], cfg)
 
-        # parallel MLP off the SAME LayerNorm output (GPT-J block)
-        ff = apply_linear(h, layer["fc_in"], cfg) + layer["fc_in_b"].astype(cfg.dtype)
-        ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=True).astype(cfg.dtype)
+        # parallel MLP block (same LN as attention for GPT-J/Phi; its own
+        # LN for GPT-NeoX — see h_mlp above)
+        ff = apply_linear(h_mlp, layer["fc_in"], cfg) + layer["fc_in_b"].astype(cfg.dtype)
+        ff = jax.nn.gelu(
+            ff.astype(jnp.float32),
+            approximate=getattr(cfg, "act", "gelu_tanh") == "gelu_tanh",
+        ).astype(cfg.dtype)
         ff = apply_linear(ff, layer["fc_out"], cfg)
         if psum_axis is not None:
             # row-parallel partial sums; biases are added ONCE, after

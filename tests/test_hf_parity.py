@@ -283,6 +283,56 @@ def test_hf_phi_fp_parity_and_cache_decode(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# GPT-NeoX / Pythia (gptj substrate + dual LN + fused-qkv de-interleave)
+# ---------------------------------------------------------------------------
+
+
+def test_hf_neox_fp_parity_and_cache_decode(tmp_path):
+    """Tiny HF GPT-NeoX (parallel residual with a SEPARATE post-attention
+    LayerNorm feeding the MLP, 25% rotary, fused qkv) through
+    load_neox_from_hf must reproduce transformers logits — a wrong qkv
+    de-interleave or a shared-LN shortcut shows up as a large rel error."""
+    from bitsandbytes_sycl_tpu.models.neox import load_neox_from_hf, neox_forward
+    from bitsandbytes_sycl_tpu.models.gptj import init_gptj_kv_cache
+
+    cfg_hf = transformers.GPTNeoXConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=1024,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, layer_norm_eps=1e-5,
+        rotary_pct=0.25, rotary_emb_base=10000,
+        use_parallel_residual=True, tie_word_embeddings=False,
+        hidden_act="gelu", attn_implementation="eager",
+    )
+    torch.manual_seed(9)
+    model = transformers.GPTNeoXForCausalLM(cfg_hf).eval()
+    d = tmp_path / "hf_neox"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 12))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_neox_from_hf(str(d))
+    assert cfg.rope_style == "neox" and cfg.rotary_dim == 16  # 0.25 * hd=64
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_neox_from_hf(str(d), cfg=cfg)
+    assert "ln2_w" in params["layers"][0]
+    logits, _ = neox_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+    # prefill + decode through the int8 KV cache == cacheless forward
+    B, T = toks.shape
+    cache = init_gptj_kv_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T - 1), (B, T - 1))
+    _, cache = neox_forward(params, cfg, jnp.asarray(toks.numpy()[:, :-1]), cache, pos)
+    posd = jnp.full((B, 1), T - 1, jnp.int32)
+    ld, _ = neox_forward(params, cfg, jnp.asarray(toks.numpy()[:, -1:]), cache, posd)
+    rel2 = np.linalg.norm(np.asarray(ld[:, 0]) - got[:, -1]) / np.linalg.norm(got[:, -1])
+    assert rel2 < 0.05, rel2
+
+
+# ---------------------------------------------------------------------------
 # Gemma (llama + GeGLU + (1+w) norms + scaled/tied embeddings + wide hd)
 # ---------------------------------------------------------------------------
 

@@ -85,6 +85,14 @@ class LlamaConfig:
     # top-k, renormalize.
     num_experts: int = 1
     num_experts_per_tok: int = 2
+    # MoE prefill dispatch: at >= this many tokens, route each token to
+    # its chosen experts through capacity-bounded dispatch/combine
+    # einsums (GShard-style) instead of dense combine — saves E/k x the
+    # expert FLOPs at prefill sizes at the cost of dropping tokens that
+    # overflow an expert's capacity (cf * N * k / E slots per expert).
+    # 0 disables (dense combine everywhere — the lossless default).
+    moe_dispatch_min_tokens: int = 0
+    moe_capacity_factor: float = 2.0
 
     @property
     def hd(self) -> int:
@@ -449,6 +457,10 @@ def _moe_ffn(h: jax.Array, layer: Dict, cfg: LlamaConfig, psum_axis: Optional[st
         w_loc = jax.lax.dynamic_slice_in_dim(w_full, e0, e_local, axis=-1)
     else:
         w_loc = w_full
+    n_tok = int(np.prod(h.shape[:-1]))
+    min_disp = getattr(cfg, "moe_dispatch_min_tokens", 0)
+    if min_disp and n_tok >= min_disp:
+        return _moe_dispatch(h, experts, w_loc, e_global, cfg)
     out = jnp.zeros(h.shape, jnp.float32)
     for e in range(e_local):
         ex = _expert_slice(experts, e)
@@ -460,6 +472,56 @@ def _moe_ffn(h: jax.Array, layer: Dict, cfg: LlamaConfig, psum_axis: Optional[st
         )
         out = out + w_loc[..., e : e + 1] * d.astype(jnp.float32)
     return out.astype(cfg.dtype)
+
+
+def _moe_dispatch(
+    h: jax.Array, experts, w_loc: jax.Array, e_global: int, cfg: LlamaConfig
+) -> jax.Array:
+    """Capacity-bounded MoE dispatch (GShard, arxiv 2006.16668): gather
+    each expert's chosen tokens into a static (E_local, C, h) buffer via
+    a one-hot dispatch einsum (an MXU contraction — no scatter HLO, no
+    dynamic shapes), run the quantized expert FFN once per expert on its
+    C-token buffer, and combine back weighted by the router.
+
+    vs dense combine: expert FLOPs drop from E_local*N to E_local*C
+    (C ~= cf*N*k/E_global) — the win at prefill sizes; the dispatch and
+    combine einsums cost 2*N*E_local*C*h MACs on the MXU (small relative
+    to the FFN for N << ~8*hidden). Tokens beyond an expert's capacity
+    are DROPPED for that expert (their other top-k picks still count;
+    the combine weight mass is simply missing) — the standard capacity
+    trade; cf=2.0 makes drops rare for near-balanced routing. Serving
+    paths that must be bitwise-lossless keep moe_dispatch_min_tokens=0.
+    """
+    lead = h.shape[:-1]
+    hd = h.shape[-1]
+    n = int(np.prod(lead))
+    e_local = w_loc.shape[-1]
+    k = cfg.num_experts_per_tok
+    cf = getattr(cfg, "moe_capacity_factor", 2.0)
+    cap = int(np.ceil(cf * n * k / e_global))
+    cap = min(n, max(8, -(-cap // 8) * 8))  # static, sublane-aligned
+
+    x = h.reshape(n, hd)
+    w = w_loc.reshape(n, e_local)
+    chosen = w > 0.0
+    pos = jnp.cumsum(chosen.astype(jnp.int32), axis=0) - 1  # slot within expert
+    keep = chosen & (pos < cap)
+    # dispatch one-hot (N, E, C): token n -> slot pos[n,e] of expert e
+    disp = jax.nn.one_hot(jnp.where(keep, pos, -1), cap, dtype=x.dtype)  # (N,E,C)
+    xs = jnp.einsum("nec,nh->ech", disp, x)  # gather: (E, C, h)
+    ys = []
+    for e in range(e_local):
+        ex = _expert_slice(experts, e)
+        gate = apply_linear(xs[e], ex["gate_proj"], cfg)
+        up = apply_linear(xs[e], ex["up_proj"], cfg)
+        ys.append(apply_linear(
+            _mlp_act(cfg, gate.astype(jnp.float32)).astype(cfg.dtype) * up,
+            ex["down_proj"], cfg,
+        ))
+    ys = jnp.stack(ys)  # (E, C, h)
+    comb = disp.astype(jnp.float32) * w[:, :, None]  # (N, E, C)
+    out = jnp.einsum("nec,ech->nh", comb, ys.astype(jnp.float32))
+    return out.reshape(*lead, hd).astype(cfg.dtype)
 
 
 def _rms_norm(x: jax.Array, w: jax.Array, eps: float, offset: bool = False) -> jax.Array:

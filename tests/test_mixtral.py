@@ -72,6 +72,58 @@ def test_moe_matches_manual_reference(setup):
     assert rel < 2e-2, rel
 
 
+def test_dispatch_path_matches_dense_combine(setup):
+    """With ample capacity the GShard-style dispatch/combine einsum path
+    equals dense combine (same routing, no drops); with a starved
+    capacity it must drop overflow tokens (outputs differ, stay finite)."""
+    from bitsandbytes_sycl_tpu.models.llama import _moe_ffn
+
+    cfg, params = setup
+    layer = params["layers"][0]
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.normal(size=(2, 64, cfg.hidden_size)), jnp.float32)
+
+    dense = np.asarray(_moe_ffn(h, layer, cfg, None), np.float32)
+    cfg_disp = dataclasses.replace(
+        cfg, moe_dispatch_min_tokens=1, moe_capacity_factor=float(cfg.num_experts),
+    )  # cf=E => C=N: no token can overflow
+    disp = np.asarray(_moe_ffn(h, layer, cfg_disp, None), np.float32)
+    np.testing.assert_allclose(disp, dense, rtol=1e-5, atol=1e-5)
+
+    cfg_tight = dataclasses.replace(
+        cfg, moe_dispatch_min_tokens=1, moe_capacity_factor=0.25,
+    )
+    tight = np.asarray(_moe_ffn(h, layer, cfg_tight, None), np.float32)
+    assert np.isfinite(tight).all()
+    assert np.abs(tight - dense).max() > 0  # drops actually happened
+
+
+def test_dispatch_path_under_expert_parallel(setup):
+    """The dispatch path composes with EP: each device dispatches into
+    its local experts' capacity buffers; ample capacity == single-device
+    dense output."""
+    from jax.sharding import NamedSharding
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from bitsandbytes_sycl_tpu.parallel.llama_tp import (
+        kv_cache_specs, llama_forward_tp, shard_llama_params,
+    )
+
+    cfg, params = setup
+    cfg_disp = dataclasses.replace(
+        cfg, moe_dispatch_min_tokens=1, moe_capacity_factor=float(cfg.num_experts),
+    )
+    mesh = make_mesh({"model": 2})
+    sp = shard_llama_params(params, cfg_disp, mesh)
+    B, T = 2, 8
+    toks = jnp.asarray(np.random.default_rng(6).integers(0, 256, (B, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+    lt, _ = llama_forward_tp(sp, cfg_disp, toks, None, pos, mesh)
+    l1, _ = mixtral_forward(params, cfg, toks, None, pos)
+    np.testing.assert_allclose(
+        np.asarray(lt, np.float32), np.asarray(l1, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
 def test_prefill_decode_consistency(setup):
     """Prefill+decode through the int8 KV cache matches the cacheless
     forward — the MoE block composes with the shared attention path."""

@@ -302,8 +302,22 @@ def quantize_params(fp_params: Dict, cfg: LlamaConfig) -> Dict:
         for name, w in layer.items():
             if name.endswith("_proj"):
                 q[name] = _quantize_linear(jnp.asarray(w, jnp.float32), cfg)
+            elif name == "experts":
+                # MoE: fp experts come either stacked ({name: (E, n, k)})
+                # or as a per-expert list — quantize each expert's 2D
+                # weights and restack
+                if isinstance(w, (list, tuple)):
+                    per_expert = list(w)
+                else:
+                    E = jax.tree.leaves(w)[0].shape[0]
+                    per_expert = [jax.tree.map(lambda a: a[e], w) for e in range(E)]
+                q[name] = stack_experts([
+                    {n2: _quantize_linear(jnp.asarray(w2, jnp.float32), cfg)
+                     for n2, w2 in ex.items()}
+                    for ex in per_expert
+                ])
             else:
-                q[name] = w
+                q[name] = w  # norms, biases, the MoE router
         out["layers"].append(q)
     if "lm_head" in fp_params:
         out["lm_head"] = _quantize_linear(jnp.asarray(fp_params["lm_head"], jnp.float32), cfg)

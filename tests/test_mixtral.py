@@ -196,6 +196,28 @@ def test_ep_requires_divisibility(setup):
                          jnp.zeros((1, 1), jnp.int32), mesh)
 
 
+def test_quantize_params_handles_expert_stack(setup):
+    """quantize_params must quantize each stacked fp expert (not leave
+    the MoE subtree silently fp): nf4-requantized forward stays within
+    4-bit noise of the fp forward."""
+    from bitsandbytes_sycl_tpu.models.llama import quantize_params
+    from bitsandbytes_sycl_tpu.ops.common import QLinearWeight
+
+    cfg_fp = dataclasses.replace(setup[0], quant="none")
+    fp = init_params(cfg_fp, jax.random.PRNGKey(17))
+    cfg_q = dataclasses.replace(cfg_fp, quant="nf4")
+    qp = quantize_params(fp, cfg_q)
+    assert isinstance(qp["layers"][0]["experts"]["gate_proj"], QLinearWeight)
+    toks = jnp.asarray(np.random.default_rng(8).integers(0, 256, (1, 6)), jnp.int32)
+    lf, _ = mixtral_forward(fp, cfg_fp, toks)
+    lq, _ = mixtral_forward(qp, cfg_q, toks)
+    rel = np.linalg.norm(np.asarray(lq) - np.asarray(lf)) / np.linalg.norm(np.asarray(lf))
+    # looser than the dense-model 0.25 bound: a tiny RANDOM router has
+    # near-uniform logits, so 4-bit noise flips some top-k routing
+    # decisions (discrete output changes on top of quantization noise)
+    assert rel < 0.5, rel
+
+
 def test_engine_serves_mixtral(setup):
     """The engine's (params, cfg, tokens, cache, positions) contract
     covers the MoE family unchanged."""

@@ -51,6 +51,13 @@ class EngineConfig:
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0  # 0 => no top-k filter
     prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512, 1024, 2048)
+    # chunked prefill: > 0 ingests prompts in fixed chunks of this many
+    # tokens through ONE compiled program (absolute-position cache
+    # writes make every chunk identical), bounding per-dispatch latency
+    # and VMEM for long prompts and replacing the per-T-bucket
+    # compilation zoo. 0 = whole-prompt padded prefill. On TPU use a
+    # multiple of 256 so chunks stay on the fused flash-prefill kernel.
+    prefill_chunk: int = 0
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -171,6 +178,23 @@ class InferenceEngine:
             return sample(last, key), cacheK
 
         @jax.jit
+        def chunk_prefill_fn(params, tokens_c, off, cacheK, true_len, key, ids):
+            """One prefill CHUNK: tokens (K, C) at absolute offset `off`
+            into the shared scratch cache. `off` is a traced scalar, so
+            every chunk of every prompt length reuses one compiled
+            program per (K, C). Returns (sampled token, hit, cacheK)
+            where hit[k] marks the chunk containing prompt k's last
+            token (whose sample is the request's first generated
+            token)."""
+            K, C = tokens_c.shape
+            pos = off + jnp.broadcast_to(jnp.arange(C), (K, C))
+            logits, cacheK = fwd_l(params, mcfg, tokens_c, cacheK, pos, ids)
+            idx = jnp.clip(true_len - 1 - off, 0, C - 1)
+            last = jnp.take_along_axis(logits, idx.reshape(K, 1, 1), axis=1)[:, 0]
+            hit = (true_len - 1 >= off) & (true_len - 1 < off + C)
+            return sample(last, key), hit, cacheK
+
+        @jax.jit
         def insert_fn(cache, cacheK, slots, valid):
             """Insert every valid sub-batch k of the prefill cache at batch
             slot slots[k] — ONE jitted call (and one cache round-trip) per
@@ -228,6 +252,7 @@ class InferenceEngine:
 
         self._prefill = prefill_fn
         self._prefix_prefill = prefix_prefill_fn
+        self._chunk_prefill = chunk_prefill_fn
         self._insert = insert_fn
         self._decode = decode_fn
         self._prefixes: Dict[int, Dict] = {}  # prefix_id -> {cache, tokens, adapter}
@@ -331,12 +356,33 @@ class InferenceEngine:
             lens[i] = len(prompt)
         aid = np.zeros((Kb,), np.int32)
         aid[: len(eff_adapter_ids)] = eff_adapter_ids
+        chunk = self.ecfg.prefill_chunk
         if pre is not None:
             nxt, cacheK = self._prefix_prefill(
                 self.params, jnp.asarray(toks), jnp.asarray(lens),
                 self._next_key(), jnp.asarray(aid), pre["cache"],
                 jnp.int32(plen),
             )
+        elif chunk > 0 and T > chunk:
+            # chunked prefill: re-pad to a multiple of the chunk size and
+            # stream chunks through ONE compiled program, carrying the
+            # scratch cache; the chunk containing each prompt's last
+            # token contributes its sampled first generation
+            Tc = -(-T // chunk) * chunk
+            toks_c = np.zeros((Kb, Tc), np.int32)
+            toks_c[:, :T] = toks
+            cacheK = self._init_cache(self.mcfg, Kb)
+            if self._cache_sharding is not None:
+                cacheK = jax.device_put(cacheK, self._cache_sharding)
+            lens_j = jnp.asarray(lens)
+            aid_j = jnp.asarray(aid)
+            nxt = jnp.zeros((Kb,), jnp.int32)
+            for ci in range(Tc // chunk):
+                tok, hit, cacheK = self._chunk_prefill(
+                    self.params, jnp.asarray(toks_c[:, ci * chunk:(ci + 1) * chunk]),
+                    jnp.int32(ci * chunk), cacheK, lens_j, self._next_key(), aid_j,
+                )
+                nxt = jnp.where(hit, tok, nxt)
         else:
             nxt, cacheK = self._prefill(
                 self.params, jnp.asarray(toks), jnp.asarray(lens), self._next_key(),

@@ -57,6 +57,21 @@ def test_engine_continuous_batching(setup):
         assert o == _greedy_reference(cfg, params, p, 6), p
 
 
+def test_engine_chunked_prefill_token_identical(setup):
+    """prefill_chunk streams prompts through one chunk-sized compiled
+    program; greedy outputs must be token-identical to the whole-prompt
+    padded prefill (mixed lengths, chunk boundary straddled)."""
+    cfg, params = setup
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11], [4, 5, 6], [7] * 8]
+    ref_eng = InferenceEngine(cfg, params, EngineConfig(max_batch=4, max_new_tokens=6))
+    ref = ref_eng.generate(prompts, max_new_tokens=6)
+    eng = InferenceEngine(
+        cfg, params, EngineConfig(max_batch=4, max_new_tokens=6, prefill_chunk=4)
+    )
+    out = eng.generate(prompts, max_new_tokens=6)
+    assert out == ref, (out, ref)
+
+
 def test_cache_write_fori_path_matches_unrolled():
     """B > 16 rolls the per-batch dynamic_update_slice chain into one
     fori_loop body (HLO size O(1) in batch); results must be identical to

@@ -2,6 +2,10 @@
 an int8 KV cache — BASELINE.json configs[4]; no reference counterpart."""
 
 from .engine import EngineConfig, InferenceEngine
+from .paged import PagedKVPool
 from .speculative import speculative_generate, speculative_generate_jit
 
-__all__ = ["EngineConfig", "InferenceEngine", "speculative_generate", "speculative_generate_jit"]
+__all__ = [
+    "EngineConfig", "InferenceEngine", "PagedKVPool",
+    "speculative_generate", "speculative_generate_jit",
+]

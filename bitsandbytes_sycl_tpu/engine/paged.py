@@ -1,0 +1,164 @@
+"""Paged int8 KV storage: shared page pool + per-sequence page tables.
+
+Companion to ops/paged_attention.py (see its docstring for the kernel
+design). This module owns the memory side: a fixed pool of fixed-size
+pages per layer, a free-list allocator, device-side page writes for
+decode steps, and pagination of a contiguous prefill cache into pages.
+HBM then scales with TOKENS IN FLIGHT instead of slots x max_seq_len —
+at B=64 slots x 4k max_seq over 32 layers of 8 kv heads x 128, a
+slot-contiguous int8 cache pins 17 GB while 64 sequences averaging 512
+live tokens need 2.2 GB of pages.
+
+The reference has no serving/attention code (SURVEY.md §5); the paging
+scheme follows vLLM (arxiv 2309.06180) re-designed for TPU: page size is
+a lane-aligned 128/256, tables are scalar-prefetched into the Mosaic
+index_map (zero-cost indirection), and all writes are
+dynamic_update_slice chains (no scatter HLO).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["PagedKVPool"]
+
+
+class PagedKVPool:
+    """Fixed pool of int8 KV pages shared by all sequences and layers.
+
+    Layout per leaf (L = layers, NP = pages, H = kv heads, P = page size):
+      k: (L, NP, H, D, P) int8  (K transposed within the page)
+      v: (L, NP, H, P, D) int8
+      k_scale/v_scale: (L, NP, H, P) f32
+    A page id addresses the same slot in every layer — one table serves
+    the whole model, and the per-layer kernel slices pool[li].
+    """
+
+    def __init__(self, cfg, num_pages: int, page_size: int = 128,
+                 max_pages_per_seq: Optional[int] = None):
+        if page_size % 128:
+            raise ValueError("page_size must be lane-aligned (multiple of 128)")
+        L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.hd
+        self.cfg = cfg
+        self.page_size = page_size
+        self.num_pages = num_pages
+        self.max_pages = max_pages_per_seq or -(-cfg.max_seq_len // page_size)
+        self.k = jnp.zeros((L, num_pages, H, D, page_size), jnp.int8)
+        self.v = jnp.zeros((L, num_pages, H, page_size, D), jnp.int8)
+        self.k_scale = jnp.zeros((L, num_pages, H, page_size), jnp.float32)
+        self.v_scale = jnp.zeros((L, num_pages, H, page_size), jnp.float32)
+        self._free: List[int] = list(range(num_pages))
+        # slot -> list of allocated page ids (host-side truth)
+        self.tables: Dict[int, List[int]] = {}
+
+    # ------------------------------------------------------------ allocator
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc_slot(self, slot: int, n_tokens: int) -> List[int]:
+        """Allocate pages to hold n_tokens for `slot` (replacing any
+        current allocation)."""
+        self.release_slot(slot)
+        need = max(1, -(-n_tokens // self.page_size))
+        if need > self.max_pages:
+            raise ValueError(f"{n_tokens} tokens exceed max_pages_per_seq")
+        if need > len(self._free):
+            raise RuntimeError("page pool exhausted")
+        pages = [self._free.pop() for _ in range(need)]
+        self.tables[slot] = pages
+        return pages
+
+    def extend_slot(self, slot: int, n_tokens: int) -> None:
+        """Grow slot's allocation to cover n_tokens (decode growth)."""
+        pages = self.tables.setdefault(slot, [])
+        need = max(1, -(-n_tokens // self.page_size))
+        if need > self.max_pages:
+            raise ValueError("sequence exceeds max_pages_per_seq")
+        while len(pages) < need:
+            if not self._free:
+                raise RuntimeError("page pool exhausted")
+            pages.append(self._free.pop())
+
+    def release_slot(self, slot: int) -> None:
+        for p in self.tables.pop(slot, []):
+            self._free.append(p)
+
+    def table_array(self, slots: Sequence[int]) -> jax.Array:
+        """(B, max_pages) int32 device table for the given slots; unused
+        entries repeat the last page (harmless: the kernel clamps)."""
+        out = np.zeros((len(slots), self.max_pages), np.int32)
+        for i, s in enumerate(slots):
+            pages = self.tables.get(s, [0])
+            out[i, : len(pages)] = pages
+            out[i, len(pages):] = pages[-1] if pages else 0
+        return jnp.asarray(out)
+
+    # -------------------------------------------------------------- writes
+    def write_decode_step(self, li: int, kq, ks, vq, vs, slots: Sequence[int],
+                          positions: np.ndarray) -> None:
+        """Write one decode step's quantized k/v for layer `li`.
+        kq (B, H, D, 1) int8, ks (B, H, 1), vq (B, H, 1, D), vs (B, H, 1);
+        positions (B,) absolute token positions (callers already called
+        extend_slot). Page id / offset resolve host-side (positions are
+        host state in the engine), writes are per-batch DUS — in-place
+        under jit, no scatter."""
+        pids = np.array(
+            [self.tables[s][positions[i] // self.page_size] for i, s in enumerate(slots)],
+            np.int32,
+        )
+        offs = np.asarray(positions, np.int64) % self.page_size
+        for b in range(len(slots)):
+            p, o = int(pids[b]), int(offs[b])
+            self.k = jax.lax.dynamic_update_slice(
+                self.k, kq[b][None, None].astype(jnp.int8), (li, p, 0, 0, o))
+            self.v = jax.lax.dynamic_update_slice(
+                self.v, vq[b][None, None].astype(jnp.int8), (li, p, 0, o, 0))
+            self.k_scale = jax.lax.dynamic_update_slice(
+                self.k_scale, ks[b][None, None], (li, p, 0, o))
+            self.v_scale = jax.lax.dynamic_update_slice(
+                self.v_scale, vs[b][None, None], (li, p, 0, o))
+
+    def ingest_contiguous(self, slot: int, cache: Dict, batch_index: int,
+                          n_tokens: int) -> None:
+        """Paginate a slot-contiguous int8 cache (models/llama layout:
+        k (L, B, H, D, S), v (L, B, H, S, D), scales (L, B, H, S)) into
+        this pool — the prefill path: the model prefills its contiguous
+        scratch cache once, then the pages are carved out of it with one
+        slice+DUS per used page (S is page-aligned by construction when
+        page_size divides the prefill bucket)."""
+        P = self.page_size
+        pages = self.alloc_slot(slot, n_tokens)
+        for j, pid in enumerate(pages):
+            s0 = j * P
+            kpage = jax.lax.dynamic_slice_in_dim(
+                cache["k"][:, batch_index], s0, P, axis=3)  # (L, H, D, P)
+            vpage = jax.lax.dynamic_slice_in_dim(
+                cache["v"][:, batch_index], s0, P, axis=2)  # (L, H, P, D)
+            kspage = jax.lax.dynamic_slice_in_dim(
+                cache["k_scale"][:, batch_index], s0, P, axis=2)  # (L, H, P)
+            vspage = jax.lax.dynamic_slice_in_dim(
+                cache["v_scale"][:, batch_index], s0, P, axis=2)
+            self.k = jax.lax.dynamic_update_slice(
+                self.k, kpage[:, None], (0, pid, 0, 0, 0))
+            self.v = jax.lax.dynamic_update_slice(
+                self.v, vpage[:, None], (0, pid, 0, 0, 0))
+            self.k_scale = jax.lax.dynamic_update_slice(
+                self.k_scale, kspage[:, None], (0, pid, 0, 0))
+            self.v_scale = jax.lax.dynamic_update_slice(
+                self.v_scale, vspage[:, None], (0, pid, 0, 0))
+
+    # ------------------------------------------------------------ attention
+    def attend(self, li: int, q, slots: Sequence[int], lengths) -> Optional[jax.Array]:
+        """Paged flash-decode for layer li: q (B, 1, Hq, D)."""
+        from ..ops.paged_attention import paged_decode_attention_int8
+
+        pt = self.table_array(slots)
+        return paged_decode_attention_int8(
+            q, self.k[li], self.k_scale[li], self.v[li], self.v_scale[li],
+            pt, jnp.asarray(lengths, jnp.int32),
+        )

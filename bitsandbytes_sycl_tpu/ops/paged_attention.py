@@ -1,0 +1,164 @@
+"""Paged int8-KV decode attention — vLLM-style block tables, TPU-native.
+
+The engine's base cache is slot-contiguous: every slot owns max_seq_len
+rows, so short sequences strand HBM and max_batch is capped by the
+WORST-CASE length. Paged KV storage allocates fixed-size pages from a
+shared pool and indirects through a per-sequence page table, so memory
+scales with TOKENS IN FLIGHT — the standard production-serving layout
+(vLLM, arxiv 2309.06180). The reference has no attention or serving
+code at all (SURVEY.md §5).
+
+Kernel design (follows ops/attention.py's measured layout rules):
+- pages keep the flash layout per page: K transposed (NP, Hkv, D, P),
+  V (NP, Hkv, P, D), lane-major scales (NP, Hkv, 1, P);
+- grid (B, Hkv, max_pages) with the page table SCALAR-PREFETCHED: the
+  BlockSpec index_map reads pt[b, j], so the Mosaic pipeline DMAs
+  exactly the mapped page per step — the indirection costs nothing;
+- online softmax accumulates (m, l, acc) in VMEM scratch across a
+  sequence's pages (same carry scheme as the prefill kernel);
+- j is CLAMPED to the sequence's last used page: trailing grid steps
+  map to a repeated block index, which Mosaic recognizes and skips the
+  copy — short sequences don't pay DMA for the tail of the grid.
+- GQA: q grouped (B, Hkv, rep, D) per kv head, kv pages touched once.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import interpret_mode
+
+__all__ = ["paged_decode_attention_int8"]
+
+
+def _paged_attn_kernel(
+    pt_ref,  # scalar prefetch: (B, MAXP) int32 page table
+    len_ref,  # scalar prefetch: (B,) int32 valid lengths
+    q_ref, k_ref, ks_ref, v_ref, vs_ref,
+    o_ref,
+    m_ref, l_ref, acc_ref,
+    *, P, R, n_pages, scale,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[:].reshape(R, -1).astype(jnp.float32)  # (R, D)
+    k = k_ref[:].reshape(-1, P).astype(jnp.float32)  # (D, P)
+    sc = jax.lax.dot_general(
+        q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sc = sc * (ks_ref[:].reshape(1, P) * scale)
+
+    # token positions covered by THIS grid step: [j*P, j*P + P) — the
+    # clamped index_map only changes WHICH physical page is resident,
+    # masking is always in logical position space
+    pos = j * P + jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
+    sc = jnp.where(pos < len_ref[b], sc, -1e30)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    w = jnp.exp(sc - m_new)  # (R, P)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(w, axis=1, keepdims=True)
+    v = v_ref[:].reshape(P, -1).astype(jnp.float32)  # (P, D)
+    wv = w * (vs_ref[:].reshape(1, P) * jnp.float32(1.0 / 127.0))
+    pv = jax.lax.dot_general(
+        wv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(j == n_pages - 1)
+    def _finalize():
+        inv = jnp.where(len_ref[b] > 0, 1.0 / l_ref[:], 0.0)
+        o = acc_ref[:] * inv
+        o_ref[:] = o.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+@jax.jit
+def _paged_attn_call(q4, kp, ksp, vp, vsp, page_table, lengths):
+    B, Hkv, rep, D = q4.shape
+    P = vp.shape[2]
+    max_pages = page_table.shape[1]
+
+    def k_map(b, h, j, pt, lens):
+        # clamp to the last USED page: trailing steps revisit the same
+        # block (no DMA) instead of fetching garbage pages
+        used = jnp.maximum((lens[b] + P - 1) // P, 1)
+        return (pt[b, jnp.minimum(j, used - 1)], h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, D), lambda b, h, j, pt, lens: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, P), k_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, P), k_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P, D), k_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, P), k_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, rep, D), lambda b, h, j, pt, lens: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_attn_kernel, P=P, R=rep, n_pages=max_pages,
+        scale=1.0 / (float(np.sqrt(D)) * 127.0),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q4.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * rep * max_pages * vp.shape[2] * D,
+            bytes_accessed=2 * B * max_pages * vp.shape[2] * Hkv * D,
+            transcendentals=B * Hkv * rep * max_pages * vp.shape[2],
+        ),
+        interpret=interpret_mode(),
+    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
+      q4, kp, ksp, vp, vsp)
+
+
+def paged_decode_attention_int8(
+    q: jax.Array,  # (B, 1, Hq, D) float
+    kp: jax.Array,  # (NP, Hkv, D, P) int8 — K pages, transposed
+    ks: jax.Array,  # (NP, Hkv, P) f32 per-token absmax
+    vp: jax.Array,  # (NP, Hkv, P, D) int8 — V pages
+    vs: jax.Array,  # (NP, Hkv, P) f32
+    page_table: jax.Array,  # (B, MAXP) int32 page ids (garbage past used)
+    lengths: jax.Array,  # (B,) int32 tokens in flight per sequence
+) -> Optional[jax.Array]:
+    """Single-step attention over PAGED int8 KV storage. Returns
+    (B, 1, Hq, D) in q.dtype, or None if untileable (caller falls back
+    to gathering pages and using the XLA path)."""
+    B, T, Hq, D = q.shape
+    NP, Hkv, P = vp.shape[0], vp.shape[1], vp.shape[2]
+    if T != 1 or D % 128 != 0 or Hq % Hkv != 0 or P % 128 != 0:
+        return None
+    q4 = q.reshape(B, Hkv, Hq // Hkv, D)
+    out = _paged_attn_call(
+        q4, kp, ks.reshape(NP, Hkv, 1, P), vp, vs.reshape(NP, Hkv, 1, P),
+        page_table, lengths,
+    )
+    return out.reshape(B, 1, Hq, D)

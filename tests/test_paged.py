@@ -1,0 +1,158 @@
+"""Paged int8 KV attention (ops/paged_attention.py + engine/paged.py).
+
+The reference has no attention/serving code (SURVEY.md §5); paging is
+new-build serving surface (vLLM-style block tables, TPU-native design).
+Kernels run in interpret mode on CPU (conftest), same as the other
+Pallas coverage.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bitsandbytes_sycl_tpu.engine.paged import PagedKVPool
+from bitsandbytes_sycl_tpu.models import llama as L
+from bitsandbytes_sycl_tpu.ops.paged_attention import paged_decode_attention_int8
+
+
+def _mk_kv(rng, B, S, Hkv, D):
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    kq, ks = L._kv_quantize(k)
+    vq, vs = L._kv_quantize(v)
+    return k, v, kq, ks, vq, vs
+
+
+def test_paged_kernel_matches_contiguous_flash_decode():
+    """Scatter a contiguous int8 cache into SHUFFLED pages; the paged
+    kernel through the page table must equal the contiguous flash-decode
+    kernel (which itself is pinned to the dequant reference)."""
+    from bitsandbytes_sycl_tpu.ops.attention import decode_attention_int8
+
+    B, S, Hkv, Hq, D, P = 2, 512, 2, 4, 128, 128
+    rng = np.random.default_rng(31)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+    _, _, kq, ks, vq, vs = _mk_kv(rng, B, S, Hkv, D)
+    lengths = jnp.asarray([317, 512], jnp.int32)
+
+    # contiguous reference (kernel layouts)
+    kqh = kq.transpose(0, 2, 3, 1)  # (B, Hkv, D, S)
+    ksh = ks.transpose(0, 2, 1)
+    vqh = vq.transpose(0, 2, 1, 3)
+    vsh = vs.transpose(0, 2, 1)
+    ref = decode_attention_int8(q, kqh, ksh, vqh, vsh, lengths)
+    assert ref is not None
+
+    # build a paged pool: page p of batch b lands at a shuffled pool slot
+    n_seq_pages = S // P
+    NP = B * n_seq_pages + 3
+    perm = rng.permutation(NP)
+    kp = np.zeros((NP, Hkv, D, P), np.int8)
+    ksp = np.zeros((NP, Hkv, P), np.float32)
+    vp = np.zeros((NP, Hkv, P, D), np.int8)
+    vsp = np.zeros((NP, Hkv, P), np.float32)
+    table = np.zeros((B, n_seq_pages), np.int32)
+    for b in range(B):
+        for j in range(n_seq_pages):
+            pid = int(perm[b * n_seq_pages + j])
+            table[b, j] = pid
+            sl = slice(j * P, (j + 1) * P)
+            kp[pid] = np.asarray(kqh[b, :, :, sl])
+            ksp[pid] = np.asarray(ksh[b, :, sl])
+            vp[pid] = np.asarray(vqh[b, :, sl, :])
+            vsp[pid] = np.asarray(vsh[b, :, sl])
+
+    out = paged_decode_attention_int8(
+        q, jnp.asarray(kp), jnp.asarray(ksp), jnp.asarray(vp), jnp.asarray(vsp),
+        jnp.asarray(table), lengths,
+    )
+    assert out is not None
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pool_alloc_free_reuse():
+    cfg = L.LlamaConfig.tiny(num_layers=1, max_seq_len=512)
+    pool = PagedKVPool(cfg, num_pages=6, page_size=128)
+    assert pool.free_pages() == 6
+    p0 = pool.alloc_slot(0, 300)  # 3 pages
+    assert len(p0) == 3 and pool.free_pages() == 3
+    pool.extend_slot(0, 400)  # grows to 4
+    assert len(pool.tables[0]) == 4 and pool.free_pages() == 2
+    with pytest.raises(RuntimeError):
+        pool.alloc_slot(1, 128 * 3)  # only 2 free
+    pool.release_slot(0)
+    assert pool.free_pages() == 6
+    pool.alloc_slot(1, 512)  # reuses released pages (4 = the per-seq max)
+    assert pool.free_pages() == 2
+    with pytest.raises(ValueError):
+        pool.alloc_slot(2, 4096 * 2)  # > max_seq_len worth of pages
+
+
+def test_pool_ingest_then_decode_write_then_attend():
+    """End-to-end paged flow: prefill a contiguous cache, paginate it,
+    append one decode step's kv through write_decode_step, and attend —
+    must equal the dequant reference over the concatenated sequence."""
+    cfg = L.LlamaConfig.tiny(
+        num_layers=2, num_heads=2, num_kv_heads=2, hidden_size=256,
+        max_seq_len=512,
+    )
+    B, S, Hkv, D, P = 2, 512, 2, 128, 128
+    T0 = [200, 256]  # prefilled lengths per slot
+    rng = np.random.default_rng(33)
+    k, v, kq, ks, vq, vs = _mk_kv(rng, B, S, Hkv, D)
+
+    # emulate the model's contiguous cache for one layer of interest
+    cache = {
+        "k": jnp.zeros((cfg.num_layers, B, Hkv, D, S), jnp.int8),
+        "v": jnp.zeros((cfg.num_layers, B, Hkv, S, D), jnp.int8),
+        "k_scale": jnp.zeros((cfg.num_layers, B, Hkv, S), jnp.float32),
+        "v_scale": jnp.zeros((cfg.num_layers, B, Hkv, S), jnp.float32),
+    }
+    li = 1
+    cache["k"] = cache["k"].at[li].set(kq.transpose(0, 2, 3, 1))
+    cache["v"] = cache["v"].at[li].set(vq.transpose(0, 2, 1, 3))
+    cache["k_scale"] = cache["k_scale"].at[li].set(ks.transpose(0, 2, 1))
+    cache["v_scale"] = cache["v_scale"].at[li].set(vs.transpose(0, 2, 1))
+
+    pool = PagedKVPool(cfg, num_pages=12, page_size=P)
+    slots = [7, 9]
+    for i, s in enumerate(slots):
+        pool.ingest_contiguous(s, cache, i, T0[i])
+
+    # one decode step: new k/v at positions T0
+    knew = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.float32)
+    vnew = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.float32)
+    kqn, ksn = L._kv_quantize(knew)
+    vqn, vsn = L._kv_quantize(vnew)
+    for i, s in enumerate(slots):
+        pool.extend_slot(s, T0[i] + 1)
+    pool.write_decode_step(
+        li,
+        kqn.transpose(0, 2, 3, 1), ksn.transpose(0, 2, 1),
+        vqn.transpose(0, 2, 1, 3), vsn.transpose(0, 2, 1),
+        slots, np.asarray(T0),
+    )
+
+    q = jnp.asarray(rng.normal(size=(B, 1, cfg.num_heads, D)), jnp.float32)
+    lengths = np.asarray(T0) + 1
+    out = pool.attend(li, q, slots, lengths)
+    assert out is not None
+
+    # dequant reference over the concatenated (prefix + new) kv
+    kf = L._kv_dequantize(kq, ks, jnp.float32)
+    vf = L._kv_dequantize(vq, vs, jnp.float32)
+    kn = L._kv_dequantize(kqn, ksn, jnp.float32)
+    vn = L._kv_dequantize(vqn, vsn, jnp.float32)
+    outs = []
+    for b in range(B):
+        kcat = jnp.concatenate([kf[b, : T0[b]], kn[b]], axis=0)[None]
+        vcat = jnp.concatenate([vf[b, : T0[b]], vn[b]], axis=0)[None]
+        mask = jnp.ones((1, 1, T0[b] + 1), bool)
+        outs.append(L._attention(q[b : b + 1], kcat, vcat, mask, jnp.float32))
+    ref = jnp.concatenate(outs, axis=0)
+    rel = float(np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(np.asarray(ref)))
+    assert rel < 5e-3, rel

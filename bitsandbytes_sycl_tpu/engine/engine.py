@@ -58,6 +58,17 @@ class EngineConfig:
     # compilation zoo. 0 = whole-prompt padded prefill. On TPU use a
     # multiple of 256 so chunks stay on the fused flash-prefill kernel.
     prefill_chunk: int = 0
+    # paged KV cache (vLLM-style, engine/paged.py): decode attends
+    # through per-slot page tables into a shared page pool, so KV HBM
+    # scales with TOKENS IN FLIGHT instead of max_batch x max_seq_len.
+    # num_pages=0 sizes the pool for the worst case (max_batch x
+    # ceil(max_seq/page_size) + 1 reserved trash page) — size it down to
+    # the expected live-token load to oversubscribe slots; the engine
+    # raises "page pool exhausted" when decode outgrows it. Requires
+    # kv_quant=True and max_seq_len % page_size == 0.
+    paged: bool = False
+    page_size: int = 128
+    num_pages: int = 0
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -132,7 +143,28 @@ class InferenceEngine:
         else:
             fwd = llama_forward
         B = engine_cfg.max_batch
-        self.cache = init_cache(model_cfg, B)
+        self._alloc = None
+        if engine_cfg.paged:
+            from .paged import PageAllocator, init_page_pool
+
+            if not model_cfg.kv_quant:
+                raise ValueError("paged mode requires kv_quant=True (int8 pages)")
+            if model_cfg.max_seq_len % engine_cfg.page_size:
+                raise ValueError("paged mode needs max_seq_len % page_size == 0")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "paged KV + TP is not wired (pages would need mesh sharding); "
+                    "use the contiguous cache under a mesh"
+                )
+            maxp = model_cfg.max_seq_len // engine_cfg.page_size
+            n_pages = engine_cfg.num_pages or (B * maxp + 1)
+            # page 0 is the reserved trash page: retired slots keep
+            # writing there so their real pages free immediately
+            self._alloc = PageAllocator(
+                n_pages, engine_cfg.page_size, maxp, reserve_page0=True)
+            self.cache = init_page_pool(model_cfg, n_pages, engine_cfg.page_size)
+        else:
+            self.cache = init_cache(model_cfg, B)
         if self._cache_sharding is not None:
             self.cache = jax.device_put(self.cache, self._cache_sharding)
         self.seq_lens = np.zeros((B,), np.int32)  # host-side slot lengths
@@ -250,6 +282,28 @@ class InferenceEngine:
             logits, cache = fwd_l(params, mcfg, tokens, cache, positions, ids)
             return sample(logits[:, 0], key), cache
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def paged_decode_fn(params, pool, page_table, write_page, write_off,
+                            tokens, positions, key, ids):
+            """Paged decode step: the pool pytree is DONATED so page
+            writes stay in place; the host-resolved indirection (table +
+            this step's write page/offset per row) rides inside the cache
+            dict, which write_and_attend recognizes."""
+            cache = dict(pool)
+            cache["page_table"] = page_table
+            cache["write_page"] = write_page
+            cache["write_off"] = write_off
+            logits, cache = fwd_l(params, mcfg, tokens, cache, positions, ids)
+            return sample(logits[:, 0], key), {k: cache[k] for k in pool}
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def paged_insert_fn(pool, cacheK, page_ids, used, valid):
+            from .paged import paged_ingest
+
+            return paged_ingest(pool, cacheK, page_ids, used, valid)
+
+        self._paged_decode = paged_decode_fn
+        self._paged_insert = paged_insert_fn
         self._prefill = prefill_fn
         self._prefix_prefill = prefix_prefill_fn
         self._chunk_prefill = chunk_prefill_fn
@@ -394,9 +448,30 @@ class InferenceEngine:
         for i in range(K):
             slot_arr[i] = slots[i]
             valid[i] = True
-        self.cache = self._insert(
-            self.cache, cacheK, jnp.asarray(slot_arr), jnp.asarray(valid)
-        )
+        if self._alloc is not None:
+            # paginate the contiguous prefill scratch into pool pages
+            maxp = self._alloc.max_pages
+            page_ids = np.zeros((Kb, maxp), np.int32)
+            used = np.zeros((Kb,), np.int32)
+            got: List[int] = []
+            try:
+                for i, prompt in enumerate(prompts):
+                    pages = self._alloc.alloc_slot(slots[i], plen + len(prompt))
+                    page_ids[i, : len(pages)] = pages
+                    used[i] = len(pages)
+                    got.append(slots[i])
+            except Exception:
+                for s in got:  # don't leak pages on pool exhaustion
+                    self._alloc.release_slot(s)
+                raise
+            self.cache = self._paged_insert(
+                self.cache, cacheK, jnp.asarray(page_ids),
+                jnp.asarray(used), jnp.asarray(valid),
+            )
+        else:
+            self.cache = self._insert(
+                self.cache, cacheK, jnp.asarray(slot_arr), jnp.asarray(valid)
+            )
         out_slots: List[int] = []
         for i, prompt in enumerate(prompts):
             slot = slots[i]
@@ -423,10 +498,28 @@ class InferenceEngine:
         B = self.ecfg.max_batch
         tokens = jnp.asarray(self._last_tokens.reshape(B, 1), jnp.int32)
         positions = jnp.asarray(self.seq_lens.reshape(B, 1), jnp.int32)
-        nxt_dev, self.cache = self._decode(
-            self.params, self.cache, tokens, positions, self._next_key(),
-            jnp.asarray(self.slot_adapter),
-        )
+        if self._alloc is not None:
+            P = self.ecfg.page_size
+            # inactive rows write to the reserved trash page 0 so retired
+            # slots' pages are ALREADY free (released at retirement)
+            wp = np.zeros((B,), np.int32)
+            wo = np.zeros((B,), np.int32)
+            for b in range(B):
+                if self.active[b]:
+                    pos = int(self.seq_lens[b])
+                    self._alloc.extend_slot(b, pos + 1)
+                    wp[b] = self._alloc.tables[b][pos // P]
+                    wo[b] = pos % P
+            nxt_dev, self.cache = self._paged_decode(
+                self.params, self.cache, self._alloc.table_array(range(B)),
+                jnp.asarray(wp), jnp.asarray(wo), tokens, positions,
+                self._next_key(), jnp.asarray(self.slot_adapter),
+            )
+        else:
+            nxt_dev, self.cache = self._decode(
+                self.params, self.cache, tokens, positions, self._next_key(),
+                jnp.asarray(self.slot_adapter),
+            )
         nxt = np.asarray(nxt_dev)  # the step's single host transfer
         out: Dict[int, int] = {}
         for b in range(B):
@@ -445,6 +538,8 @@ class InferenceEngine:
             )
             if done:
                 self.active[b] = False
+                if self._alloc is not None:
+                    self._alloc.release_slot(b)
         return out
 
     def generate(
@@ -566,7 +661,7 @@ class InferenceEngine:
         loop with checkpointed KV-cache" (the reference has no failure
         story: host launchers std::exit(1) on error, op_quant.cpp:916).
         Pair with checkpoints.save_checkpoint for durable snapshots."""
-        return {
+        snap = {
             "cache": self.cache,
             "seq_lens": self.seq_lens.copy(),
             "active": self.active.copy(),
@@ -576,6 +671,12 @@ class InferenceEngine:
             "last_tokens": self._last_tokens.copy(),
             "rng": np.asarray(jax.random.key_data(self._rng)).copy(),
         }
+        if self._alloc is not None:  # page-table truth rides the snapshot
+            snap["page_tables"] = [
+                list(self._alloc.tables.get(b, []))
+                for b in range(self.ecfg.max_batch)
+            ]
+        return snap
 
     def durable_snapshot(self) -> Dict:
         """snapshot() with every field as a fixed-shape array — directly
@@ -595,6 +696,15 @@ class InferenceEngine:
             lens[i] = len(t)
         snap["slot_tokens_padded"] = toks
         snap["slot_token_lens"] = lens
+        if "page_tables" in snap:
+            tabs = snap.pop("page_tables")
+            pt = np.zeros((self.ecfg.max_batch, self._alloc.max_pages), np.int32)
+            pl = np.zeros((self.ecfg.max_batch,), np.int32)
+            for i, t in enumerate(tabs):
+                pt[i, : len(t)] = t
+                pl[i] = len(t)
+            snap["page_tables_padded"] = pt
+            snap["page_table_lens"] = pl
         return snap
 
     def restore_durable(self, snap: Dict) -> None:
@@ -604,6 +714,12 @@ class InferenceEngine:
         snap["slot_tokens"] = [
             [int(x) for x in row[:l]] for row, l in zip(toks, lens)
         ]
+        if "page_tables_padded" in snap:
+            pt = np.asarray(snap.pop("page_tables_padded"))
+            pl = np.asarray(snap.pop("page_table_lens"))
+            snap["page_tables"] = [
+                [int(x) for x in row[:l]] for row, l in zip(pt, pl)
+            ]
         self.restore(snap)
 
     def restore(self, snap: Dict) -> None:
@@ -626,5 +742,19 @@ class InferenceEngine:
             # prior serving must not leak into the resumed decode
             self.slot_adapter = np.zeros_like(self.slot_adapter)
         self._last_tokens = np.asarray(snap["last_tokens"], np.int32).copy()
+        if self._alloc is not None:
+            if "page_tables" not in snap:
+                raise ValueError(
+                    "snapshot has no page tables — it was taken by a "
+                    "non-paged engine and cannot restore into paged mode"
+                )
+            tabs = snap["page_tables"]
+            self._alloc.tables = {
+                b: list(map(int, t)) for b, t in enumerate(tabs) if len(t)
+            }
+            held = {p for t in self._alloc.tables.values() for p in t}
+            self._alloc._free = [
+                p for p in range(1, self._alloc.num_pages) if p not in held
+            ]
         if "rng" in snap:  # sampled decoding resumes bit-identically too
             self._rng = jax.random.wrap_key_data(jnp.asarray(snap["rng"]))

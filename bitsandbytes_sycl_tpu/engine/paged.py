@@ -25,38 +25,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PagedKVPool"]
+__all__ = ["PageAllocator", "PagedKVPool", "init_page_pool", "paged_ingest"]
 
 
-class PagedKVPool:
-    """Fixed pool of int8 KV pages shared by all sequences and layers.
+class PageAllocator:
+    """Host-side page bookkeeping: free list + per-slot page tables.
 
-    Layout per leaf (L = layers, NP = pages, H = kv heads, P = page size):
-      k: (L, NP, H, D, P) int8  (K transposed within the page)
-      v: (L, NP, H, P, D) int8
-      k_scale/v_scale: (L, NP, H, P) f32
-    A page id addresses the same slot in every layer — one table serves
-    the whole model, and the per-layer kernel slices pool[li].
-    """
+    Pure scheduler state (no device arrays) so the engine can thread the
+    device pool pytree through donated jitted steps while this object
+    stays the allocation truth. `reserve_page0=True` keeps page 0 out of
+    circulation as a scratch/trash page — retired engine slots keep
+    writing there so their pages can be freed immediately."""
 
-    def __init__(self, cfg, num_pages: int, page_size: int = 128,
-                 max_pages_per_seq: Optional[int] = None):
-        if page_size % 128:
-            raise ValueError("page_size must be lane-aligned (multiple of 128)")
-        L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.hd
-        self.cfg = cfg
+    def __init__(self, num_pages: int, page_size: int,
+                 max_pages_per_seq: int, reserve_page0: bool = False):
         self.page_size = page_size
         self.num_pages = num_pages
-        self.max_pages = max_pages_per_seq or -(-cfg.max_seq_len // page_size)
-        self.k = jnp.zeros((L, num_pages, H, D, page_size), jnp.int8)
-        self.v = jnp.zeros((L, num_pages, H, page_size, D), jnp.int8)
-        self.k_scale = jnp.zeros((L, num_pages, H, page_size), jnp.float32)
-        self.v_scale = jnp.zeros((L, num_pages, H, page_size), jnp.float32)
-        self._free: List[int] = list(range(num_pages))
+        self.max_pages = max_pages_per_seq
+        self._free: List[int] = list(range(1 if reserve_page0 else 0, num_pages))
         # slot -> list of allocated page ids (host-side truth)
         self.tables: Dict[int, List[int]] = {}
 
-    # ------------------------------------------------------------ allocator
     def free_pages(self) -> int:
         return len(self._free)
 
@@ -97,6 +86,88 @@ class PagedKVPool:
             out[i, : len(pages)] = pages
             out[i, len(pages):] = pages[-1] if pages else 0
         return jnp.asarray(out)
+
+
+def init_page_pool(cfg, num_pages: int, page_size: int) -> Dict:
+    """Device-side page pool pytree (engine paged mode). Layout per leaf
+    (L = layers, NP = pages, H = kv heads, P = page size):
+      k: (L, NP, H, D, P) int8  (K transposed within the page)
+      v: (L, NP, H, P, D) int8
+      k_scale/v_scale: (L, NP, H, P) f32
+    A page id addresses the same slot in every layer — one table serves
+    the whole model, and the per-layer kernel slices pool[li]."""
+    if page_size % 128:
+        raise ValueError("page_size must be lane-aligned (multiple of 128)")
+    L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.hd
+    return {
+        "k": jnp.zeros((L, num_pages, H, D, page_size), jnp.int8),
+        "v": jnp.zeros((L, num_pages, H, page_size, D), jnp.int8),
+        "k_scale": jnp.zeros((L, num_pages, H, page_size), jnp.float32),
+        "v_scale": jnp.zeros((L, num_pages, H, page_size), jnp.float32),
+    }
+
+
+def paged_ingest(pool: Dict, cacheK: Dict, page_ids: jax.Array,
+                 used: jax.Array, valid: jax.Array) -> Dict:
+    """Paginate a contiguous prefill scratch cache into the pool — the
+    engine's jit-once insert (donate the pool for in-place pages).
+
+    cacheK is the models/llama layout (k (L,K,H,D,S), v (L,K,H,S,D),
+    scales (L,K,H,S)) with S a multiple of the page size; page_ids
+    (K, MAXP) int32 maps prefill row k's page j to a pool page; used (K,)
+    counts row k's live pages; valid (K,) masks padding rows. Invalid
+    (k, j) combinations rewrite the target page's own current content
+    (a no-op) so the fori_loop body stays shape-static — the same trick
+    as engine.insert_fn."""
+    K, MAXP = page_ids.shape
+    P = pool["v"].shape[3]
+
+    def body(i, pool):
+        k, j = i // MAXP, i % MAXP
+        ok = valid[k] & (j < used[k])
+        pid = page_ids[k, j]
+        s0 = j * P
+
+        def put(big, small_page, start):
+            cur = jax.lax.dynamic_slice(big, start, small_page.shape)
+            return jax.lax.dynamic_update_slice(
+                big, jnp.where(ok, small_page.astype(big.dtype), cur), start)
+
+        kp = jax.lax.dynamic_slice_in_dim(  # (L,1,H,D,P)
+            jax.lax.dynamic_slice_in_dim(cacheK["k"], k, 1, axis=1), s0, P, axis=4)
+        vp = jax.lax.dynamic_slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(cacheK["v"], k, 1, axis=1), s0, P, axis=3)
+        ksp = jax.lax.dynamic_slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(cacheK["k_scale"], k, 1, axis=1), s0, P, axis=3)
+        vsp = jax.lax.dynamic_slice_in_dim(
+            jax.lax.dynamic_slice_in_dim(cacheK["v_scale"], k, 1, axis=1), s0, P, axis=3)
+        pool = dict(pool)
+        pool["k"] = put(pool["k"], kp, (0, pid, 0, 0, 0))
+        pool["v"] = put(pool["v"], vp, (0, pid, 0, 0, 0))
+        pool["k_scale"] = put(pool["k_scale"], ksp, (0, pid, 0, 0))
+        pool["v_scale"] = put(pool["v_scale"], vsp, (0, pid, 0, 0))
+        return pool
+
+    return jax.lax.fori_loop(0, K * MAXP, body, dict(pool))
+
+
+class PagedKVPool(PageAllocator):
+    """Fixed pool of int8 KV pages shared by all sequences and layers —
+    the standalone (non-engine) API: owns its device arrays and applies
+    writes eagerly. See init_page_pool for the leaf layout; the engine's
+    paged mode instead threads the pool pytree through donated jitted
+    steps with a bare PageAllocator."""
+
+    def __init__(self, cfg, num_pages: int, page_size: int = 128,
+                 max_pages_per_seq: Optional[int] = None):
+        super().__init__(
+            num_pages, page_size,
+            max_pages_per_seq or -(-cfg.max_seq_len // page_size),
+        )
+        self.cfg = cfg
+        pool = init_page_pool(cfg, num_pages, page_size)
+        self.k, self.v = pool["k"], pool["v"]
+        self.k_scale, self.v_scale = pool["k_scale"], pool["v_scale"]
 
     # -------------------------------------------------------------- writes
     def write_decode_step(self, li: int, kq, ks, vq, vs, slots: Sequence[int],

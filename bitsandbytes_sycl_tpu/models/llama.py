@@ -389,6 +389,84 @@ def _cache_write(arr: jax.Array, li: int, upd: jax.Array, starts: jax.Array, pos
     return arr
 
 
+def _paged_cache_write(
+    arr: jax.Array, li: int, upd: jax.Array, pages: jax.Array,
+    offs: jax.Array, pos_axis: int,
+) -> jax.Array:
+    """Paged sibling of _cache_write: write `upd` (B, ...) into the page
+    POOL `arr` (L, NP, ...) — row b lands in page `pages[b]` at token
+    offset `offs[b]` along `pos_axis` (axis index within the per-(L, page)
+    subarray). Same DUS-chain/fori-loop structure (no scatter HLO)."""
+    B = upd.shape[0]
+
+    def _write_one(b, arr):
+        u = jax.lax.dynamic_slice_in_dim(upd, b, 1, axis=0)[None]  # (1,1,...)
+        idx = [li, jax.lax.dynamic_index_in_dim(pages, b, keepdims=False)]
+        idx += [0] * (arr.ndim - 2)
+        idx[2 + pos_axis] = jax.lax.dynamic_index_in_dim(offs, b, keepdims=False)
+        return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), tuple(idx))
+
+    if B > 16:
+        return jax.lax.fori_loop(0, B, _write_one, arr)
+    for b in range(B):
+        arr = _write_one(b, arr)
+    return arr
+
+
+def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
+    """Decode-step write+attend over PAGED int8 KV storage (vLLM-style;
+    ops/paged_attention.py). The cache pytree carries, beside the pool
+    leaves (L, NP, ...), the step's host-resolved indirection:
+    `page_table` (B, MAXP), `write_page` (B,), `write_off` (B,). Logical
+    length per row is positions+1, same contract as the contiguous path."""
+    kq, ks = _kv_quantize(k)
+    vq, vs = _kv_quantize(v)
+    pages, offs = new_cache["write_page"], new_cache["write_off"]
+    # pool K pages are (L, NP, H, D, P): token offset on axis 2
+    new_cache["k"] = _paged_cache_write(
+        new_cache["k"], li, kq.transpose(0, 2, 3, 1), pages, offs, pos_axis=2)
+    new_cache["v"] = _paged_cache_write(
+        new_cache["v"], li, vq.transpose(0, 2, 1, 3), pages, offs, pos_axis=1)
+    new_cache["k_scale"] = _paged_cache_write(
+        new_cache["k_scale"], li, ks.transpose(0, 2, 1), pages, offs, pos_axis=1)
+    new_cache["v_scale"] = _paged_cache_write(
+        new_cache["v_scale"], li, vs.transpose(0, 2, 1), pages, offs, pos_axis=1)
+    lengths = positions[:, 0] + 1
+    from ..ops.paged_attention import paged_decode_attention_int8
+
+    attn = paged_decode_attention_int8(
+        q, new_cache["k"][li], new_cache["k_scale"][li],
+        new_cache["v"][li], new_cache["v_scale"][li],
+        new_cache["page_table"], lengths,
+    )
+    if attn is not None:
+        return attn, new_cache
+    # untileable shapes (D or page not lane-aligned, e.g. tiny test
+    # configs): gather the mapped pages back into a contiguous view and
+    # take the XLA dequant-attend path
+    pt = new_cache["page_table"]  # (B, MAXP)
+    B, MAXP = pt.shape
+    kg = jnp.take(new_cache["k"][li], pt, axis=0)  # (B,MAXP,H,D,P)
+    vg = jnp.take(new_cache["v"][li], pt, axis=0)  # (B,MAXP,H,P,D)
+    ksg = jnp.take(new_cache["k_scale"][li], pt, axis=0)  # (B,MAXP,H,P)
+    vsg = jnp.take(new_cache["v_scale"][li], pt, axis=0)
+    S = MAXP * kg.shape[-1]
+    # seq-major (B, S, H, D) contiguous logical views
+    k_full = _kv_dequantize(
+        kg.transpose(0, 1, 4, 2, 3).reshape(B, S, *kg.shape[2:4]),
+        ksg.transpose(0, 1, 3, 2).reshape(B, S, -1), cfg.dtype,
+    )
+    v_full = _kv_dequantize(
+        vg.transpose(0, 1, 3, 2, 4).reshape(B, S, vg.shape[2], -1),
+        vsg.transpose(0, 1, 3, 2).reshape(B, S, -1), cfg.dtype,
+    )
+    mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]  # (B,1,S)
+    sw = getattr(cfg, "sliding_window", None)
+    if sw is not None:
+        mask = mask & (positions[:, :, None] - jnp.arange(S)[None, None, :] < sw)
+    return _attention(q, k_full, v_full, mask, cfg.dtype), new_cache
+
+
 def _kv_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(B, T, H, D) -> int8 codes + per-(token,head) absmax."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
@@ -583,6 +661,15 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
     starts = positions[:, 0]  # contiguous positions per batch
     T = q.shape[1]
     attn = None
+    if "page_table" in new_cache:
+        # paged int8 KV pool (engine paged mode) — decode steps only;
+        # prefill runs on a contiguous scratch cache and is paginated by
+        # the engine's ingest (engine/paged.py)
+        if T != 1:
+            raise ValueError("paged KV cache supports decode (T=1) steps only")
+        if not cfg.kv_quant:
+            raise ValueError("paged KV cache requires kv_quant=True (int8 pages)")
+        return _paged_write_and_attend(new_cache, li, q, k, v, positions, cfg)
     if cfg.kv_quant:
         kq, ks = _kv_quantize(k)
         vq, vs = _kv_quantize(v)

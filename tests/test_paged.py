@@ -156,3 +156,115 @@ def test_pool_ingest_then_decode_write_then_attend():
     ref = jnp.concatenate(outs, axis=0)
     rel = float(np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(np.asarray(ref)))
     assert rel < 5e-3, rel
+
+
+# --------------------------------------------------------------------------
+# engine paged mode (EngineConfig.paged): decode through page tables
+# --------------------------------------------------------------------------
+
+from bitsandbytes_sycl_tpu.engine import EngineConfig, InferenceEngine  # noqa: E402
+
+
+def _paged_cfgs(**kw):
+    """Tiny config whose head_dim=128 keeps the paged kernel tileable
+    (D % 128 == 0) so the Pallas path runs (interpret mode on CPU)."""
+    mcfg = L.LlamaConfig.tiny(
+        hidden_size=256, num_heads=2, num_kv_heads=1, head_dim=128,
+        max_seq_len=256, **kw,
+    )
+    return mcfg
+
+
+def _gen(mcfg, ecfg, prompts, max_new=6):
+    params = L.init_params(mcfg, jax.random.PRNGKey(0))
+    eng = InferenceEngine(mcfg, params, ecfg)
+    return eng, eng.generate(prompts, max_new_tokens=max_new)
+
+
+def test_engine_paged_matches_contiguous_kernel_path():
+    """Paged decode (page-table kernel) must be token-identical to the
+    slot-contiguous engine on the same model and prompts."""
+    mcfg = _paged_cfgs()
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7, 6, 5, 4, 3, 2, 1]]
+    _, ref = _gen(mcfg, EngineConfig(max_batch=2), prompts)
+    eng, out = _gen(mcfg, EngineConfig(max_batch=2, paged=True), prompts)
+    assert out == ref
+    assert eng._alloc is not None and eng._alloc.free_pages() > 0
+    # all slots retired -> every page back in the free list
+    assert eng._alloc.free_pages() == eng._alloc.num_pages - 1  # minus trash
+
+
+def test_engine_paged_fallback_and_slot_reuse():
+    """hd=64 is untileable for the paged kernel -> the gather fallback
+    carries decode; 3 prompts through 2 slots exercises page release and
+    reallocation across continuous-batching slot reuse."""
+    mcfg = L.LlamaConfig.tiny()  # hd=64, max_seq_len=128 (divisible by 128)
+    prompts = [[1, 2, 3], [4, 5, 6, 7], [8, 9]]
+    _, ref = _gen(mcfg, EngineConfig(max_batch=2), prompts, max_new=5)
+    eng, out = _gen(
+        mcfg, EngineConfig(max_batch=2, paged=True, num_pages=4), prompts,
+        max_new=5,
+    )
+    assert out == ref
+    assert eng._alloc.free_pages() == 3  # 4 minus the reserved trash page
+
+
+def test_engine_paged_snapshot_restore_resumes_identically():
+    mcfg = _paged_cfgs()
+    params = L.init_params(mcfg, jax.random.PRNGKey(1))
+    ecfg = EngineConfig(max_batch=2, paged=True)
+    ref_eng = InferenceEngine(mcfg, params, ecfg)
+    ref = ref_eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=8)
+
+    eng = InferenceEngine(mcfg, params, ecfg)
+    eng.add_requests([[1, 2, 3], [4, 5]], max_new_tokens=8)
+    for _ in range(3):
+        eng.step()
+    snap = eng.durable_snapshot()
+
+    eng2 = InferenceEngine(mcfg, params, ecfg)
+    eng2.restore_durable(snap)
+    while eng2.active.any():
+        eng2.step()
+    got = [eng2.slot_tokens[b][len(p):] for b, p in enumerate([[1, 2, 3], [4, 5]])]
+    assert got == ref
+
+
+def test_engine_paged_composes_with_chunked_prefill():
+    """Chunked prefill accumulates the contiguous scratch cache chunk by
+    chunk; the paged ingest paginates the final result — tokens must
+    match the contiguous engine's."""
+    mcfg = _paged_cfgs()
+    prompts = [[i % 7 + 1 for i in range(37)], [3, 1, 4, 1, 5]]
+    _, ref = _gen(mcfg, EngineConfig(max_batch=2), prompts, max_new=4)
+    _, out = _gen(
+        mcfg, EngineConfig(max_batch=2, paged=True, prefill_chunk=16),
+        prompts, max_new=4,
+    )
+    assert out == ref
+
+
+def test_engine_paged_pool_exhaustion_raises():
+    mcfg = _paged_cfgs()
+    params = L.init_params(mcfg, jax.random.PRNGKey(0))
+    # 2 usable pages (3 minus trash): a 2-slot batch of 129+ tokens needs
+    # 2 pages each -> exhaustion must raise, not corrupt
+    eng = InferenceEngine(
+        mcfg, params, EngineConfig(max_batch=2, paged=True, num_pages=3)
+    )
+    with pytest.raises(RuntimeError, match="exhausted"):
+        eng.add_requests([[1] * 140, [2] * 140])
+    # failed admission must not leak pages
+    assert eng._alloc.free_pages() == 2
+    # a batch that fits still admits fine afterwards
+    eng.add_requests([[1] * 100, [2] * 100], max_new_tokens=2)
+
+
+def test_engine_paged_rejects_bad_configs():
+    mcfg = _paged_cfgs(kv_quant=False)
+    params = None
+    with pytest.raises(ValueError, match="kv_quant"):
+        InferenceEngine(mcfg, params, EngineConfig(paged=True))
+    mcfg = L.LlamaConfig.tiny(max_seq_len=200)
+    with pytest.raises(ValueError, match="page_size"):
+        InferenceEngine(mcfg, params, EngineConfig(paged=True))

@@ -195,10 +195,13 @@ def _apply_lora(x, out, lora, lora_ids):
 def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None, lora_ids=None) -> jax.Array:
     if isinstance(w, QLinearWeight):
         rows = int(np.prod(x.shape[:-1]))
-        # int4's arithmetic decode already beats W4A8 (docs/PERFORMANCE.md);
-        # the measured crossover is ~64 rows, where W4A8 already LOSES to
-        # the exact path — route the boundary to the exact kernel
-        if getattr(cfg, "a8_decode", False) and 0 < rows < 64 and w.quant_type != "int4":
+        # int4's arithmetic decode already beats W4A8 (docs/PERFORMANCE.md).
+        # W4A8-vs-exact crossover (measured twice, docs/PERFORMANCE.md round-3
+        # probe): W4A8 wins through M=64 at every blocksize (0.85-0.95x bf16
+        # vs exact 0.59-0.75x) and through M=256 when the sub-dot K
+        # (= blocksize) is 256; the exact m-tile kernel wins at M>=1024.
+        lim = 256 if w.blocksize >= 256 else 64
+        if getattr(cfg, "a8_decode", False) and 0 < rows <= lim and w.quant_type != "int4":
             from ..ops.matmul_w4a8 import matmul_4bit_w4a8
 
             out = matmul_4bit_w4a8(x, w, out_dtype=cfg.dtype)

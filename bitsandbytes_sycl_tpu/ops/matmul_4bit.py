@@ -233,6 +233,16 @@ def dequantize_transposed(w: QLinearWeight, out_dtype=jnp.bfloat16):
         return w.dequantize().T.astype(out_dtype)
     step = 8 * bs
     hp = ((half + step - 1) // step) * step
+    use16 = w.quant_type != "int4" and jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
+    itemsize = 2 if use16 else 4
+    # Mosaic's scoped-vmem stack holds ~10-30 live decode temporaries:
+    # (512, 256)-f32-equivalent blocks are the measured ceiling (a
+    # (2048, 256) bf16 tile at bs=256 OOMed the 16 MB limit by 32K).
+    # Coarse blocksizes force step=8*bs past that — and tiny K pads up
+    # to 8x its real rows — so both cases take the XLA dequant instead
+    # (amortized over M >= PREFILL_MIN_M rows either way).
+    if step * tn * itemsize > 512 * 256 * 4 or hp > 2 * half:
+        return w.dequantize().T.astype(out_dtype)
     wq = w
     if hp != half:
         pad_rows = hp - half

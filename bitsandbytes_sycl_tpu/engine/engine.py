@@ -151,11 +151,6 @@ class InferenceEngine:
                 raise ValueError("paged mode requires kv_quant=True (int8 pages)")
             if model_cfg.max_seq_len % engine_cfg.page_size:
                 raise ValueError("paged mode needs max_seq_len % page_size == 0")
-            if mesh is not None:
-                raise NotImplementedError(
-                    "paged KV + TP is not wired (pages would need mesh sharding); "
-                    "use the contiguous cache under a mesh"
-                )
             maxp = model_cfg.max_seq_len // engine_cfg.page_size
             n_pages = engine_cfg.num_pages or (B * maxp + 1)
             # page 0 is the reserved trash page: retired slots keep
@@ -300,7 +295,10 @@ class InferenceEngine:
         def paged_insert_fn(pool, cacheK, page_ids, used, valid):
             from .paged import paged_ingest
 
-            return paged_ingest(pool, cacheK, page_ids, used, valid)
+            pool = paged_ingest(pool, cacheK, page_ids, used, valid)
+            if self._cache_sharding is not None:  # keep pages head-sharded
+                pool = jax.lax.with_sharding_constraint(pool, self._cache_sharding)
+            return pool
 
         self._paged_decode = paged_decode_fn
         self._paged_insert = paged_insert_fn

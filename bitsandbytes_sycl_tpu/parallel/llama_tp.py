@@ -190,6 +190,16 @@ def llama_forward_tp(
     )
     pspecs = llama_param_specs(params, cfg, axis)
     cspecs = kv_cache_specs(cfg, axis) if cache is not None else None
+    if cache is not None and "page_table" in cache:
+        # paged pool (engine paged mode): pool leaves carry the kv-head
+        # dim at axis 2 exactly like the contiguous cache, so they reuse
+        # the same specs; the host-resolved indirection (table + write
+        # page/offset) is replicated — every device writes its own head
+        # shard of the same page
+        cspecs = dict(cspecs)
+        cspecs["page_table"] = P()
+        cspecs["write_page"] = P()
+        cspecs["write_off"] = P()
 
     def body(params_l, tokens, cache_l, positions):
         params_l = _localize(params_l, tp)

@@ -224,12 +224,17 @@ def model_decode():
 def model7b_decode(quant="nf4"):
     """Full-size Llama-7B decode (NOT in the default list: ~4 GB of weight
     init + several minutes of compile). Measured round 1: NF4 207 tok/s,
-    int4 300, int8 339 (B=8, S=1024, int8 KV, one v5e)."""
+    int4 300, int8 339 (B=8, S=1024, int8 KV, one v5e). Arg format
+    "<quant>[-a8][@B]", e.g. "nf4-a8@64" for the large-batch serving
+    point (B=64 decode rows ride the round-3 W4A8 routing boundary)."""
     from bitsandbytes_sycl_tpu.models.llama import (
         LlamaConfig, init_kv_cache, init_params, llama_forward,
     )
 
     B, S = 8, 1024
+    if "@" in quant:
+        quant, b_str = quant.split("@", 1)
+        B = int(b_str)
     a8 = quant.endswith("-a8")
     quant = quant[:-3] if a8 else quant
     cfg = LlamaConfig(max_seq_len=S, quant=quant, kv_quant=True, dtype=jnp.bfloat16,
@@ -261,7 +266,7 @@ def model7b_decode(quant="nf4"):
 
     t = (run(20) - run(5)) / 15
     suffix = "_a8" if a8 else ""
-    _emit(f"llama7b_{quant}{suffix}_int8kv_decode_b8", B / t, "tok/s", 200.0)
+    _emit(f"llama7b_{quant}{suffix}_int8kv_decode_b{B}", B / t, "tok/s", 200.0)
 
 
 def model7b_prefill(quant="nf4"):

@@ -12,8 +12,9 @@ live tokens need 2.2 GB of pages.
 The reference has no serving/attention code (SURVEY.md §5); the paging
 scheme follows vLLM (arxiv 2309.06180) re-designed for TPU: page size is
 a lane-aligned 128/256, tables are scalar-prefetched into the Mosaic
-index_map (zero-cost indirection), and all writes are
-dynamic_update_slice chains (no scatter HLO).
+index_map (free only with head-folded page blocks — see
+ops/paged_attention.py for the measured design history), and all writes
+are dynamic_update_slice chains (no scatter HLO).
 """
 
 from __future__ import annotations

@@ -91,6 +91,9 @@ class LlamaConfig:
     # expert FLOPs at prefill sizes at the cost of dropping tokens that
     # overflow an expert's capacity (cf * N * k / E slots per expert).
     # 0 disables (dense combine everywhere — the lossless default).
+    # Measured (docs/PERFORMANCE.md): with 4-bit weights dispatch LOSES
+    # below ~8k tokens (expert matmuls are weight-decode-bound; dense
+    # decodes the same bytes) — only enable for huge batches or EP.
     moe_dispatch_min_tokens: int = 0
     moe_capacity_factor: float = 2.0
 

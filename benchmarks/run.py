@@ -335,6 +335,77 @@ def model7b_prefill(quant="nf4"):
             m4._tm_candidates, m4.PREFILL_MIN_M, m4.PREFILL_MIN_M_UNALIGNED = saved
 
 
+def model7b_paged_decode(arg="64"):
+    """Large-batch 7B serving point that ONLY paged KV makes possible:
+    B concurrent sequences averaging ~512 live tokens decode through the
+    page-table flash kernel (ops/paged_attention.py). The slot-contiguous
+    int8 cache at B=64 x max_seq 1024 would pin 17 GB (64 slots x 1024 x
+    ~262 KB/token over 32 layers) — it cannot coexist with the 3.6 GB of
+    NF4 weights on a 16 GB chip; pages sized to tokens IN FLIGHT fit in
+    ~11 GB. Mirrors the engine's decode math exactly (same cache pytree
+    contract as models/llama._paged_write_and_attend); page indirection
+    is computed in-graph from positions (pages pre-allocated for the
+    measured horizon). Arg: "<B>" (default 64)."""
+    from bitsandbytes_sycl_tpu.engine.paged import init_page_pool
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_params, llama_forward,
+    )
+
+    B = int(arg)
+    S, P = 1024, 128
+    cfg = LlamaConfig(max_seq_len=S, quant="nf4", kv_quant=True,
+                      dtype=jnp.bfloat16, a8_decode=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    np.asarray(params["final_norm"])
+
+    # mixed live lengths averaging ~512; horizon = start + 25 steps
+    rng = np.random.default_rng(0)
+    start = rng.integers(384, 640, size=(B,)).astype(np.int32)
+    maxp = int(np.ceil((int(start.max()) + 25) / P))
+    n_pages = B * maxp + 1  # + reserved trash page
+    pool = init_page_pool(cfg, n_pages, P)
+    table = jnp.asarray(
+        np.arange(1, B * maxp + 1, dtype=np.int32).reshape(B, maxp))
+    pos0 = jnp.asarray(start)[:, None]
+    toks = jnp.ones((B, 1), jnp.int32)
+    cache = dict(pool, page_table=table,
+                 write_page=jnp.zeros((B,), jnp.int32),
+                 write_off=jnp.zeros((B,), jnp.int32))
+
+    # the ~11 GB pool must be DONATED (a copied carry would double-buffer
+    # past the 16 GB chip); each call returns it for re-threading
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode_n(params, cache, toks, pos, arr):
+        def step(carry, _):
+            cache, toks, pos = carry
+            p = pos[:, 0]
+            cache["write_page"] = jnp.take_along_axis(
+                cache["page_table"], (p // P)[:, None], axis=1)[:, 0]
+            cache["write_off"] = p % P
+            logits, cache = llama_forward(params, cfg, toks, cache, pos)
+            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            return (cache, nxt.reshape(B, 1), pos + 1), ()
+
+        (cache, toks, pos), _ = jax.lax.scan(step, (cache, toks, pos), arr)
+        return toks, cache
+
+    def run(n):
+        nonlocal cache
+        arr = jnp.zeros((n,))
+        out, cache = decode_n(params, cache, toks, pos0, arr)
+        np.asarray(out)  # scalar-ish (B,1) — never ship the pool
+        ts = []
+        for _ in range(3):
+            t0 = timeit.default_timer()
+            out, cache = decode_n(params, cache, toks, pos0, arr)
+            np.asarray(out)
+            ts.append(timeit.default_timer() - t0)
+        return min(ts)
+
+    t = (run(20) - run(5)) / 15
+    _emit(f"llama7b_nf4_a8_PAGED_decode_b{B}_avg512", B / t, "tok/s", 200.0)
+
+
 ALL = {
     "nf4_matmul": nf4_matmul,
     "int8_matmul": int8_matmul,
@@ -344,7 +415,11 @@ ALL = {
     "model_decode": model_decode,
 }
 
-EXTRA = {"model7b_decode": model7b_decode, "model7b_prefill": model7b_prefill}  # opt-in: heavy
+EXTRA = {  # opt-in: heavy (GBs of weight init + minutes of compile)
+    "model7b_decode": model7b_decode,
+    "model7b_prefill": model7b_prefill,
+    "model7b_paged_decode": model7b_paged_decode,
+}
 
 
 

@@ -15,6 +15,7 @@ import dataclasses
 import json
 import sys
 import timeit
+from functools import partial
 
 import jax
 
@@ -335,24 +336,26 @@ def model7b_prefill(quant="nf4"):
             m4._tm_candidates, m4.PREFILL_MIN_M, m4.PREFILL_MIN_M_UNALIGNED = saved
 
 
-def model7b_paged_decode(arg="64"):
+def model7b_paged_decode(arg="48"):
     """Large-batch 7B serving point that ONLY paged KV makes possible:
     B concurrent sequences averaging ~512 live tokens decode through the
-    page-table flash kernel (ops/paged_attention.py). The slot-contiguous
-    int8 cache at B=64 x max_seq 1024 would pin 17 GB (64 slots x 1024 x
-    ~262 KB/token over 32 layers) — it cannot coexist with the 3.6 GB of
-    NF4 weights on a 16 GB chip; pages sized to tokens IN FLIGHT fit in
-    ~11 GB. Mirrors the engine's decode math exactly (same cache pytree
-    contract as models/llama._paged_write_and_attend); page indirection
-    is computed in-graph from positions (pages pre-allocated for the
-    measured horizon). Arg: "<B>" (default 64)."""
+    page-table flash kernel (ops/paged_attention.py) at max_seq_len 4096.
+    One page id spans all 32 layers (33.6 MB / 128 tokens ≈ 262 KB/token):
+    a slot-contiguous int8 cache would pin B x 4096 x 262 KB = 69 GB at
+    B=64 — on this 16 GB chip next to ~4 GB of NF4 weights it fits only
+    ~11 slots, while pages sized to tokens IN FLIGHT serve 48+ sequences
+    in ~10 GB (B=64 pools OOM'd by ~0.9 GB; 48 is the measured fit).
+    Mirrors the engine's decode math exactly (same cache pytree contract
+    as models/llama._paged_write_and_attend); page indirection is
+    computed in-graph from positions (pages pre-allocated for the
+    measured horizon). Arg: "<B>" (default 48)."""
     from bitsandbytes_sycl_tpu.engine.paged import init_page_pool
     from bitsandbytes_sycl_tpu.models.llama import (
         LlamaConfig, init_params, llama_forward,
     )
 
     B = int(arg)
-    S, P = 1024, 128
+    S, P = 4096, 128
     cfg = LlamaConfig(max_seq_len=S, quant="nf4", kv_quant=True,
                       dtype=jnp.bfloat16, a8_decode=True)
     params = init_params(cfg, jax.random.PRNGKey(0))

@@ -402,7 +402,11 @@ def _paged_cache_write(
     """Paged sibling of _cache_write: write `upd` (B, ...) into the page
     POOL `arr` (L, NP, ...) — row b lands in page `pages[b]` at token
     offset `offs[b]` along `pos_axis` (axis index within the per-(L, page)
-    subarray). Same DUS-chain/fori-loop structure (no scatter HLO)."""
+    subarray). ALWAYS unrolled (no fori_loop at large B, unlike
+    _cache_write): a while-loop carrying the multi-GB pool inside the
+    engine's donated decode step broke XLA's buffer aliasing — the
+    compiler copied the FULL pool every step (23.2 GB peak at B=48,
+    OOM). Unrolled DUS chains provably stay in place."""
     B = upd.shape[0]
 
     def _write_one(b, arr):
@@ -412,8 +416,6 @@ def _paged_cache_write(
         idx[2 + pos_axis] = jax.lax.dynamic_index_in_dim(offs, b, keepdims=False)
         return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), tuple(idx))
 
-    if B > 16:
-        return jax.lax.fori_loop(0, B, _write_one, arr)
     for b in range(B):
         arr = _write_one(b, arr)
     return arr
@@ -428,7 +430,18 @@ def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
     kq, ks = _kv_quantize(k)
     vq, vs = _kv_quantize(v)
     pages, offs = new_cache["write_page"], new_cache["write_off"]
-    # pool K pages are (L, NP, H, D, P): token offset on axis 2
+    from ..ops.paged_attention import paged_decode_attention_int8_stacked
+
+    # pool K pages are (L, NP, H, D, P): token offset on axis 2. The DUS
+    # chain is always UNROLLED for the paged pool: its B>16 fori_loop
+    # form broke XLA's scan-carry aliasing and the compiler inserted
+    # FULL-POOL copies per decode step (9.7 GB pool -> 23.2 GB peak,
+    # OOM at B=48 on the 16 GB chip). A Pallas in-place write kernel is
+    # structurally impossible here: one token is a single lane column
+    # of the transposed K page (a (..., D, 1) block violates Mosaic's
+    # (8, 128) min tile), so unrolled DUS — which XLA provably keeps
+    # in place — is the correct form; HLO size grows with B but the
+    # per-step write volume (~B x H x D x 4 bytes) is trivial.
     new_cache["k"] = _paged_cache_write(
         new_cache["k"], li, kq.transpose(0, 2, 3, 1), pages, offs, pos_axis=2)
     new_cache["v"] = _paged_cache_write(
@@ -438,11 +451,10 @@ def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
     new_cache["v_scale"] = _paged_cache_write(
         new_cache["v_scale"], li, vs.transpose(0, 2, 1), pages, offs, pos_axis=1)
     lengths = positions[:, 0] + 1
-    from ..ops.paged_attention import paged_decode_attention_int8
 
-    attn = paged_decode_attention_int8(
-        q, new_cache["k"][li], new_cache["k_scale"][li],
-        new_cache["v"][li], new_cache["v_scale"][li],
+    attn = paged_decode_attention_int8_stacked(
+        q, new_cache["k"], new_cache["k_scale"],
+        new_cache["v"], new_cache["v_scale"], li,
         new_cache["page_table"], lengths,
     )
     if attn is not None:

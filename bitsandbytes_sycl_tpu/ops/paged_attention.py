@@ -8,9 +8,9 @@ scales with TOKENS IN FLIGHT — the standard production-serving layout
 (vLLM, arxiv 2309.06180). The reference has no attention or serving
 code at all (SURVEY.md §5).
 
-Kernel design (follows ops/attention.py's measured layout rules):
-- pages keep the flash layout per page: K transposed (NP, Hkv, D, P),
-  V (NP, Hkv, P, D), lane-major scales (NP, Hkv, 1, P);
+Attend kernel design (follows ops/attention.py's measured layout rules):
+- pages keep the flash layout per page: K transposed (L, NP, Hkv, D, P),
+  V (L, NP, Hkv, P, D), lane-major scales (L, NP, Hkv, P);
 - grid (B, max_pages) with the page table SCALAR-PREFETCHED: the
   BlockSpec index_map reads pt[b, j], so the Mosaic pipeline DMAs the
   mapped page per step. Each block covers ALL kv heads of the page —
@@ -25,6 +25,11 @@ Kernel design (follows ops/attention.py's measured layout rules):
   faster than the contiguous kernel (page slabs are contiguous in HBM;
   the contiguous cache's (1,1,D,S) blocks stride across (B,H,D,S)) and
   locality-insensitive.
+- the LAYER index rides as a scalar-prefetch operand over the stacked
+  (L, ...) pool, so per-layer calls share ONE compiled kernel and XLA
+  never materializes a per-layer pool slice (a sliced (NP,Hkv,D,P)
+  operand copies ~100s of MB per layer per step — measured as the
+  dominant decode-bandwidth leak before this design).
 - online softmax accumulates (m, l, acc) in VMEM scratch across a
   sequence's pages; scores for all heads are built in a (Hkv*R, P)
   scratch tile so masking/exp/max run on well-shaped (32+, 128) VPU
@@ -35,6 +40,16 @@ Kernel design (follows ops/attention.py's measured layout rules):
   compute is also skipped (@pl.when), which is exact because a fully
   masked page leaves (m, l, acc) unchanged.
 - GQA: q grouped (B, Hkv, rep, D) per kv head, kv pages touched once.
+
+Decode WRITES stay dynamic_update_slice chains in models/llama
+(_paged_cache_write), always unrolled: their B>16 fori_loop form broke
+XLA's while-carry aliasing and inserted FULL-POOL copies per decode
+step (measured: a 9.7 GB pool compiled to 23.2 GB at B=48 and OOM'd).
+A Pallas in-place write kernel is NOT possible for this layout: one
+token is a single lane column of the transposed K page, and a
+(..., D, 1) output block violates Mosaic's (8, 128)/equal-dim min-tile
+rule — while a full-page read-modify-write block would cost ~2 MB of
+DMA per row per layer (orders more than the ~32 KB the DUS writes).
 """
 
 from __future__ import annotations
@@ -50,10 +65,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import interpret_mode
 
-__all__ = ["paged_decode_attention_int8"]
+__all__ = [
+    "paged_decode_attention_int8",
+    "paged_decode_attention_int8_stacked",
+]
 
 
 def _paged_attn_kernel(
+    li_ref,  # scalar prefetch: (1,) int32 layer index
     pt_ref,  # scalar prefetch: (B, MAXP) int32 page table
     len_ref,  # scalar prefetch: (B,) int32 valid lengths
     q_ref, k_ref, ks_ref, v_ref, vs_ref,
@@ -79,12 +98,12 @@ def _paged_attn_kernel(
         # once on the stacked tile (full-sublane VPU shapes)
         for h in range(H):
             q = q_ref[0, h].astype(jnp.float32)  # (R, D)
-            k = k_ref[0, h].astype(jnp.float32)  # (D, P)
+            k = k_ref[0, 0, h].astype(jnp.float32)  # (D, P)
             sc_ref[h * R:(h + 1) * R, :] = jax.lax.dot_general(
                 q, k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        ks = ks_ref[0, :, 0, :].astype(jnp.float32)  # (H, P)
+        ks = ks_ref[0, 0].astype(jnp.float32)  # (H, P)
         ksr = jnp.broadcast_to(ks[:, None, :], (H, R, P)).reshape(H * R, P)
         sc = sc_ref[:] * (ksr * scale)
 
@@ -99,11 +118,11 @@ def _paged_attn_kernel(
         alpha = jnp.exp(m_prev - m_new)
         w = jnp.exp(sc - m_new)  # (H*R, P)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(w, axis=1, keepdims=True)
-        vs = vs_ref[0, :, 0, :].astype(jnp.float32)  # (H, P)
+        vs = vs_ref[0, 0].astype(jnp.float32)  # (H, P)
         vsr = jnp.broadcast_to(vs[:, None, :], (H, R, P)).reshape(H * R, P)
         wv = w * (vsr * jnp.float32(1.0 / 127.0))
         for h in range(H):
-            v = v_ref[0, h].astype(jnp.float32)  # (P, D)
+            v = v_ref[0, 0, h].astype(jnp.float32)  # (P, D)
             pv_ref[h * R:(h + 1) * R, :] = jax.lax.dot_general(
                 wv[h * R:(h + 1) * R, :], v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -119,30 +138,35 @@ def _paged_attn_kernel(
 
 
 @jax.jit
-def _paged_attn_call(q4, kp, ksp, vp, vsp, page_table, lengths):
+def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths):
     B, Hkv, rep, D = q4.shape
-    P = vp.shape[2]
+    P = vp.shape[3]
     max_pages = page_table.shape[1]
 
-    def page_map(b, j, pt, lens):
+    def page_map(b, j, li, pt, lens):
         # clamp to the last USED page: trailing steps revisit the same
         # block (no DMA) instead of fetching garbage pages
         used = jnp.maximum((lens[b] + P - 1) // P, 1)
-        return (pt[b, jnp.minimum(j, used - 1)], 0, 0, 0)
+        return (li[0], pt[b, jnp.minimum(j, used - 1)], 0, 0, 0)
+
+    def scale_map(b, j, li, pt, lens):
+        used = jnp.maximum((lens[b] + P - 1) // P, 1)
+        return (li[0], pt[b, jnp.minimum(j, used - 1)], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, max_pages),
         in_specs=[
-            pl.BlockSpec((1, Hkv, rep, D), lambda b, j, pt, lens: (b, 0, 0, 0),
+            pl.BlockSpec((1, Hkv, rep, D),
+                         lambda b, j, li, pt, lens: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, D, P), page_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, 1, P), page_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, P, D), page_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, 1, P), page_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv, D, P), page_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv, P), scale_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv, P, D), page_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv, P), scale_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, Hkv, rep, D), lambda b, j, pt, lens: (b, 0, 0, 0),
+            (1, Hkv, rep, D), lambda b, j, li, pt, lens: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -167,9 +191,35 @@ def _paged_attn_call(q4, kp, ksp, vp, vsp, page_table, lengths):
             transcendentals=B * Hkv * rep * max_pages * P,
         ),
         interpret=interpret_mode(),
-    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
-      q4, kp, ksp, vp, vsp)
+    )(li.astype(jnp.int32), page_table.astype(jnp.int32),
+      lengths.astype(jnp.int32), q4, kp, ksp, vp, vsp)
     return out
+
+
+def paged_decode_attention_int8_stacked(
+    q: jax.Array,  # (B, 1, Hq, D) float
+    kp: jax.Array,  # (L, NP, Hkv, D, P) int8 — K pages, transposed
+    ks: jax.Array,  # (L, NP, Hkv, P) f32 per-token absmax
+    vp: jax.Array,  # (L, NP, Hkv, P, D) int8 — V pages
+    vs: jax.Array,  # (L, NP, Hkv, P) f32
+    li,  # int or (1,) int32 — layer to attend over
+    page_table: jax.Array,  # (B, MAXP) int32 page ids (garbage past used)
+    lengths: jax.Array,  # (B,) int32 tokens in flight per sequence
+) -> Optional[jax.Array]:
+    """Single-step attention over layer `li` of a layer-STACKED paged
+    int8 KV pool. The layer index is a scalar-prefetch operand: all
+    layers share one compiled kernel and the pool is never sliced (an
+    XLA slice would materialize the layer's pages every call). Returns
+    (B, 1, Hq, D) in q.dtype, or None if untileable (caller falls back
+    to gathering pages and using the XLA path)."""
+    B, T, Hq, D = q.shape
+    Hkv, P = vp.shape[2], vp.shape[3]
+    if T != 1 or D % 128 != 0 or Hq % Hkv != 0 or P % 128 != 0:
+        return None
+    q4 = q.reshape(B, Hkv, Hq // Hkv, D)
+    li = jnp.asarray(li, jnp.int32).reshape(1)
+    out = _paged_attn_call(q4, kp, ks, vp, vs, li, page_table, lengths)
+    return out.reshape(B, 1, Hq, D)
 
 
 def paged_decode_attention_int8(
@@ -181,16 +231,8 @@ def paged_decode_attention_int8(
     page_table: jax.Array,  # (B, MAXP) int32 page ids (garbage past used)
     lengths: jax.Array,  # (B,) int32 tokens in flight per sequence
 ) -> Optional[jax.Array]:
-    """Single-step attention over PAGED int8 KV storage. Returns
-    (B, 1, Hq, D) in q.dtype, or None if untileable (caller falls back
-    to gathering pages and using the XLA path)."""
-    B, T, Hq, D = q.shape
-    NP, Hkv, P = vp.shape[0], vp.shape[1], vp.shape[2]
-    if T != 1 or D % 128 != 0 or Hq % Hkv != 0 or P % 128 != 0:
-        return None
-    q4 = q.reshape(B, Hkv, Hq // Hkv, D)
-    out = _paged_attn_call(
-        q4, kp, ks.reshape(NP, Hkv, 1, P), vp, vs.reshape(NP, Hkv, 1, P),
-        page_table, lengths,
+    """Single-layer-pool convenience wrapper over the stacked kernel
+    (expand_dims is a metadata-only reshape — no copy)."""
+    return paged_decode_attention_int8_stacked(
+        q, kp[None], ks[None], vp[None], vs[None], 0, page_table, lengths,
     )
-    return out.reshape(B, 1, Hq, D)

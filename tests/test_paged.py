@@ -353,3 +353,32 @@ def test_engine_paged_rejects_bad_configs():
     mcfg = L.LlamaConfig.tiny(max_seq_len=200)
     with pytest.raises(ValueError, match="page_size"):
         InferenceEngine(mcfg, params, EngineConfig(paged=True))
+
+
+def test_paged_attend_stacked_layer_select():
+    """The stacked attend kernel must read layer `li` of the pool (the
+    scalar-prefetched layer index picks the block, never a slice)."""
+    from bitsandbytes_sycl_tpu.ops.paged_attention import (
+        paged_decode_attention_int8, paged_decode_attention_int8_stacked,
+    )
+
+    rng = np.random.default_rng(5)
+    L_, B, S, H, D, P = 3, 2, 256, 2, 128, 128
+    NP, maxp = B * (S // P) + 1, S // P
+    kp = jnp.asarray(rng.integers(-127, 128, (L_, NP, H, D, P)).astype(np.int8))
+    vp = jnp.asarray(rng.integers(-127, 128, (L_, NP, H, P, D)).astype(np.int8))
+    ksp = jnp.asarray(rng.uniform(0.5, 2.0, (L_, NP, H, P)).astype(np.float32))
+    vsp = jnp.asarray(rng.uniform(0.5, 2.0, (L_, NP, H, P)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+    table = jnp.asarray(rng.permutation(np.arange(1, NP))[: B * maxp]
+                        .reshape(B, maxp).astype(np.int32))
+    lengths = jnp.asarray([S, S - 77], jnp.int32)
+
+    for li in range(L_):
+        want = paged_decode_attention_int8(
+            q, kp[li], ksp[li], vp[li], vsp[li], table, lengths)
+        got = paged_decode_attention_int8_stacked(
+            q, kp, ksp, vp, vsp, li, table, lengths)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=1e-5, atol=1e-5)

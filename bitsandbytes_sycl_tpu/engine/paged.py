@@ -13,8 +13,9 @@ The reference has no serving/attention code (SURVEY.md §5); the paging
 scheme follows vLLM (arxiv 2309.06180) re-designed for TPU: page size is
 a lane-aligned 128/256, tables are scalar-prefetched into the Mosaic
 index_map (free only with head-folded page blocks — see
-ops/paged_attention.py for the measured design history), and all writes
-are dynamic_update_slice chains (no scatter HLO).
+ops/paged_attention.py for the measured design history), decode writes
+ride an in-place Pallas kernel over token-major pages, and the one-shot
+prefill ingest uses dynamic_update_slice chains (no scatter HLO).
 """
 
 from __future__ import annotations
@@ -92,7 +93,9 @@ class PageAllocator:
 def init_page_pool(cfg, num_pages: int, page_size: int) -> Dict:
     """Device-side page pool pytree (engine paged mode). Layout per leaf
     (L = layers, NP = pages, H = kv heads, P = page size):
-      k: (L, NP, H, D, P) int8  (K transposed within the page)
+      k: (L, NP, H, P, D) int8  (TOKEN-MAJOR, same as V — the layout
+         that makes single-token decode writes a legal in-place Pallas
+         block; the attend dot contracts D on both operands)
       v: (L, NP, H, P, D) int8
       k_scale/v_scale: (L, NP, H, P) f32
     A page id addresses the same slot in every layer — one table serves
@@ -101,7 +104,7 @@ def init_page_pool(cfg, num_pages: int, page_size: int) -> Dict:
         raise ValueError("page_size must be lane-aligned (multiple of 128)")
     L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.hd
     return {
-        "k": jnp.zeros((L, num_pages, H, D, page_size), jnp.int8),
+        "k": jnp.zeros((L, num_pages, H, page_size, D), jnp.int8),
         "v": jnp.zeros((L, num_pages, H, page_size, D), jnp.int8),
         "k_scale": jnp.zeros((L, num_pages, H, page_size), jnp.float32),
         "v_scale": jnp.zeros((L, num_pages, H, page_size), jnp.float32),
@@ -134,8 +137,9 @@ def paged_ingest(pool: Dict, cacheK: Dict, page_ids: jax.Array,
             return jax.lax.dynamic_update_slice(
                 big, jnp.where(ok, small_page.astype(big.dtype), cur), start)
 
-        kp = jax.lax.dynamic_slice_in_dim(  # (L,1,H,D,P)
-            jax.lax.dynamic_slice_in_dim(cacheK["k"], k, 1, axis=1), s0, P, axis=4)
+        kp = jax.lax.dynamic_slice_in_dim(  # (L,1,H,D,P) -> token-major
+            jax.lax.dynamic_slice_in_dim(cacheK["k"], k, 1, axis=1), s0, P, axis=4
+        ).transpose(0, 1, 2, 4, 3)
         vp = jax.lax.dynamic_slice_in_dim(
             jax.lax.dynamic_slice_in_dim(cacheK["v"], k, 1, axis=1), s0, P, axis=3)
         ksp = jax.lax.dynamic_slice_in_dim(
@@ -187,7 +191,8 @@ class PagedKVPool(PageAllocator):
         for b in range(len(slots)):
             p, o = int(pids[b]), int(offs[b])
             self.k = jax.lax.dynamic_update_slice(
-                self.k, kq[b][None, None].astype(jnp.int8), (li, p, 0, 0, o))
+                self.k, kq[b].transpose(0, 2, 1)[None, None].astype(jnp.int8),
+                (li, p, 0, o, 0))
             self.v = jax.lax.dynamic_update_slice(
                 self.v, vq[b][None, None].astype(jnp.int8), (li, p, 0, o, 0))
             self.k_scale = jax.lax.dynamic_update_slice(
@@ -208,7 +213,8 @@ class PagedKVPool(PageAllocator):
         for j, pid in enumerate(pages):
             s0 = j * P
             kpage = jax.lax.dynamic_slice_in_dim(
-                cache["k"][:, batch_index], s0, P, axis=3)  # (L, H, D, P)
+                cache["k"][:, batch_index], s0, P, axis=3
+            ).transpose(0, 1, 3, 2)  # (L, H, P, D) token-major
             vpage = jax.lax.dynamic_slice_in_dim(
                 cache["v"][:, batch_index], s0, P, axis=2)  # (L, H, P, D)
             kspage = jax.lax.dynamic_slice_in_dim(

@@ -179,6 +179,10 @@ def gptj_forward(
         mask = jnp.broadcast_to(jnp.tril(jnp.ones((T, T), bool))[None], (B, T, T))
 
     new_cache = dict(cache) if use_cache else None
+    if use_cache and "page_table" in new_cache and T == 1:
+        from .llama import init_paged_pend
+
+        new_cache = init_paged_pend(new_cache, cfg)
     for li, layer in enumerate(params["layers"]):
         h = _ln(x, layer["ln_w"], layer["ln_b"], cfg.ln_eps)
         # GPT-NeoX: the parallel MLP branch reads its OWN LayerNorm of
@@ -234,6 +238,10 @@ def gptj_forward(
 
         x = x + attn_out + ff
 
+    if use_cache and "pend_k" in new_cache:
+        from .llama import flush_paged_writes
+
+        new_cache = flush_paged_writes(new_cache)
     x = _ln(x, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
     logits = apply_linear(x, params["lm_head"], cfg).astype(jnp.float32)
     logits = logits + params["lm_head_b"].astype(jnp.float32)

@@ -78,6 +78,22 @@ class LlamaConfig:
     norm_offset: bool = False
     # multiply token embeddings by sqrt(hidden_size) (Gemma)
     scale_embeddings: bool = False
+    # Gemma-2 hooks (all default-off; see models/gemma.Gemma2Config):
+    # attention logit softcapping cap*tanh(logit/cap), applied in the
+    # flash kernels pre-mask and in the XLA paths identically
+    attn_logit_softcap: Optional[float] = None
+    # final lm_head logit softcapping
+    final_logit_softcap: Optional[float] = None
+    # softmax scale = query_scale**-0.5 instead of head_dim**-0.5
+    # (HF query_pre_attn_scalar)
+    query_scale: Optional[float] = None
+    # sandwich norms: extra RMSNorm on the attention and MLP OUTPUTS
+    # before their residual adds (params carry attn_out_norm /
+    # ffn_out_norm per layer)
+    sandwich_norms: bool = False
+    # alternate sliding/global attention: layers with even index use
+    # sliding_window, odd layers are full causal (HF Gemma-2 pattern)
+    sliding_alternating: bool = False
     # mixture-of-experts FFN (Mixtral): num_experts > 1 replaces the
     # dense MLP with a top-k routed MoE — params carry per-layer
     # `router` (E, h) and `experts` (stacked quantized gate/up/down,
@@ -277,6 +293,9 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict:
             ])
         layer["input_norm"] = jnp.ones((cfg.hidden_size,), jnp.float32)
         layer["post_attn_norm"] = jnp.ones((cfg.hidden_size,), jnp.float32)
+        if getattr(cfg, "sandwich_norms", False):  # Gemma-2 output norms
+            layer["attn_out_norm"] = jnp.ones((cfg.hidden_size,), jnp.float32)
+            layer["ffn_out_norm"] = jnp.ones((cfg.hidden_size,), jnp.float32)
         if cfg.attn_bias:  # Qwen2-style additive qkv biases
             bk = jax.random.split(lk[7], 3)
             layer["q_bias"] = jax.random.normal(bk[0], (shapes["q_proj"][0],), jnp.float32) * 0.02
@@ -372,13 +391,19 @@ def _cache_write(arr: jax.Array, li: int, upd: jax.Array, starts: jax.Array, pos
     within the per-(L,B) subarray). Positions MUST be contiguous per batch
     (true for both prefill [0..T) and decode [p, p+1)).
 
-    Implemented as B dynamic_update_slice ops: XLA keeps them in-place
-    under jit. The advanced-indexing scatter this replaces lowers to a
-    Scatter HLO — catastrophic on TPU for the transposed K cache whose
-    scattered runs are 1 element long. Small B unrolls (XLA fuses the
-    chain); large B rolls the same DUS into ONE fori_loop body so HLO
-    size and compile time stay O(1) in batch (a B=64 engine would
-    otherwise emit B x L x 4 update ops per step).
+    Implemented as B UNROLLED dynamic_update_slice ops: XLA keeps them
+    in-place under jit. The advanced-indexing scatter this replaces
+    lowers to a Scatter HLO — catastrophic on TPU for the transposed K
+    cache whose scattered runs are 1 element long. The B>16 fori_loop
+    form (round 3's first large-batch design) is gone: a while loop
+    carrying the multi-GB cache inside the engine's donated decode step
+    broke XLA's buffer aliasing and the compiler inserted FULL-CACHE
+    copies per step (measured on the paged pool: 9.7 GB -> 23.2 GB
+    peak, OOM at B=48). HLO size grows with B, but the per-step write
+    volume is trivial and unrolled DUS provably stays in place; the
+    one-shot prefill inserts (engine insert_fn / paged_ingest) keep
+    their fori_loops — a possible one-time copy per ADMISSION is
+    bounded, unlike one per decode step.
     """
     B = upd.shape[0]
 
@@ -388,8 +413,6 @@ def _cache_write(arr: jax.Array, li: int, upd: jax.Array, starts: jax.Array, pos
         idx[2 + pos_axis] = jax.lax.dynamic_index_in_dim(starts, b, keepdims=False)
         return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), tuple(idx))
 
-    if B > 16:
-        return jax.lax.fori_loop(0, B, _write_one, arr)
     for b in range(B):
         arr = _write_one(b, arr)
     return arr
@@ -422,67 +445,121 @@ def _paged_cache_write(
 
 
 def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
-    """Decode-step write+attend over PAGED int8 KV storage (vLLM-style;
+    """Decode-step attend over PAGED int8 KV storage (vLLM-style;
     ops/paged_attention.py). The cache pytree carries, beside the pool
     leaves (L, NP, ...), the step's host-resolved indirection:
-    `page_table` (B, MAXP), `write_page` (B,), `write_off` (B,). Logical
-    length per row is positions+1, same contract as the contiguous path."""
+    `page_table` (B, MAXP), `write_page` (B,), `write_off` (B,).
+
+    DEFERRED-WRITE design (see ops/paged_attention.py docstring): this
+    layer's quantized k/v are STAGED into small (L, B, ...) pend buffers
+    (static-index DUS, in-place); the attend kernel reads the pool one
+    step stale with the current token folded in from registers (exact
+    online-softmax extension). flush_paged_writes lands all layers'
+    tokens after the layer loop in 4xB DUS ops — per-layer DUS chains
+    measured 36 ms/step at B=48."""
     kq, ks = _kv_quantize(k)
     vq, vs = _kv_quantize(v)
     pages, offs = new_cache["write_page"], new_cache["write_off"]
     from ..ops.paged_attention import paged_decode_attention_int8_stacked
 
-    # pool K pages are (L, NP, H, D, P): token offset on axis 2. The DUS
-    # chain is always UNROLLED for the paged pool: its B>16 fori_loop
-    # form broke XLA's scan-carry aliasing and the compiler inserted
-    # FULL-POOL copies per decode step (9.7 GB pool -> 23.2 GB peak,
-    # OOM at B=48 on the 16 GB chip). A Pallas in-place write kernel is
-    # structurally impossible here: one token is a single lane column
-    # of the transposed K page (a (..., D, 1) block violates Mosaic's
-    # (8, 128) min tile), so unrolled DUS — which XLA provably keeps
-    # in place — is the correct form; HLO size grows with B but the
-    # per-step write volume (~B x H x D x 4 bytes) is trivial.
-    new_cache["k"] = _paged_cache_write(
-        new_cache["k"], li, kq.transpose(0, 2, 3, 1), pages, offs, pos_axis=2)
-    new_cache["v"] = _paged_cache_write(
-        new_cache["v"], li, vq.transpose(0, 2, 1, 3), pages, offs, pos_axis=1)
-    new_cache["k_scale"] = _paged_cache_write(
-        new_cache["k_scale"], li, ks.transpose(0, 2, 1), pages, offs, pos_axis=1)
-    new_cache["v_scale"] = _paged_cache_write(
-        new_cache["v_scale"], li, vs.transpose(0, 2, 1), pages, offs, pos_axis=1)
-    lengths = positions[:, 0] + 1
+    # stage this layer's token (pend leaves exist in decode steps; the
+    # engine creates them via init_paged_pend in llama_forward)
+    new_cache["pend_k"] = jax.lax.dynamic_update_slice(
+        new_cache["pend_k"], kq[None, :, 0], (li, 0, 0, 0))
+    new_cache["pend_v"] = jax.lax.dynamic_update_slice(
+        new_cache["pend_v"], vq[None, :, 0], (li, 0, 0, 0))
+    new_cache["pend_ks"] = jax.lax.dynamic_update_slice(
+        new_cache["pend_ks"], ks[None, :, 0], (li, 0, 0))
+    new_cache["pend_vs"] = jax.lax.dynamic_update_slice(
+        new_cache["pend_vs"], vs[None, :, 0], (li, 0, 0))
+
+    lengths = positions[:, 0]  # tokens IN THE POOL (current one rides new_kv)
+    new_kv = (kq[:, 0], ks[:, 0], vq[:, 0], vs[:, 0])
 
     attn = paged_decode_attention_int8_stacked(
         q, new_cache["k"], new_cache["k_scale"],
         new_cache["v"], new_cache["v_scale"], li,
-        new_cache["page_table"], lengths,
+        new_cache["page_table"], lengths, new_kv=new_kv,
+        window=getattr(cfg, "sliding_window", None),
+        softcap=getattr(cfg, "attn_logit_softcap", None),
+        sm_scale=_sm_scale(cfg),
     )
     if attn is not None:
         return attn, new_cache
     # untileable shapes (D or page not lane-aligned, e.g. tiny test
-    # configs): gather the mapped pages back into a contiguous view and
-    # take the XLA dequant-attend path
+    # configs): gather the mapped pages back into a contiguous view,
+    # append the in-register token, and take the XLA dequant-attend path
     pt = new_cache["page_table"]  # (B, MAXP)
     B, MAXP = pt.shape
-    kg = jnp.take(new_cache["k"][li], pt, axis=0)  # (B,MAXP,H,D,P)
+    kg = jnp.take(new_cache["k"][li], pt, axis=0)  # (B,MAXP,H,P,D) token-major
     vg = jnp.take(new_cache["v"][li], pt, axis=0)  # (B,MAXP,H,P,D)
     ksg = jnp.take(new_cache["k_scale"][li], pt, axis=0)  # (B,MAXP,H,P)
     vsg = jnp.take(new_cache["v_scale"][li], pt, axis=0)
-    S = MAXP * kg.shape[-1]
+    S = MAXP * kg.shape[3]  # pages are token-major (..., P, D)
     # seq-major (B, S, H, D) contiguous logical views
     k_full = _kv_dequantize(
-        kg.transpose(0, 1, 4, 2, 3).reshape(B, S, *kg.shape[2:4]),
+        kg.transpose(0, 1, 3, 2, 4).reshape(B, S, kg.shape[2], -1),
         ksg.transpose(0, 1, 3, 2).reshape(B, S, -1), cfg.dtype,
     )
     v_full = _kv_dequantize(
         vg.transpose(0, 1, 3, 2, 4).reshape(B, S, vg.shape[2], -1),
         vsg.transpose(0, 1, 3, 2).reshape(B, S, -1), cfg.dtype,
     )
-    mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]  # (B,1,S)
+    # the current token as the (S+1)-th column — same quantize/dequant
+    # round-trip the pool would have applied
+    k_full = jnp.concatenate([k_full, _kv_dequantize(kq, ks, cfg.dtype)], axis=1)
+    v_full = jnp.concatenate([v_full, _kv_dequantize(vq, vs, cfg.dtype)], axis=1)
+    mask = jnp.arange(S)[None, None, :] < positions[:, :, None]  # (B,1,S)
     sw = getattr(cfg, "sliding_window", None)
     if sw is not None:
         mask = mask & (positions[:, :, None] - jnp.arange(S)[None, None, :] < sw)
-    return _attention(q, k_full, v_full, mask, cfg.dtype), new_cache
+    mask = jnp.concatenate(
+        [mask, jnp.ones((B, q.shape[1], 1), bool)], axis=2)  # self: always valid
+    return _attention(q, k_full, v_full, mask, cfg.dtype,
+                      sm_scale=_sm_scale(cfg),
+                      softcap=getattr(cfg, "attn_logit_softcap", None)), new_cache
+
+
+def init_paged_pend(new_cache: Dict, cfg) -> Dict:
+    """Add this step's staging buffers to a paged cache dict (decode
+    steps; see _paged_write_and_attend)."""
+    L = cfg.num_layers
+    B = new_cache["write_page"].shape[0]
+    H, D = cfg.num_kv_heads, cfg.hd
+    new_cache["pend_k"] = jnp.zeros((L, B, H, D), jnp.int8)
+    new_cache["pend_v"] = jnp.zeros((L, B, H, D), jnp.int8)
+    new_cache["pend_ks"] = jnp.zeros((L, B, H), jnp.float32)
+    new_cache["pend_vs"] = jnp.zeros((L, B, H), jnp.float32)
+    return new_cache
+
+
+def flush_paged_writes(new_cache: Dict) -> Dict:
+    """Land the step's staged tokens into the page pool: ONE unrolled
+    DUS per batch row per leaf covering ALL layers (pages/offsets are
+    layer-invariant — one table serves the whole model), i.e. 4xB ops
+    instead of 4xBxL. Unrolled DUS provably stays in place; fori_loop
+    and Pallas-aliased forms both made XLA copy the multi-GB pool per
+    step (ops/paged_attention.py docstring)."""
+    pages, offs = new_cache["write_page"], new_cache["write_off"]
+    pk, pv = new_cache.pop("pend_k"), new_cache.pop("pend_v")
+    pks, pvs = new_cache.pop("pend_ks"), new_cache.pop("pend_vs")
+    B = pages.shape[0]
+
+    def upd(arr, rows, b, tok_axis):
+        # rows (L, H, ...) -> (L, 1, H, 1, D) / (L, 1, H, 1)
+        u = jnp.expand_dims(jnp.expand_dims(rows, 1), tok_axis)
+        idx = [0, jax.lax.dynamic_index_in_dim(pages, b, keepdims=False), 0,
+               jax.lax.dynamic_index_in_dim(offs, b, keepdims=False)]
+        if arr.ndim == 5:
+            idx.append(0)
+        return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), tuple(idx))
+
+    for b in range(B):
+        new_cache["k"] = upd(new_cache["k"], pk[:, b], b, 3)
+        new_cache["v"] = upd(new_cache["v"], pv[:, b], b, 3)
+        new_cache["k_scale"] = upd(new_cache["k_scale"], pks[:, b], b, 3)
+        new_cache["v_scale"] = upd(new_cache["v_scale"], pvs[:, b], b, 3)
+    return new_cache
 
 
 def _kv_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -653,8 +730,17 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
 
 
-def _attention(q, k, v, mask, dtype):
-    """q: (B,T,Hq,D); k,v: (B,S,Hkv,D) full cache; GQA via head repeat."""
+def _sm_scale(cfg) -> Optional[float]:
+    """Softmax scale override: Gemma-2 scales scores by
+    query_pre_attn_scalar**-0.5 instead of head_dim**-0.5."""
+    qs = getattr(cfg, "query_scale", None)
+    return None if qs is None else float(qs) ** -0.5
+
+
+def _attention(q, k, v, mask, dtype, sm_scale=None, softcap=None):
+    """q: (B,T,Hq,D); k,v: (B,S,Hkv,D) full cache; GQA via head repeat.
+    sm_scale overrides 1/sqrt(D) (Gemma-2 query_pre_attn_scalar);
+    softcap applies cap*tanh(logit/cap) pre-mask (Gemma-2)."""
     B, T, Hq, D = q.shape
     Hkv = k.shape[2]
     if Hq != Hkv:
@@ -662,7 +748,9 @@ def _attention(q, k, v, mask, dtype):
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
     scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32))
-    scores = scores / np.sqrt(D)
+    scores = scores * (sm_scale if sm_scale is not None else 1.0 / np.sqrt(D))
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
     scores = jnp.where(mask[:, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
@@ -705,14 +793,21 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
             new_cache["v_scale"], li, vs.transpose(0, 2, 1), starts, pos_axis=1
         )
         window = getattr(cfg, "sliding_window", None)
+        softcap = getattr(cfg, "attn_logit_softcap", None)
+        sm_scale = _sm_scale(cfg)
         if T == 1 and _use_fused_decode_attn(cfg):
-            from ..ops.attention import decode_attention_int8
+            from ..ops.attention import decode_attention_int8_stacked
 
-            # decode mask (s <= q_pos) == "cache valid up to pos+1"
-            attn = decode_attention_int8(
-                q, new_cache["k"][li], new_cache["k_scale"][li],
-                new_cache["v"][li], new_cache["v_scale"][li],
+            # decode mask (s <= q_pos) == "cache valid up to pos+1".
+            # The layer-STACKED cache rides whole into the kernel with
+            # li as a scalar-prefetch operand: slicing cache[li] as the
+            # operand made XLA materialize the layer's full panes every
+            # step (~2.2 GB/step over 32 layers at the 7B B=8 shape)
+            attn = decode_attention_int8_stacked(
+                q, new_cache["k"], new_cache["k_scale"],
+                new_cache["v"], new_cache["v_scale"], li,
                 lengths=positions[:, 0] + 1, window=window,
+                softcap=softcap, sm_scale=sm_scale,
             )
         elif T > 1 and _use_fused_decode_attn(cfg):
             from ..ops.attention import prefill_attention_int8
@@ -722,6 +817,7 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
                 q, new_cache["k"][li], new_cache["k_scale"][li],
                 new_cache["v"][li], new_cache["v_scale"][li],
                 starts=starts, window=window,
+                softcap=softcap, sm_scale=sm_scale,
             )
         if attn is not None:
             return attn, new_cache
@@ -744,7 +840,9 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
         )
         k_full = new_cache["k"][li].transpose(0, 2, 1, 3)
         v_full = new_cache["v"][li].transpose(0, 2, 1, 3)
-    return _attention(q, k_full, v_full, mask, cfg.dtype), new_cache
+    return _attention(q, k_full, v_full, mask, cfg.dtype,
+                      sm_scale=_sm_scale(cfg),
+                      softcap=getattr(cfg, "attn_logit_softcap", None)), new_cache
 
 
 def llama_forward(
@@ -797,8 +895,29 @@ def llama_forward(
             mask = mask & ((q_ids - jnp.arange(T)[None, :]) < sw)[None]
         mask = jnp.broadcast_to(mask, (B, T, T))
 
+    # Gemma-2 alternating attention: even layers slide, odd are global.
+    # Window selection is STATIC per layer (a replaced frozen config), so
+    # kernels/masks specialize at trace time; the global-layer mask drops
+    # the window term entirely.
+    alternating = bool(getattr(cfg, "sliding_alternating", False)) and sw is not None
+    if alternating:
+        cfg_global = dataclasses.replace(cfg, sliding_window=None)
+        if use_cache:
+            mask_global = s_ids <= q_pos
+        else:
+            mask_global = jnp.broadcast_to(
+                jnp.tril(jnp.ones((T, T), bool))[None], (B, T, T))
+    sandwich = bool(getattr(cfg, "sandwich_norms", False))
+
     new_cache = dict(cache) if use_cache else None
+    if use_cache and "page_table" in new_cache and T == 1:
+        # paged decode: per-layer tokens stage into pend buffers and land
+        # once after the loop (deferred-write design, flush_paged_writes)
+        new_cache = init_paged_pend(new_cache, cfg)
     for li, layer in enumerate(params["layers"]):
+        lcfg, lmask = cfg, mask
+        if alternating and li % 2 == 1:
+            lcfg, lmask = cfg_global, mask_global
         h = _rms_norm(x, layer["input_norm"], cfg.rms_eps, norm_off)
         q = apply_linear(h, layer["q_proj"], cfg, _lora_for(lora, li, "q_proj"), ids_bt)
         k = apply_linear(h, layer["k_proj"], cfg, _lora_for(lora, li, "k_proj"), ids_bt)
@@ -814,14 +933,18 @@ def llama_forward(
         k = _rope(k, positions, cfg.rope_theta)
 
         if use_cache:
-            attn, new_cache = write_and_attend(new_cache, li, q, k, v, positions, mask, cfg)
+            attn, new_cache = write_and_attend(new_cache, li, q, k, v, positions, lmask, lcfg)
         else:
-            attn = _attention(q, k, v, mask, cfg.dtype)
+            attn = _attention(q, k, v, lmask, cfg.dtype,
+                              sm_scale=_sm_scale(cfg),
+                              softcap=getattr(cfg, "attn_logit_softcap", None))
         attn = attn.astype(cfg.dtype)
         attn = attn.reshape(B, T, cfg.num_heads * cfg.hd)
         o = apply_linear(attn, layer["o_proj"], cfg, _lora_for(lora, li, "o_proj"), ids_bt)
         if psum_axis is not None:  # row-parallel o_proj partial sums
             o = jax.lax.psum(o, psum_axis)
+        if sandwich:  # Gemma-2: norm the attention OUTPUT pre-residual
+            o = _rms_norm(o, layer["attn_out_norm"], cfg.rms_eps, norm_off)
         x = x + o
 
         h = _rms_norm(x, layer["post_attn_norm"], cfg.rms_eps, norm_off)
@@ -836,11 +959,19 @@ def llama_forward(
             )
         if psum_axis is not None:  # row-parallel / expert-parallel partial sums
             d = jax.lax.psum(d, psum_axis)
+        if sandwich:  # Gemma-2: norm the MLP OUTPUT pre-residual
+            d = _rms_norm(d, layer["ffn_out_norm"], cfg.rms_eps, norm_off)
         x = x + d
 
+    if use_cache and "pend_k" in new_cache:
+        new_cache = flush_paged_writes(new_cache)
     x = _rms_norm(x, params["final_norm"], cfg.rms_eps, norm_off)
     if cfg.tie_embeddings or "lm_head" not in params:
         logits = jnp.matmul(x, params["embed"].T.astype(cfg.dtype))
     else:
         logits = apply_linear(x, params["lm_head"], cfg)
-    return logits.astype(jnp.float32), new_cache
+    logits = logits.astype(jnp.float32)
+    fcap = getattr(cfg, "final_logit_softcap", None)
+    if fcap is not None:  # Gemma-2 final logit softcapping
+        logits = fcap * jnp.tanh(logits / fcap)
+    return logits, new_cache

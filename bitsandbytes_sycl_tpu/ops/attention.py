@@ -39,14 +39,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import interpret_mode
 
-__all__ = ["decode_attention_int8", "prefill_attention_int8"]
+__all__ = [
+    "decode_attention_int8",
+    "decode_attention_int8_stacked",
+    "prefill_attention_int8",
+]
 
 
 def _attn_kernel(
     len_ref,  # scalar prefetch: (B,) int32 valid lengths
     q_ref, k_ref, ks_ref, v_ref, vs_ref,
     o_ref,
-    *, S, R, scale, window=None,
+    *, S, R, scale, window=None, softcap=None,
 ):
     b = pl.program_id(0)
 
@@ -64,6 +68,10 @@ def _attn_kernel(
         q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     sc = sc * (ks_ref[:].reshape(1, S) * scale)
+    if softcap is not None:
+        # Gemma-2 attention logit softcapping: cap*tanh(logit/cap) —
+        # applied to REAL logits, so before the -1e30 mask fill
+        sc = softcap * jnp.tanh(sc * jnp.float32(1.0 / softcap))
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
     valid = pos < len_ref[b]
@@ -91,8 +99,9 @@ def _attn_kernel(
     o_ref[:] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("window",))
-def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths, window=None):
+@partial(jax.jit, static_argnames=("window", "softcap", "sm_scale"))
+def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths, window=None,
+                      softcap=None, sm_scale=None):
     # q4 is grouped (B, Hkv, rep, D): q heads [h*rep, (h+1)*rep) share kv
     # head h, so the grid runs per KV head and each kv tile is read once
     B, Hkv, rep, D = q4.shape
@@ -112,9 +121,10 @@ def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths, window=None):
             (1, 1, rep, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
     )
+    sm = sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))
     kernel = functools.partial(
-        _attn_kernel, S=S, R=rep, scale=1.0 / (float(np.sqrt(D)) * 127.0),
-        window=window,
+        _attn_kernel, S=S, R=rep, scale=sm / 127.0,
+        window=window, softcap=softcap,
     )
     return pl.pallas_call(
         kernel,
@@ -137,6 +147,8 @@ def decode_attention_int8(
     vs: jax.Array,  # (B, Hkv, S) f32
     lengths: jax.Array,  # (B,) int32: cache slots [0, len) are valid
     window: Optional[int] = None,  # sliding window (Mistral): attend slots >= len-window
+    softcap: Optional[float] = None,  # Gemma-2 logit softcapping cap*tanh(x/cap)
+    sm_scale: Optional[float] = None,  # softmax scale override (Gemma-2 query_pre_attn_scalar)
 ) -> Optional[jax.Array]:
     """Single-step (T=1) attention over an int8 KV cache, one fused kernel.
 
@@ -157,7 +169,92 @@ def decode_attention_int8(
     q4 = q.reshape(B, Hkv, Hq // Hkv, D)
     out = _decode_attn_call(
         q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), lengths,
-        window=window,
+        window=window, softcap=softcap, sm_scale=sm_scale,
+    )
+    return out.reshape(B, 1, Hq, D)
+
+
+@partial(jax.jit, static_argnames=("window", "softcap", "sm_scale"))
+def _decode_attn_call_stacked(q4, kq, ks5, vq, vs5, li, lengths, window=None,
+                              softcap=None, sm_scale=None):
+    B, Hkv, rep, D = q4.shape
+    S = vq.shape[3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, D), lambda b, h, li, L: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, D, S), lambda b, h, li, L: (li[0], b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, S), lambda b, h, li, L: (li[0], b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, S, D), lambda b, h, li, L: (li[0], b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, S), lambda b, h, li, L: (li[0], b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, rep, D), lambda b, h, li, L: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    def kernel(li_ref, len_ref, *refs, **kw):
+        # same math as _attn_kernel; the layer index only drives block
+        # selection in the index_maps above
+        return _attn_kernel(len_ref, *refs, **kw)
+
+    sm = sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))
+    return pl.pallas_call(
+        functools.partial(
+            kernel, S=S, R=rep, scale=sm / 127.0,
+            window=window, softcap=softcap,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q4.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * rep * S * D,
+            bytes_accessed=2 * B * S * Hkv * D + 8 * B * S * Hkv + B * Hkv * rep * D * 4,
+            transcendentals=B * Hkv * rep * S,
+        ),
+        interpret=interpret_mode(),
+    )(li.astype(jnp.int32), lengths.astype(jnp.int32), q4, kq, ks5, vq, vs5)
+
+
+def decode_attention_int8_stacked(
+    q: jax.Array,  # (B, 1, Hq, D) float
+    kq: jax.Array,  # (L, B, Hkv, D, S) int8 — layer-stacked cache
+    ks: jax.Array,  # (L, B, Hkv, S) f32
+    vq: jax.Array,  # (L, B, Hkv, S, D) int8
+    vs: jax.Array,  # (L, B, Hkv, S) f32
+    li,  # int or (1,) int32 — layer to attend over
+    lengths: jax.Array,  # (B,) int32
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    sm_scale: Optional[float] = None,
+) -> Optional[jax.Array]:
+    """decode_attention_int8 over layer `li` of the layer-STACKED engine
+    cache. The layer index is a scalar-prefetch operand picking the
+    block: all layers share ONE compiled kernel and XLA never
+    materializes a per-layer cache slice — slicing `cache[li]` as the
+    kernel operand copies the layer's full (B,Hkv,D,S) panes every call
+    (measured ~2.2 GB/step across 32 layers at the 7B B=8 shape; the
+    same leak the paged pool fixed, ops/paged_attention.py)."""
+    B, T, Hq, D = q.shape
+    L, Hkv, S = vq.shape[0], vq.shape[2], vq.shape[3]
+    if T != 1 or D % 128 != 0 or Hq % Hkv != 0 or S % 128 != 0:
+        return None
+    if 2 * S * D > 8 * 1024 * 1024:
+        return None
+    if window is not None and window >= S:
+        window = None
+    q4 = q.reshape(B, Hkv, Hq // Hkv, D)
+    li = jnp.asarray(li, jnp.int32).reshape(1)
+    out = _decode_attn_call_stacked(
+        q4, kq, ks.reshape(L, B, Hkv, 1, S), vq, vs.reshape(L, B, Hkv, 1, S),
+        li, lengths, window=window, softcap=softcap, sm_scale=sm_scale,
     )
     return out.reshape(B, 1, Hq, D)
 
@@ -176,7 +273,7 @@ def _prefill_kernel(
     q_ref, k_ref, ks_ref, v_ref, vs_ref,
     o_ref,
     m_ref, l_ref, acc_ref,
-    *, tq, ts, nkv, scale, window=None,
+    *, tq, ts, nkv, scale, window=None, softcap=None,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -194,6 +291,8 @@ def _prefill_kernel(
         q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TQ, TS)
     sc = sc * (ks_ref[:].reshape(1, ts) * scale)
+    if softcap is not None:
+        sc = softcap * jnp.tanh(sc * jnp.float32(1.0 / softcap))
 
     # causal mask in absolute positions: kv slot s is valid for query row r
     # iff s <= start_b + qi*tq + r  (cache holds [0, start+T) after writes)
@@ -227,8 +326,9 @@ def _prefill_kernel(
         o_ref[:] = (acc_ref[:] / l_ref[:]).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("tq", "ts", "window"))
-def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts, window=None):
+@partial(jax.jit, static_argnames=("tq", "ts", "window", "softcap", "sm_scale"))
+def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts, window=None,
+                       softcap=None, sm_scale=None):
     B, Hq, T, D = q4.shape
     S, Hkv = vq.shape[2], vq.shape[1]
     nq, nkv = T // tq, S // ts
@@ -263,7 +363,7 @@ def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts, window=None):
     )
     kernel = functools.partial(
         _prefill_kernel, tq=tq, ts=ts, nkv=nkv,
-        scale=1.0 / (float(np.sqrt(D)) * 127.0), window=window,
+        scale=(sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))) / 127.0, window=window, softcap=softcap,
     )
     return pl.pallas_call(
         kernel,
@@ -288,6 +388,8 @@ def prefill_attention_int8(
     tq: int = 256,
     ts: int = 512,
     window: Optional[int] = None,  # sliding window (Mistral): keys in (t-window, t]
+    softcap: Optional[float] = None,  # Gemma-2 logit softcapping
+    sm_scale: Optional[float] = None,  # softmax scale override
 ) -> Optional[jax.Array]:
     """Causal flash attention over the int8 KV cache for prefill (T > 1).
     Returns (B, T, Hq, D) or None if untileable (caller falls back)."""
@@ -308,6 +410,6 @@ def prefill_attention_int8(
     q4 = q.transpose(0, 2, 1, 3)  # (B, Hq, T, D)
     out = _prefill_attn_call(
         q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), starts, tq, ts,
-        window=window,
+        window=window, softcap=softcap, sm_scale=sm_scale,
     )
     return out.transpose(0, 2, 1, 3)

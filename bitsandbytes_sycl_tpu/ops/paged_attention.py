@@ -8,9 +8,14 @@ scales with TOKENS IN FLIGHT — the standard production-serving layout
 (vLLM, arxiv 2309.06180). The reference has no attention or serving
 code at all (SURVEY.md §5).
 
-Attend kernel design (follows ops/attention.py's measured layout rules):
-- pages keep the flash layout per page: K transposed (L, NP, Hkv, D, P),
-  V (L, NP, Hkv, P, D), lane-major scales (L, NP, Hkv, P);
+Attend kernel design (follows ops/attention.py's measured layout rules,
+except K — see the write-kernel note):
+- pages are TOKEN-MAJOR for both K and V: (L, NP, Hkv, P, D), lane-major
+  scales (L, NP, Hkv, P). K's score dot contracts D on BOTH operands
+  (einsum "rd,pd->rp", the same shape jax's reference paged kernel
+  uses); measured 186 us vs 168-178 us for a transposed-K variant at
+  the 7B decode shape — the ~5-10% attend cost buys LEGAL in-place
+  token writes (below), which were worth 36 ms/step at B=48;
 - grid (B, max_pages) with the page table SCALAR-PREFETCHED: the
   BlockSpec index_map reads pt[b, j], so the Mosaic pipeline DMAs the
   mapped page per step. Each block covers ALL kv heads of the page —
@@ -41,15 +46,25 @@ Attend kernel design (follows ops/attention.py's measured layout rules):
   masked page leaves (m, l, acc) unchanged.
 - GQA: q grouped (B, Hkv, rep, D) per kv head, kv pages touched once.
 
-Decode WRITES stay dynamic_update_slice chains in models/llama
-(_paged_cache_write), always unrolled: their B>16 fori_loop form broke
-XLA's while-carry aliasing and inserted FULL-POOL copies per decode
-step (measured: a 9.7 GB pool compiled to 23.2 GB at B=48 and OOM'd).
-A Pallas in-place write kernel is NOT possible for this layout: one
-token is a single lane column of the transposed K page, and a
-(..., D, 1) output block violates Mosaic's (8, 128)/equal-dim min-tile
-rule — while a full-page read-modify-write block would cost ~2 MB of
-DMA per row per layer (orders more than the ~32 KB the DUS writes).
+Decode writes are DEFERRED AND LAYER-BATCHED (models/llama
+flush_paged_writes): per-layer unrolled DUS chains measured 36 ms/step
+at B=48 (~6 us per tiny in-place update x 4 leaves x B x 32 layers; the
+B>16 fori_loop form was worse still — it broke XLA's while-carry
+aliasing and copied the FULL pool per step: 23.2 GB peak, OOM). Since
+one page table serves every layer, a step's 32 layers all write page
+pages[b] at offset offs[b]: the layer loop STAGES each layer's (B,H,D)
+updates into small (L,B,...) pend buffers (static-index DUS, in-place)
+and ONE flush after the loop issues 4xB DUS ops covering all layers —
+32x fewer ops. The attend kernel therefore reads a pool that is one
+step STALE and folds the current token in from REGISTERS (`new_kv`):
+an exact online-softmax extension, bit-equivalent to write-then-read.
+Two dead ends worth recording: a Pallas in-place write kernel
+(input_output_aliases) is structurally sound per-call but XLA copies
+custom-call-aliased buffers whenever the value has ANY other reader —
+interleaved with attends it re-materialized the pool every layer, and
+even a single deferred kernel call after 32 attend reads kept one
+full-pool copy (measured via compiled.memory_analysis); plain DUS
+chains are the only form XLA provably keeps in place here.
 """
 
 from __future__ import annotations
@@ -75,11 +90,16 @@ def _paged_attn_kernel(
     li_ref,  # scalar prefetch: (1,) int32 layer index
     pt_ref,  # scalar prefetch: (B, MAXP) int32 page table
     len_ref,  # scalar prefetch: (B,) int32 valid lengths
-    q_ref, k_ref, ks_ref, v_ref, vs_ref,
-    o_ref,
-    m_ref, l_ref, acc_ref, sc_ref, pv_ref,
-    *, P, R, H, n_pages, scale,
+    *refs,  # q, pool blocks, [optional new-token operands], out, scratch
+    P, R, H, n_pages, scale, window=None, softcap=None, has_new=False,
 ):
+    if has_new:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
+         kn_ref, vn_ref, ksn_ref, vsn_ref,
+         o_ref, m_ref, l_ref, acc_ref, sc_ref, pv_ref) = refs
+    else:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
+         o_ref, m_ref, l_ref, acc_ref, sc_ref, pv_ref) = refs
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -98,20 +118,31 @@ def _paged_attn_kernel(
         # once on the stacked tile (full-sublane VPU shapes)
         for h in range(H):
             q = q_ref[0, h].astype(jnp.float32)  # (R, D)
-            k = k_ref[0, 0, h].astype(jnp.float32)  # (D, P)
+            k = k_ref[0, 0, h].astype(jnp.float32)  # (P, D) token-major
             sc_ref[h * R:(h + 1) * R, :] = jax.lax.dot_general(
-                q, k, (((1,), (0,)), ((), ())),
+                q, k, (((1,), (1,)), ((), ())),  # contract D with D
                 preferred_element_type=jnp.float32,
             )
         ks = ks_ref[0, 0].astype(jnp.float32)  # (H, P)
         ksr = jnp.broadcast_to(ks[:, None, :], (H, R, P)).reshape(H * R, P)
         sc = sc_ref[:] * (ksr * scale)
+        if softcap is not None:
+            # Gemma-2 logit softcapping — on real logits, before masking
+            sc = softcap * jnp.tanh(sc * jnp.float32(1.0 / softcap))
 
         # token positions covered by THIS grid step: [j*P, j*P + P) — the
         # clamped index_map only changes WHICH physical page is resident,
         # masking is always in logical position space
         pos = j * P + jax.lax.broadcasted_iota(jnp.int32, (H * R, P), 1)
-        sc = jnp.where(pos < len_ref[b], sc, -1e30)
+        valid = pos < len_ref[b]
+        if window is not None:
+            # sliding window: the query sits at position qpos = len-1
+            # (len counts it) or len (has_new: the current token rides
+            # in registers and len counts only POOL tokens); it attends
+            # keys in (qpos - window, qpos], i.e. pos >= qpos+1 - window
+            qpos = len_ref[b] if has_new else len_ref[b] - 1
+            valid = jnp.logical_and(valid, pos >= qpos + 1 - window)
+        sc = jnp.where(valid, sc, -1e30)
 
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True))
@@ -132,16 +163,50 @@ def _paged_attn_kernel(
 
     @pl.when(j == n_pages - 1)
     def _finalize():
-        inv = jnp.where(len_ref[b] > 0, 1.0 / l_ref[:], 0.0)
-        o = acc_ref[:] * inv
+        if has_new:
+            # fold THIS STEP's token in from registers (deferred-write
+            # design: the pool is one step stale; writes land once per
+            # step after the layer loop). Exact online-softmax update —
+            # equivalent to having read the token back from the pool.
+            for h in range(H):
+                q = q_ref[0, h].astype(jnp.float32)  # (R, D)
+                kn = kn_ref[0, h].astype(jnp.float32)  # (1, D)
+                sc_ref[h * R:(h + 1) * R, 0:1] = jnp.sum(
+                    q * kn, axis=1, keepdims=True)
+            ksn = ksn_ref[0].astype(jnp.float32)  # (H, 1)
+            ksnr = jnp.broadcast_to(ksn[:, None, :], (H, R, 1)).reshape(H * R, 1)
+            sc_new = sc_ref[:, 0:1] * (ksnr * scale)
+            if softcap is not None:
+                sc_new = softcap * jnp.tanh(sc_new * jnp.float32(1.0 / softcap))
+            # the new token sits at distance 0 from the query: always
+            # causal-valid and always inside any sliding window
+            m_prev = m_ref[:]
+            m2 = jnp.maximum(m_prev, sc_new)
+            alpha = jnp.exp(m_prev - m2)
+            w_new = jnp.exp(sc_new - m2)  # (H*R, 1)
+            l2 = l_ref[:] * alpha + w_new
+            vsn = vsn_ref[0].astype(jnp.float32)  # (H, 1)
+            vsnr = jnp.broadcast_to(vsn[:, None, :], (H, R, 1)).reshape(H * R, 1)
+            wv_new = w_new * (vsnr * jnp.float32(1.0 / 127.0))
+            for h in range(H):
+                vn = vn_ref[0, h].astype(jnp.float32)  # (1, D)
+                sl = slice(h * R, (h + 1) * R)
+                pv_ref[sl, :] = acc_ref[sl, :] * alpha[sl, :] + wv_new[sl, :] * vn
+            # l2 >= w_new > 0: no zero-length guard needed with a token
+            o = pv_ref[:] / l2
+        else:
+            inv = jnp.where(len_ref[b] > 0, 1.0 / l_ref[:], 0.0)
+            o = acc_ref[:] * inv
         o_ref[:] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-@jax.jit
-def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths):
+@functools.partial(jax.jit, static_argnames=("window", "softcap", "sm_scale"))
+def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths,
+                     new_kv=None, window=None, softcap=None, sm_scale=None):
     B, Hkv, rep, D = q4.shape
     P = vp.shape[3]
     max_pages = page_table.shape[1]
+    has_new = new_kv is not None
 
     def page_map(b, j, li, pt, lens):
         # clamp to the last USED page: trailing steps revisit the same
@@ -153,18 +218,30 @@ def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths):
         used = jnp.maximum((lens[b] + P - 1) // P, 1)
         return (li[0], pt[b, jnp.minimum(j, used - 1)], 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, Hkv, rep, D),
+                     lambda b, j, li, pt, lens: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Hkv, P, D), page_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Hkv, P), scale_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Hkv, P, D), page_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Hkv, P), scale_map, memory_space=pltpu.VMEM),
+    ]
+    if has_new:
+        in_specs += [
+            pl.BlockSpec((1, Hkv, 1, D), lambda b, j, li, pt, lens: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, 1, D), lambda b, j, li, pt, lens: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, 1), lambda b, j, li, pt, lens: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv, 1), lambda b, j, li, pt, lens: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, rep, D),
-                         lambda b, j, li, pt, lens: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv, D, P), page_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv, P), scale_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv, P, D), page_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv, P), scale_map, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, Hkv, rep, D), lambda b, j, li, pt, lens: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -177,9 +254,10 @@ def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths):
             pltpu.VMEM((Hkv * rep, D), jnp.float32),
         ],
     )
+    sm = sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))
     kernel = functools.partial(
         _paged_attn_kernel, P=P, R=rep, H=Hkv, n_pages=max_pages,
-        scale=1.0 / (float(np.sqrt(D)) * 127.0),
+        scale=sm / 127.0, window=window, softcap=softcap, has_new=has_new,
     )
     out = pl.pallas_call(
         kernel,
@@ -192,19 +270,27 @@ def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths):
         ),
         interpret=interpret_mode(),
     )(li.astype(jnp.int32), page_table.astype(jnp.int32),
-      lengths.astype(jnp.int32), q4, kp, ksp, vp, vsp)
+      lengths.astype(jnp.int32), q4, kp, ksp, vp, vsp,
+      *((new_kv[0][:, :, None, :], new_kv[2][:, :, None, :],
+         new_kv[1][:, :, None], new_kv[3][:, :, None]) if has_new else ()))
     return out
 
 
 def paged_decode_attention_int8_stacked(
     q: jax.Array,  # (B, 1, Hq, D) float
-    kp: jax.Array,  # (L, NP, Hkv, D, P) int8 — K pages, transposed
+    kp: jax.Array,  # (L, NP, Hkv, P, D) int8 — K pages, token-major
     ks: jax.Array,  # (L, NP, Hkv, P) f32 per-token absmax
     vp: jax.Array,  # (L, NP, Hkv, P, D) int8 — V pages
     vs: jax.Array,  # (L, NP, Hkv, P) f32
     li,  # int or (1,) int32 — layer to attend over
     page_table: jax.Array,  # (B, MAXP) int32 page ids (garbage past used)
-    lengths: jax.Array,  # (B,) int32 tokens in flight per sequence
+    lengths: jax.Array,  # (B,) int32 tokens IN THE POOL per sequence
+    new_kv=None,  # optional (kq (B,Hkv,D) i8, ks (B,Hkv) f32, vq, vs):
+    # THIS step's token folded in from registers (deferred-write design;
+    # lengths then exclude it)
+    window: Optional[int] = None,  # sliding window (Mistral/Gemma-2)
+    softcap: Optional[float] = None,  # Gemma-2 logit softcapping
+    sm_scale: Optional[float] = None,  # softmax scale override
 ) -> Optional[jax.Array]:
     """Single-step attention over layer `li` of a layer-STACKED paged
     int8 KV pool. The layer index is a scalar-prefetch operand: all
@@ -218,21 +304,30 @@ def paged_decode_attention_int8_stacked(
         return None
     q4 = q.reshape(B, Hkv, Hq // Hkv, D)
     li = jnp.asarray(li, jnp.int32).reshape(1)
-    out = _paged_attn_call(q4, kp, ks, vp, vs, li, page_table, lengths)
+    P = vp.shape[3]
+    if window is not None and window >= page_table.shape[1] * P:
+        window = None  # can never bind
+    out = _paged_attn_call(q4, kp, ks, vp, vs, li, page_table, lengths,
+                           new_kv=new_kv, window=window, softcap=softcap,
+                           sm_scale=sm_scale)
     return out.reshape(B, 1, Hq, D)
 
 
 def paged_decode_attention_int8(
     q: jax.Array,  # (B, 1, Hq, D) float
-    kp: jax.Array,  # (NP, Hkv, D, P) int8 — K pages, transposed
+    kp: jax.Array,  # (NP, Hkv, P, D) int8 — K pages, token-major
     ks: jax.Array,  # (NP, Hkv, P) f32 per-token absmax
     vp: jax.Array,  # (NP, Hkv, P, D) int8 — V pages
     vs: jax.Array,  # (NP, Hkv, P) f32
     page_table: jax.Array,  # (B, MAXP) int32 page ids (garbage past used)
     lengths: jax.Array,  # (B,) int32 tokens in flight per sequence
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    sm_scale: Optional[float] = None,
 ) -> Optional[jax.Array]:
     """Single-layer-pool convenience wrapper over the stacked kernel
     (expand_dims is a metadata-only reshape — no copy)."""
     return paged_decode_attention_int8_stacked(
         q, kp[None], ks[None], vp[None], vs[None], 0, page_table, lengths,
+        window=window, softcap=softcap, sm_scale=sm_scale,
     )

@@ -72,10 +72,11 @@ def test_engine_chunked_prefill_token_identical(setup):
     assert out == ref, (out, ref)
 
 
-def test_cache_write_fori_path_matches_unrolled():
-    """B > 16 rolls the per-batch dynamic_update_slice chain into one
-    fori_loop body (HLO size O(1) in batch); results must be identical to
-    the unrolled chain."""
+def test_cache_write_large_batch_matches_reference():
+    """Large-B cache writes stay UNROLLED DUS chains (the fori_loop form
+    broke XLA's donated-buffer aliasing — full-cache copies per decode
+    step, see _cache_write); results at B>16 must match the numpy
+    reference exactly."""
     from bitsandbytes_sycl_tpu.models.llama import _cache_write
 
     rng = np.random.default_rng(0)

@@ -694,3 +694,33 @@ def test_prefill_attention_int8_sliding_window():
     ref = L._attention(q, kf, vf, mask, jnp.float32)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 5e-3, rel
+
+
+@pytest.mark.parametrize("window", [None, 64])
+def test_decode_attention_int8_stacked_layer_select(window):
+    """The layer-stacked decode kernel must attend over exactly layer
+    `li` of the (L, B, H, D, S) engine cache — the scalar-prefetched
+    layer index picks the block, so per-layer calls share one compiled
+    kernel and XLA never materializes a cache[li] slice (the decode
+    bandwidth leak measured in the paged-pool work, round 3)."""
+    from bitsandbytes_sycl_tpu.ops.attention import (
+        decode_attention_int8_stacked,
+    )
+
+    Lyr, B, S, Hkv, D = 3, 2, 256, 2, 128
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (Lyr, B, Hkv, D, S)).astype(np.int8))
+    vq = jnp.asarray(rng.integers(-127, 128, (Lyr, B, Hkv, S, D)).astype(np.int8))
+    ks = jnp.asarray(rng.uniform(0.5, 2.0, (Lyr, B, Hkv, S)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.5, 2.0, (Lyr, B, Hkv, S)).astype(np.float32))
+    lengths = jnp.asarray([117, 256], jnp.int32)
+
+    for li in range(Lyr):
+        want = decode_attention_int8(
+            q, kq[li], ks[li], vq[li], vs[li], lengths, window=window)
+        got = decode_attention_int8_stacked(
+            q, kq, ks, vq, vs, li, lengths, window=window)
+        assert got is not None
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

@@ -49,7 +49,7 @@ def test_paged_kernel_matches_contiguous_flash_decode():
     n_seq_pages = S // P
     NP = B * n_seq_pages + 3
     perm = rng.permutation(NP)
-    kp = np.zeros((NP, Hkv, D, P), np.int8)
+    kp = np.zeros((NP, Hkv, P, D), np.int8)
     ksp = np.zeros((NP, Hkv, P), np.float32)
     vp = np.zeros((NP, Hkv, P, D), np.int8)
     vsp = np.zeros((NP, Hkv, P), np.float32)
@@ -59,7 +59,7 @@ def test_paged_kernel_matches_contiguous_flash_decode():
             pid = int(perm[b * n_seq_pages + j])
             table[b, j] = pid
             sl = slice(j * P, (j + 1) * P)
-            kp[pid] = np.asarray(kqh[b, :, :, sl])
+            kp[pid] = np.asarray(kqh[b, :, :, sl]).transpose(0, 2, 1)
             ksp[pid] = np.asarray(ksh[b, :, sl])
             vp[pid] = np.asarray(vqh[b, :, sl, :])
             vsp[pid] = np.asarray(vsh[b, :, sl])
@@ -185,7 +185,10 @@ def _slot_kv(eng, slot, n):
     """(k, k_scale, v) for one slot's first n tokens, paged or contiguous."""
     if eng._alloc is not None:
         pages = eng._alloc.tables[slot]
-        k = np.concatenate([np.asarray(eng.cache["k"][:, p]) for p in pages], axis=3)
+        # K pages are TOKEN-MAJOR (L, H, P, D); contiguous K is (L, H, D, S)
+        k = np.concatenate(
+            [np.asarray(eng.cache["k"][:, p]) for p in pages], axis=2
+        ).transpose(0, 1, 3, 2)
         ks = np.concatenate([np.asarray(eng.cache["k_scale"][:, p]) for p in pages], axis=2)
         v = np.concatenate([np.asarray(eng.cache["v"][:, p]) for p in pages], axis=2)
     else:
@@ -365,7 +368,7 @@ def test_paged_attend_stacked_layer_select():
     rng = np.random.default_rng(5)
     L_, B, S, H, D, P = 3, 2, 256, 2, 128, 128
     NP, maxp = B * (S // P) + 1, S // P
-    kp = jnp.asarray(rng.integers(-127, 128, (L_, NP, H, D, P)).astype(np.int8))
+    kp = jnp.asarray(rng.integers(-127, 128, (L_, NP, H, P, D)).astype(np.int8))
     vp = jnp.asarray(rng.integers(-127, 128, (L_, NP, H, P, D)).astype(np.int8))
     ksp = jnp.asarray(rng.uniform(0.5, 2.0, (L_, NP, H, P)).astype(np.float32))
     vsp = jnp.asarray(rng.uniform(0.5, 2.0, (L_, NP, H, P)).astype(np.float32))
@@ -382,3 +385,38 @@ def test_paged_attend_stacked_layer_select():
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=1e-5, atol=1e-5)
+
+
+def test_paged_kernel_sliding_window_matches_contiguous():
+    """Sliding-window masking through the paged kernel must equal the
+    contiguous flash-decode kernel's (this was silently full-causal on
+    the paged path before round 3 threaded `window` through it)."""
+    from bitsandbytes_sycl_tpu.ops.attention import decode_attention_int8
+    from bitsandbytes_sycl_tpu.ops.paged_attention import (
+        paged_decode_attention_int8,
+    )
+
+    rng = np.random.default_rng(11)
+    B, S, H, D, P, W = 2, 512, 2, 128, 128, 100
+    kc = jnp.asarray(rng.integers(-127, 128, (B, H, D, S)).astype(np.int8))
+    vc = jnp.asarray(rng.integers(-127, 128, (B, H, S, D)).astype(np.int8))
+    ks = jnp.asarray(rng.uniform(0.5, 2.0, (B, H, S)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.5, 2.0, (B, H, S)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+    lengths = jnp.asarray([512, 300], jnp.int32)
+
+    want = decode_attention_int8(q, kc, ks, vc, vs, lengths, window=W)
+
+    npages = S // P
+    NP = B * npages
+    kp = np.asarray(kc).reshape(B, H, D, npages, P).transpose(0, 3, 1, 4, 2).reshape(NP, H, P, D)
+    vp = np.asarray(vc).reshape(B, H, npages, P, D).transpose(0, 2, 1, 3, 4).reshape(NP, H, P, D)
+    ksp = np.asarray(ks).reshape(B, H, npages, P).transpose(0, 2, 1, 3).reshape(NP, H, P)
+    vsp = np.asarray(vs).reshape(B, H, npages, P).transpose(0, 2, 1, 3).reshape(NP, H, P)
+    table = jnp.asarray(np.arange(NP).reshape(B, npages).astype(np.int32))
+    got = paged_decode_attention_int8(
+        q, jnp.asarray(kp), jnp.asarray(ksp), jnp.asarray(vp), jnp.asarray(vsp),
+        table, lengths, window=W)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=1e-4, atol=1e-4)

@@ -82,8 +82,6 @@ def main():
     rng = np.random.default_rng(0)
     start = rng.integers(384, 640, size=(B,)).astype(np.int32)
     maxp = int(np.ceil((int(start.max()) + 25) / P))
-    pool = init_page_pool(cfg, B * maxp + 1, P)
-    table = jnp.asarray(np.arange(1, B * maxp + 1, dtype=np.int32).reshape(B, maxp))
     pos0 = jnp.asarray(start)[:, None]
     toks = jnp.ones((B, 1), jnp.int32)
 
@@ -94,9 +92,15 @@ def main():
         ("neither", False, False),
     ):
         L._paged_write_and_attend = _orig if name == "full" else make_variant(write, attend)
+        # fresh pool + indirection arrays per variant: the whole cache
+        # dict is donated, so every leaf is consumed by the prior variant
+        pool = init_page_pool(cfg, B * maxp + 1, P)
+        table = jnp.asarray(
+            np.arange(1, B * maxp + 1, dtype=np.int32).reshape(B, maxp))
         cache = dict(pool, page_table=table,
                      write_page=jnp.zeros((B,), jnp.int32),
                      write_off=jnp.zeros((B,), jnp.int32))
+        del pool
 
         @partial(jax.jit, donate_argnums=(1,))
         def decode_n(params, cache, toks, pos, arr):

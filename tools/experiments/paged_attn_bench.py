@@ -20,7 +20,11 @@ steps of 16 KB DMAs. The head-folded redesign (grid (B, pages), one
 contiguous (Hkv, D, P) slab per DMA): identity 168 us, shuffled 170 us,
 vs contiguous 217 us — the paged kernel is FASTER (its page slabs are
 fully contiguous; the contiguous kernel's (1,1,D,S) blocks stride
-across the (B,H,D,S) cache) and locality-insensitive.
+across the (B,H,D,S) cache) and locality-insensitive. Round-3 layout
+flip: K pages went TOKEN-MAJOR (NP,H,P,D) to legalize the in-place
+write kernel — this bench now measures that layout (probe measured
+186 us for it vs 168 us transposed-K; the write kernel buys back
+36 ms/step at B=48).
 """
 
 import faulthandler
@@ -93,7 +97,7 @@ def main():
 
     @jax.jit
     def to_pool(kc, vc, ks, vs):
-        kp = kc.reshape(B, H, D, npages, P).transpose(0, 3, 1, 2, 4).reshape(NP, H, D, P)
+        kp = kc.reshape(B, H, D, npages, P).transpose(0, 3, 1, 4, 2).reshape(NP, H, P, D)
         vp = vc.reshape(B, H, npages, P, D).transpose(0, 2, 1, 3, 4).reshape(NP, H, P, D)
         ksp = ks.reshape(B, H, npages, P).transpose(0, 2, 1, 3).reshape(NP, H, P)
         vsp = vs.reshape(B, H, npages, P).transpose(0, 2, 1, 3).reshape(NP, H, P)

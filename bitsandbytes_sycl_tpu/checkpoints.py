@@ -180,6 +180,17 @@ _HF_LAYER_MAP = {
     "post_attn_norm": "post_attention_layernorm.weight",
 }
 
+# Gemma-2 sandwich norms rename the roles: HF's post_attention_layernorm
+# norms the attention OUTPUT (our attn_out_norm) and the pre-MLP norm is
+# pre_feedforward_layernorm (our post_attn_norm slot)
+_HF_LAYER_MAP_SANDWICH = {
+    **{k: v for k, v in _HF_LAYER_MAP.items() if not k.endswith("_norm")},
+    "input_norm": "input_layernorm.weight",
+    "attn_out_norm": "post_attention_layernorm.weight",
+    "post_attn_norm": "pre_feedforward_layernorm.weight",
+    "ffn_out_norm": "post_feedforward_layernorm.weight",
+}
+
 
 def load_llama_from_hf(model_dir: str, cfg=None, use_native_quantizer: bool = True):
     """Load a HuggingFace-format Llama checkpoint directory (safetensors
@@ -220,7 +231,9 @@ def load_llama_from_hf(model_dir: str, cfg=None, use_native_quantizer: bool = Tr
     for li in range(cfg.num_layers):
         pre = f"model.layers.{li}."
         layer = {}
-        for ours, theirs in _HF_LAYER_MAP.items():
+        lmap = (_HF_LAYER_MAP_SANDWICH
+                if getattr(cfg, "sandwich_norms", False) else _HF_LAYER_MAP)
+        for ours, theirs in lmap.items():
             w = get(pre + theirs)
             layer[ours] = _quantize_linear(w, cfg) if ours.endswith("_proj") else w
         if getattr(cfg, "attn_bias", False):  # Qwen2-style qkv biases

@@ -132,3 +132,58 @@ def test_hf_config_mapping():
         256, "gelu_tanh", True, True,
     )
     assert cfg.max_seq_len == 4096  # clamped
+
+
+# ---------------------------------------------------------------------------
+# Gemma-2 (sandwich norms, softcapping, alternating windows, query scale)
+# ---------------------------------------------------------------------------
+
+
+def test_gemma2_hooks_are_live():
+    """Each Gemma-2 hook must change the logits (a dead hook would pass
+    HF parity on configs that don't exercise it)."""
+    import dataclasses
+
+    from bitsandbytes_sycl_tpu.models.gemma import Gemma2Config, gemma2_forward
+
+    # query_scale must DIFFER from head_dim or disabling it is a no-op
+    cfg = Gemma2Config.tiny(quant="none", dtype=jnp.float32, query_scale=16.0,
+                            attn_logit_softcap=5.0, final_logit_softcap=4.0,
+                            sliding_window=4)  # binds at T=8
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    assert "attn_out_norm" in params["layers"][0]
+    toks = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    base, _ = gemma2_forward(params, cfg, toks)
+    assert float(jnp.max(jnp.abs(base))) <= 4.0 + 1e-4  # final softcap binds
+    for field, val in (
+        ("attn_logit_softcap", None),
+        ("final_logit_softcap", None),
+        ("query_scale", None),
+        ("sliding_alternating", False),
+        ("sliding_window", 2),
+    ):
+        alt, _ = gemma2_forward(
+            params, dataclasses.replace(cfg, **{field: val}), toks)
+        assert float(jnp.abs(alt - base).max()) > 1e-5, field
+
+
+def test_gemma2_engine_decode_matches_uncached():
+    """Greedy engine decode over the Gemma-2 config (sandwich norms +
+    softcaps + alternating windows through write_and_attend and the
+    paged/contiguous caches) must match the uncached teacher-forced
+    forward."""
+    from bitsandbytes_sycl_tpu.engine import EngineConfig, InferenceEngine
+    from bitsandbytes_sycl_tpu.models.gemma import Gemma2Config, gemma2_forward
+
+    cfg = Gemma2Config.tiny(quant="nf4", kv_quant=True, dtype=jnp.float32,
+                            max_seq_len=128, sliding_window=16)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    prompt = [3, 17, 5, 9]
+    eng = InferenceEngine(cfg, params, EngineConfig(max_batch=2))
+    out = eng.generate([prompt], max_new_tokens=5)[0]
+
+    seq = list(prompt)
+    for _ in range(5):  # teacher-forced uncached reference
+        logits, _ = gemma2_forward(params, cfg, jnp.asarray([seq]))
+        seq.append(int(jnp.argmax(logits[0, -1])))
+    assert out == seq[len(prompt):], (out, seq[len(prompt):])

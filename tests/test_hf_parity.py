@@ -369,3 +369,59 @@ def test_hf_gemma_fp_parity(tmp_path):
     got = np.asarray(logits, np.float32)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 2e-2, rel
+
+
+# ---------------------------------------------------------------------------
+# Gemma-2 (sandwich norms, logit softcapping, alternating sliding/global,
+# query_pre_attn_scalar) — arxiv 2408.00118
+# ---------------------------------------------------------------------------
+
+
+def test_hf_gemma2_fp_parity(tmp_path):
+    """Tiny HF Gemma-2 through load_gemma2_from_hf must reproduce
+    transformers logits — pins all four Gemma-2 hooks at once (the
+    sandwich-norm KEY MAPPING is the subtle one: HF's
+    post_attention_layernorm is the attention OUTPUT norm here, and the
+    pre-MLP norm is pre_feedforward_layernorm)."""
+    from bitsandbytes_sycl_tpu.models.gemma import (
+        gemma2_forward, load_gemma2_from_hf,
+    )
+
+    cfg_hf = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128, rms_norm_eps=1e-6,
+        rope_theta=10000.0, hidden_activation="gelu_pytorch_tanh",
+        tie_word_embeddings=True, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, query_pre_attn_scalar=32,
+        sliding_window=8,  # small enough to BIND at T=12 (even layers)
+        attn_implementation="eager",
+    )
+    torch.manual_seed(7)
+    model = transformers.Gemma2ForCausalLM(cfg_hf).eval()
+    d = tmp_path / "hf_gemma2"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 12))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_gemma2_from_hf(str(d))
+    assert cfg.sandwich_norms and cfg.sliding_alternating
+    assert cfg.attn_logit_softcap == 50.0 and cfg.final_logit_softcap == 30.0
+    assert cfg.query_scale == 32.0 and cfg.sliding_window == 8
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_gemma2_from_hf(str(d), cfg=cfg)
+    assert "attn_out_norm" in params["layers"][0]
+    logits, _ = gemma2_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+    # NF4-quantized stays in the quantization-noise envelope (4 layers
+    # of random weights accumulate more noise than the 2-layer tests'
+    # 0.25 bound; trained-weight accuracy is gated in test_accuracy.py)
+    cfg_q = dataclasses.replace(cfg, quant="nf4", dtype=jnp.float32)
+    _, params_q = load_gemma2_from_hf(str(d), cfg=cfg_q)
+    logits_q, _ = gemma2_forward(params_q, cfg_q, jnp.asarray(toks.numpy()))
+    rel_q = np.linalg.norm(np.asarray(logits_q) - ref) / np.linalg.norm(ref)
+    assert rel_q < 0.35, rel_q

@@ -374,6 +374,14 @@ def init_kv_cache(cfg: LlamaConfig, batch: int) -> Dict:
     }
 
 
+def _stacked_decode_ok(cfg: LlamaConfig) -> bool:
+    """Will decode_attention_int8_stacked accept this config's shapes?
+    (Mirrors its tileability guards; gates the deferred-write decode.)"""
+    D, S = cfg.hd, cfg.max_seq_len
+    return (D % 128 == 0 and cfg.num_heads % cfg.num_kv_heads == 0
+            and S % 128 == 0 and 2 * S * D <= 8 * 1024 * 1024)
+
+
 def _use_fused_decode_attn(cfg: LlamaConfig) -> bool:
     """The flash-decode kernel runs compiled on TPU; interpret mode is too
     slow for the per-layer loop, so CPU tests take the XLA fallback (the
@@ -411,32 +419,6 @@ def _cache_write(arr: jax.Array, li: int, upd: jax.Array, starts: jax.Array, pos
         u = jax.lax.dynamic_slice_in_dim(upd, b, 1, axis=0)[None]  # (1,1,...)
         idx = [li, b] + [0] * (arr.ndim - 2)
         idx[2 + pos_axis] = jax.lax.dynamic_index_in_dim(starts, b, keepdims=False)
-        return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), tuple(idx))
-
-    for b in range(B):
-        arr = _write_one(b, arr)
-    return arr
-
-
-def _paged_cache_write(
-    arr: jax.Array, li: int, upd: jax.Array, pages: jax.Array,
-    offs: jax.Array, pos_axis: int,
-) -> jax.Array:
-    """Paged sibling of _cache_write: write `upd` (B, ...) into the page
-    POOL `arr` (L, NP, ...) — row b lands in page `pages[b]` at token
-    offset `offs[b]` along `pos_axis` (axis index within the per-(L, page)
-    subarray). ALWAYS unrolled (no fori_loop at large B, unlike
-    _cache_write): a while-loop carrying the multi-GB pool inside the
-    engine's donated decode step broke XLA's buffer aliasing — the
-    compiler copied the FULL pool every step (23.2 GB peak at B=48,
-    OOM). Unrolled DUS chains provably stay in place."""
-    B = upd.shape[0]
-
-    def _write_one(b, arr):
-        u = jax.lax.dynamic_slice_in_dim(upd, b, 1, axis=0)[None]  # (1,1,...)
-        idx = [li, jax.lax.dynamic_index_in_dim(pages, b, keepdims=False)]
-        idx += [0] * (arr.ndim - 2)
-        idx[2 + pos_axis] = jax.lax.dynamic_index_in_dim(offs, b, keepdims=False)
         return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), tuple(idx))
 
     for b in range(B):
@@ -520,12 +502,20 @@ def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
                       softcap=getattr(cfg, "attn_logit_softcap", None)), new_cache
 
 
-def init_paged_pend(new_cache: Dict, cfg) -> Dict:
-    """Add this step's staging buffers to a paged cache dict (decode
-    steps; see _paged_write_and_attend)."""
-    L = cfg.num_layers
-    B = new_cache["write_page"].shape[0]
-    H, D = cfg.num_kv_heads, cfg.hd
+def init_pend(new_cache: Dict, positions=None) -> Dict:
+    """Add this step's KV staging buffers to a cache dict (decode steps;
+    deferred-write design — see _paged_write_and_attend). Works for both
+    the paged pool (k (L,NP,H,P,D)) and the contiguous cache
+    (k (L,B,H,D,S), which also stores `pend_pos` for the flush). Shapes
+    derive from the cache leaves, not cfg — under shard_map TP the local
+    kv-head count is cfg.num_kv_heads / tp."""
+    paged = "write_page" in new_cache
+    if paged:
+        L, _NP, H, _P, D = new_cache["k"].shape
+        B = new_cache["write_page"].shape[0]
+    else:
+        L, B, H, D, _S = new_cache["k"].shape
+        new_cache["pend_pos"] = positions[:, 0].astype(jnp.int32)
     new_cache["pend_k"] = jnp.zeros((L, B, H, D), jnp.int8)
     new_cache["pend_v"] = jnp.zeros((L, B, H, D), jnp.int8)
     new_cache["pend_ks"] = jnp.zeros((L, B, H), jnp.float32)
@@ -533,29 +523,48 @@ def init_paged_pend(new_cache: Dict, cfg) -> Dict:
     return new_cache
 
 
+# kept as an alias for the engine/gptj call sites
+init_paged_pend = init_pend
+
+
 def flush_paged_writes(new_cache: Dict) -> Dict:
-    """Land the step's staged tokens into the page pool: ONE unrolled
-    DUS per batch row per leaf covering ALL layers (pages/offsets are
-    layer-invariant — one table serves the whole model), i.e. 4xB ops
-    instead of 4xBxL. Unrolled DUS provably stays in place; fori_loop
-    and Pallas-aliased forms both made XLA copy the multi-GB pool per
-    step (ops/paged_attention.py docstring)."""
-    pages, offs = new_cache["write_page"], new_cache["write_off"]
+    """Land the step's staged tokens into the KV storage: ONE unrolled
+    DUS per batch row per leaf covering ALL layers (the destination row/
+    page and token offset are layer-invariant), i.e. 4xB ops instead of
+    4xBxL. Unrolled DUS provably stays in place; fori_loop and
+    Pallas-aliased forms both made XLA copy the multi-GB pool per step
+    (ops/paged_attention.py docstring). Handles both the paged pool
+    (token-major pages) and the contiguous cache (transposed K: token
+    on the LAST axis)."""
+    paged = "write_page" in new_cache
+    if paged:
+        rows, offs = new_cache["write_page"], new_cache["write_off"]
+    else:
+        rows = jnp.arange(new_cache["pend_pos"].shape[0], dtype=jnp.int32)
+        offs = new_cache.pop("pend_pos")
     pk, pv = new_cache.pop("pend_k"), new_cache.pop("pend_v")
     pks, pvs = new_cache.pop("pend_ks"), new_cache.pop("pend_vs")
-    B = pages.shape[0]
+    B = pk.shape[1]
 
-    def upd(arr, rows, b, tok_axis):
-        # rows (L, H, ...) -> (L, 1, H, 1, D) / (L, 1, H, 1)
-        u = jnp.expand_dims(jnp.expand_dims(rows, 1), tok_axis)
-        idx = [0, jax.lax.dynamic_index_in_dim(pages, b, keepdims=False), 0,
-               jax.lax.dynamic_index_in_dim(offs, b, keepdims=False)]
-        if arr.ndim == 5:
-            idx.append(0)
+    def upd(arr, vals, b, tok_axis):
+        # vals (L, H[, D]) -> unit token axis inserted at tok_axis
+        u = jnp.expand_dims(jnp.expand_dims(vals, 1), tok_axis)
+        idx = [0] * arr.ndim
+        idx[1] = jax.lax.dynamic_index_in_dim(rows, b, keepdims=False)
+        idx[tok_axis] = jax.lax.dynamic_index_in_dim(offs, b, keepdims=False)
         return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), tuple(idx))
 
+    # token axis per leaf: paged pool K/V are token-major (L,NP,H,P,D);
+    # contiguous K is transposed (L,B,H,D,S) with the token LAST
     for b in range(B):
-        new_cache["k"] = upd(new_cache["k"], pk[:, b], b, 3)
+        if paged:
+            new_cache["k"] = upd(new_cache["k"], pk[:, b], b, 3)
+        else:
+            u = pk[:, b][:, None, :, :, None]  # (L,1,H,D,1)
+            idx = (0, jax.lax.dynamic_index_in_dim(rows, b, keepdims=False),
+                   0, 0, jax.lax.dynamic_index_in_dim(offs, b, keepdims=False))
+            new_cache["k"] = jax.lax.dynamic_update_slice(
+                new_cache["k"], u.astype(new_cache["k"].dtype), idx)
         new_cache["v"] = upd(new_cache["v"], pv[:, b], b, 3)
         new_cache["k_scale"] = upd(new_cache["k_scale"], pks[:, b], b, 3)
         new_cache["v_scale"] = upd(new_cache["v_scale"], pvs[:, b], b, 3)
@@ -779,6 +788,34 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
     if cfg.kv_quant:
         kq, ks = _kv_quantize(k)
         vq, vs = _kv_quantize(v)
+        window = getattr(cfg, "sliding_window", None)
+        softcap = getattr(cfg, "attn_logit_softcap", None)
+        sm_scale = _sm_scale(cfg)
+        if "pend_k" in new_cache:
+            # deferred-write decode (same design as the paged pool):
+            # stage this layer's token, attend over the one-step-stale
+            # cache with the token folded in from registers, flush all
+            # layers in 4xB DUS ops after the layer loop — per-layer
+            # chains cost ~6 us per tiny op x 4 x B x L
+            from ..ops.attention import decode_attention_int8_stacked
+
+            new_cache["pend_k"] = jax.lax.dynamic_update_slice(
+                new_cache["pend_k"], kq[None, :, 0], (li, 0, 0, 0))
+            new_cache["pend_v"] = jax.lax.dynamic_update_slice(
+                new_cache["pend_v"], vq[None, :, 0], (li, 0, 0, 0))
+            new_cache["pend_ks"] = jax.lax.dynamic_update_slice(
+                new_cache["pend_ks"], ks[None, :, 0], (li, 0, 0))
+            new_cache["pend_vs"] = jax.lax.dynamic_update_slice(
+                new_cache["pend_vs"], vs[None, :, 0], (li, 0, 0))
+            attn = decode_attention_int8_stacked(
+                q, new_cache["k"], new_cache["k_scale"],
+                new_cache["v"], new_cache["v_scale"], li,
+                lengths=positions[:, 0],
+                new_kv=(kq[:, 0], ks[:, 0], vq[:, 0], vs[:, 0]),
+                window=window, softcap=softcap, sm_scale=sm_scale,
+            )
+            assert attn is not None  # init_pend is gated on tileability
+            return attn, new_cache
         # K stored transposed (B,H,D,S): positions land on axis 2
         new_cache["k"] = _cache_write(
             new_cache["k"], li, kq.transpose(0, 2, 3, 1), starts, pos_axis=2
@@ -792,9 +829,6 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
         new_cache["v_scale"] = _cache_write(
             new_cache["v_scale"], li, vs.transpose(0, 2, 1), starts, pos_axis=1
         )
-        window = getattr(cfg, "sliding_window", None)
-        softcap = getattr(cfg, "attn_logit_softcap", None)
-        sm_scale = _sm_scale(cfg)
         if T == 1 and _use_fused_decode_attn(cfg):
             from ..ops.attention import decode_attention_int8_stacked
 
@@ -910,10 +944,16 @@ def llama_forward(
     sandwich = bool(getattr(cfg, "sandwich_norms", False))
 
     new_cache = dict(cache) if use_cache else None
-    if use_cache and "page_table" in new_cache and T == 1:
-        # paged decode: per-layer tokens stage into pend buffers and land
-        # once after the loop (deferred-write design, flush_paged_writes)
-        new_cache = init_paged_pend(new_cache, cfg)
+    if use_cache and T == 1:
+        # deferred-write decode: per-layer tokens stage into pend buffers
+        # and land once after the loop (flush_paged_writes) — for the
+        # paged pool always, for the contiguous int8 cache whenever the
+        # stacked flash kernel will run (TPU + tileable shapes)
+        if "page_table" in new_cache:
+            new_cache = init_pend(new_cache)
+        elif (cfg.kv_quant and _use_fused_decode_attn(cfg)
+              and _stacked_decode_ok(cfg)):
+            new_cache = init_pend(new_cache, positions)
     for li, layer in enumerate(params["layers"]):
         lcfg, lmask = cfg, mask
         if alternating and li % 2 == 1:

@@ -48,10 +48,14 @@ __all__ = [
 
 def _attn_kernel(
     len_ref,  # scalar prefetch: (B,) int32 valid lengths
-    q_ref, k_ref, ks_ref, v_ref, vs_ref,
-    o_ref,
-    *, S, R, scale, window=None, softcap=None,
+    *refs,  # q, cache blocks, [optional new-token operands], out
+    S, R, scale, window=None, softcap=None, has_new=False,
 ):
+    if has_new:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
+         kn_ref, vn_ref, ksn_ref, vsn_ref, o_ref) = refs
+    else:
+        q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref = refs
     b = pl.program_id(0)
 
     # f32 dot operands: Mosaic mis-lowers skinny bf16 dots
@@ -76,10 +80,38 @@ def _attn_kernel(
     pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
     valid = pos < len_ref[b]
     if window is not None:
-        # sliding window (Mistral): the query at position len-1 attends
-        # keys in (len-1-window, len-1], i.e. slots >= len - window
-        valid = jnp.logical_and(valid, pos >= len_ref[b] - window)
+        # sliding window (Mistral): the query sits at position len-1, or
+        # at len when the current token rides in registers (has_new:
+        # deferred-write design, len counts only CACHE tokens); it
+        # attends keys in (qpos - window, qpos]
+        qpos = len_ref[b] if has_new else len_ref[b] - 1
+        valid = jnp.logical_and(valid, pos >= qpos + 1 - window)
     sc = jnp.where(valid, sc, -1e30)
+
+    if has_new:
+        # fold THIS STEP's token in from registers — exact softmax over
+        # the (S+1)-length row; always valid (distance 0 from the query)
+        q_f = q_ref[:].reshape(R, -1).astype(jnp.float32)
+        kn = kn_ref[:].reshape(1, -1).astype(jnp.float32)  # (1, D)
+        sc_new = jnp.sum(q_f * kn, axis=1, keepdims=True)  # (R, 1)
+        sc_new = sc_new * (ksn_ref[:].reshape(1, 1) * scale)
+        if softcap is not None:
+            sc_new = softcap * jnp.tanh(sc_new * jnp.float32(1.0 / softcap))
+        m = jnp.maximum(jnp.max(sc, axis=1, keepdims=True), sc_new)
+        w = jnp.exp(sc - m)
+        w_new = jnp.exp(sc_new - m)  # (R, 1)
+        l = jnp.sum(w, axis=1, keepdims=True) + w_new
+        inv = 1.0 / l  # l >= w_new > 0: no zero-length guard needed
+        v = v_ref[:].reshape(S, -1).astype(jnp.float32)  # (S, D)
+        wv = w * (vs_ref[:].reshape(1, S) * jnp.float32(1.0 / 127.0)) * inv
+        o = jax.lax.dot_general(
+            wv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        vn = vn_ref[:].reshape(1, -1).astype(jnp.float32)  # (1, D)
+        o = o + (w_new * inv * (vsn_ref[:].reshape(1, 1)
+                                * jnp.float32(1.0 / 127.0))) * vn
+        o_ref[:] = o.reshape(o_ref.shape).astype(o_ref.dtype)
+        return
 
     m = jnp.max(sc, axis=1, keepdims=True)  # (R, 1)
     w = jnp.exp(sc - m)  # (R, S)
@@ -175,26 +207,39 @@ def decode_attention_int8(
 
 
 @partial(jax.jit, static_argnames=("window", "softcap", "sm_scale"))
-def _decode_attn_call_stacked(q4, kq, ks5, vq, vs5, li, lengths, window=None,
-                              softcap=None, sm_scale=None):
+def _decode_attn_call_stacked(q4, kq, ks5, vq, vs5, li, lengths, new_kv=None,
+                              window=None, softcap=None, sm_scale=None):
     B, Hkv, rep, D = q4.shape
     S = vq.shape[3]
+    has_new = new_kv is not None
 
+    in_specs = [
+        pl.BlockSpec((1, 1, rep, D), lambda b, h, li, L: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, D, S), lambda b, h, li, L: (li[0], b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, 1, S), lambda b, h, li, L: (li[0], b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, S, D), lambda b, h, li, L: (li[0], b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, 1, S), lambda b, h, li, L: (li[0], b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_new:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, D), lambda b, h, li, L: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, D), lambda b, h, li, L: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h, li, L: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h, li, L: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, rep, D), lambda b, h, li, L: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, D, S), lambda b, h, li, L: (li[0], b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, S), lambda b, h, li, L: (li[0], b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, S, D), lambda b, h, li, L: (li[0], b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, S), lambda b, h, li, L: (li[0], b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, rep, D), lambda b, h, li, L: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
@@ -207,10 +252,15 @@ def _decode_attn_call_stacked(q4, kq, ks5, vq, vs5, li, lengths, window=None,
         return _attn_kernel(len_ref, *refs, **kw)
 
     sm = sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))
+    extra = ()
+    if has_new:
+        kn, ksn, vn, vsn = new_kv
+        extra = (kn[:, :, None, :], vn[:, :, None, :],
+                 ksn[:, :, None, None], vsn[:, :, None, None])
     return pl.pallas_call(
         functools.partial(
             kernel, S=S, R=rep, scale=sm / 127.0,
-            window=window, softcap=softcap,
+            window=window, softcap=softcap, has_new=has_new,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q4.dtype),
@@ -220,7 +270,8 @@ def _decode_attn_call_stacked(q4, kq, ks5, vq, vs5, li, lengths, window=None,
             transcendentals=B * Hkv * rep * S,
         ),
         interpret=interpret_mode(),
-    )(li.astype(jnp.int32), lengths.astype(jnp.int32), q4, kq, ks5, vq, vs5)
+    )(li.astype(jnp.int32), lengths.astype(jnp.int32), q4, kq, ks5, vq, vs5,
+      *extra)
 
 
 def decode_attention_int8_stacked(
@@ -230,7 +281,10 @@ def decode_attention_int8_stacked(
     vq: jax.Array,  # (L, B, Hkv, S, D) int8
     vs: jax.Array,  # (L, B, Hkv, S) f32
     li,  # int or (1,) int32 — layer to attend over
-    lengths: jax.Array,  # (B,) int32
+    lengths: jax.Array,  # (B,) int32 tokens IN THE CACHE per sequence
+    new_kv=None,  # optional (kq (B,Hkv,D) i8, ks (B,Hkv) f32, vq, vs):
+    # THIS step's token folded in from registers (deferred-write design;
+    # lengths then exclude it)
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sm_scale: Optional[float] = None,
@@ -254,7 +308,8 @@ def decode_attention_int8_stacked(
     li = jnp.asarray(li, jnp.int32).reshape(1)
     out = _decode_attn_call_stacked(
         q4, kq, ks.reshape(L, B, Hkv, 1, S), vq, vs.reshape(L, B, Hkv, 1, S),
-        li, lengths, window=window, softcap=softcap, sm_scale=sm_scale,
+        li, lengths, new_kv=new_kv, window=window, softcap=softcap,
+        sm_scale=sm_scale,
     )
     return out.reshape(B, 1, Hq, D)
 

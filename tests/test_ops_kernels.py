@@ -724,3 +724,45 @@ def test_decode_attention_int8_stacked_layer_select(window):
         assert got is not None
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("window", [None, 50])
+def test_decode_attention_stacked_new_kv_matches_write_then_read(window):
+    """Deferred-write decode: attending the one-step-stale cache with the
+    current token folded in from registers (new_kv) must equal writing
+    the token first and attending with lengths+1."""
+    from bitsandbytes_sycl_tpu.ops.attention import (
+        decode_attention_int8_stacked,
+    )
+
+    Lyr, B, S, Hkv, D = 2, 3, 256, 2, 128
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.normal(size=(B, 1, 2 * Hkv, D)), jnp.float32)  # GQA
+    kq = jnp.asarray(rng.integers(-127, 128, (Lyr, B, Hkv, D, S)).astype(np.int8))
+    vq = jnp.asarray(rng.integers(-127, 128, (Lyr, B, Hkv, S, D)).astype(np.int8))
+    ks = jnp.asarray(rng.uniform(0.5, 2.0, (Lyr, B, Hkv, S)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.5, 2.0, (Lyr, B, Hkv, S)).astype(np.float32))
+    lengths = jnp.asarray([117, 255, 0], jnp.int32)  # cache tokens per row
+    kn = jnp.asarray(rng.integers(-127, 128, (B, Hkv, D)).astype(np.int8))
+    vn = jnp.asarray(rng.integers(-127, 128, (B, Hkv, D)).astype(np.int8))
+    ksn = jnp.asarray(rng.uniform(0.5, 2.0, (B, Hkv)).astype(np.float32))
+    vsn = jnp.asarray(rng.uniform(0.5, 2.0, (B, Hkv)).astype(np.float32))
+    li = 1
+
+    # write-then-read reference
+    k2, v2 = np.asarray(kq).copy(), np.asarray(vq).copy()
+    ks2, vs2 = np.asarray(ks).copy(), np.asarray(vs).copy()
+    for b in range(B):
+        pos = int(lengths[b])
+        k2[li, b, :, :, pos] = np.asarray(kn[b])
+        v2[li, b, :, pos, :] = np.asarray(vn[b])
+        ks2[li, b, :, pos] = np.asarray(ksn[b])
+        vs2[li, b, :, pos] = np.asarray(vsn[b])
+    want = decode_attention_int8_stacked(
+        q, jnp.asarray(k2), jnp.asarray(ks2), jnp.asarray(v2), jnp.asarray(vs2),
+        li, lengths + 1, window=window)
+    got = decode_attention_int8_stacked(
+        q, kq, ks, vq, vs, li, lengths, new_kv=(kn, ksn, vn, vsn),
+        window=window)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

@@ -226,20 +226,23 @@ def model7b_decode(quant="nf4"):
     """Full-size Llama-7B decode (NOT in the default list: ~4 GB of weight
     init + several minutes of compile). Measured round 1: NF4 207 tok/s,
     int4 300, int8 339 (B=8, S=1024, int8 KV, one v5e). Arg format
-    "<quant>[-a8][@B]", e.g. "nf4-a8@64" for the large-batch serving
-    point (B=64 decode rows ride the round-3 W4A8 routing boundary)."""
+    "<quant>[-a8][.bsN][@B]", e.g. "nf4-a8.bs128" for the serving7b
+    preset or "nf4-a8@64" for a large-batch point."""
     from bitsandbytes_sycl_tpu.models.llama import (
         LlamaConfig, init_kv_cache, init_params, llama_forward,
     )
 
-    B, S = 8, 1024
+    B, S, bs = 8, 1024, 64
     if "@" in quant:
         quant, b_str = quant.split("@", 1)
         B = int(b_str)
+    if ".bs" in quant:
+        quant, bs_str = quant.split(".bs", 1)
+        bs = int(bs_str)
     a8 = quant.endswith("-a8")
     quant = quant[:-3] if a8 else quant
     cfg = LlamaConfig(max_seq_len=S, quant=quant, kv_quant=True, dtype=jnp.bfloat16,
-                      a8_decode=a8)
+                      a8_decode=a8, blocksize=bs)
     params = init_params(cfg, jax.random.PRNGKey(0))
     np.asarray(params["final_norm"])
     cache = init_kv_cache(cfg, B)
@@ -266,7 +269,7 @@ def model7b_decode(quant="nf4"):
         )
 
     t = (run(20) - run(5)) / 15
-    suffix = "_a8" if a8 else ""
+    suffix = ("_a8" if a8 else "") + (f"_bs{bs}" if bs != 64 else "")
     _emit(f"llama7b_{quant}{suffix}_int8kv_decode_b{B}", B / t, "tok/s", 200.0)
 
 
@@ -348,16 +351,20 @@ def model7b_paged_decode(arg="48"):
     Mirrors the engine's decode math exactly (same cache pytree contract
     as models/llama._paged_write_and_attend); page indirection is
     computed in-graph from positions (pages pre-allocated for the
-    measured horizon). Arg: "<B>" (default 48)."""
+    measured horizon). Arg: "<B>[.bsN]" (default 48, blocksize 64)."""
     from bitsandbytes_sycl_tpu.engine.paged import init_page_pool
     from bitsandbytes_sycl_tpu.models.llama import (
         LlamaConfig, init_params, llama_forward,
     )
 
+    bs = 64
+    if ".bs" in arg:
+        arg, bs_str = arg.split(".bs", 1)
+        bs = int(bs_str)
     B = int(arg)
     S, P = 4096, 128
     cfg = LlamaConfig(max_seq_len=S, quant="nf4", kv_quant=True,
-                      dtype=jnp.bfloat16, a8_decode=True)
+                      dtype=jnp.bfloat16, a8_decode=True, blocksize=bs)
     params = init_params(cfg, jax.random.PRNGKey(0))
     np.asarray(params["final_norm"])
 
@@ -406,7 +413,8 @@ def model7b_paged_decode(arg="48"):
         return min(ts)
 
     t = (run(20) - run(5)) / 15
-    _emit(f"llama7b_nf4_a8_PAGED_decode_b{B}_avg512", B / t, "tok/s", 200.0)
+    sfx = f"_bs{bs}" if bs != 64 else ""
+    _emit(f"llama7b_nf4_a8{sfx}_PAGED_decode_b{B}_avg512", B / t, "tok/s", 200.0)
 
 
 ALL = {

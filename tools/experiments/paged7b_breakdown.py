@@ -1,15 +1,15 @@
 #!/usr/bin/env python
 """Where does the B=48 paged 7B decode step spend its time? (real TPU)
 
-benchmarks/run.py model7b_paged_decode:48 measured ~95 ms/step (502
-tok/s) against a ~40-50 ms roofline estimate (weights ~3.8 GB + paged
-attention reads ~6.4 GB + trivial writes). This probe times the same
-jitted scan with pieces of _paged_write_and_attend knocked out:
-  full      — the shipped step (cache-hits the bench's compile)
-  no_write  — attend only, DUS pool writes skipped
-  no_attend — writes only, attention output replaced by q
+Round-3 history: the first probe attributed 36 ms of the 95.9 ms step
+to per-layer DUS pool writes (full 95.9 / no_write 60.2); the deferred
+layer-batched flush shipped and the step now measures ~75 ms (637
+tok/s). This probe re-attributes the remaining time:
+  full      — the shipped step (staging + new_kv attend + one flush)
+  no_write  — attend only (init_pend no-op'd: no staging, no flush)
+  no_attend — staging + flush, attention output replaced by q
   neither   — linears/norms/logits only
-The deltas attribute the step time to writes vs attend vs the rest.
+The deltas attribute the step to flush+staging vs attend vs the rest.
 """
 
 import faulthandler
@@ -42,31 +42,25 @@ cfg = L.LlamaConfig(max_seq_len=S, quant="nf4", kv_quant=True,
 _orig = L._paged_write_and_attend
 
 
-def _write_part(new_cache, li, kq, ks, vq, vs, pages, offs):
-    new_cache["k"] = L._paged_cache_write(
-        new_cache["k"], li, kq.transpose(0, 2, 3, 1), pages, offs, pos_axis=2)
-    new_cache["v"] = L._paged_cache_write(
-        new_cache["v"], li, vq.transpose(0, 2, 1, 3), pages, offs, pos_axis=1)
-    new_cache["k_scale"] = L._paged_cache_write(
-        new_cache["k_scale"], li, ks.transpose(0, 2, 1), pages, offs, pos_axis=1)
-    new_cache["v_scale"] = L._paged_cache_write(
-        new_cache["v_scale"], li, vs.transpose(0, 2, 1), pages, offs, pos_axis=1)
-    return new_cache
-
-
 def make_variant(write, attend):
     def fn(new_cache, li, q, k, v, positions, cfg):
         kq, ks = L._kv_quantize(k)
         vq, vs = L._kv_quantize(v)
-        if write:
-            new_cache = _write_part(
-                new_cache, li, kq, ks, vq, vs,
-                new_cache["write_page"], new_cache["write_off"])
+        if write:  # stage into pend (flush runs in llama_forward)
+            new_cache["pend_k"] = jax.lax.dynamic_update_slice(
+                new_cache["pend_k"], kq[None, :, 0], (li, 0, 0, 0))
+            new_cache["pend_v"] = jax.lax.dynamic_update_slice(
+                new_cache["pend_v"], vq[None, :, 0], (li, 0, 0, 0))
+            new_cache["pend_ks"] = jax.lax.dynamic_update_slice(
+                new_cache["pend_ks"], ks[None, :, 0], (li, 0, 0))
+            new_cache["pend_vs"] = jax.lax.dynamic_update_slice(
+                new_cache["pend_vs"], vs[None, :, 0], (li, 0, 0))
         if attend:
             attn = paged_decode_attention_int8_stacked(
                 q, new_cache["k"], new_cache["k_scale"],
                 new_cache["v"], new_cache["v_scale"], li,
-                new_cache["page_table"], positions[:, 0] + 1)
+                new_cache["page_table"], positions[:, 0],
+                new_kv=(kq[:, 0], ks[:, 0], vq[:, 0], vs[:, 0]))
             assert attn is not None
         else:
             attn = q
@@ -85,6 +79,7 @@ def main():
     pos0 = jnp.asarray(start)[:, None]
     toks = jnp.ones((B, 1), jnp.int32)
 
+    _orig_init = L.init_pend
     for name, write, attend in (
         ("full", True, True),
         ("no_write", False, True),
@@ -92,6 +87,9 @@ def main():
         ("neither", False, False),
     ):
         L._paged_write_and_attend = _orig if name == "full" else make_variant(write, attend)
+        # no staging -> no pend keys -> llama_forward skips the flush
+        L.init_pend = _orig_init if write or name == "full" else (
+            lambda c, p=None: c)
         # fresh pool + indirection arrays per variant: the whole cache
         # dict is donated, so every leaf is consumed by the prior variant
         pool = init_page_pool(cfg, B * maxp + 1, P)

@@ -134,9 +134,11 @@ class LlamaConfig:
     @classmethod
     def serving7b(cls, **kw):
         """Measured-best single-chip 7B serving preset (docs/PERFORMANCE.md
-        + docs/ACCURACY.md): NF4 at blocksize 128 with W4A8 decode —
-        276 tok/s at B=8 vs 207 for the exact default, at a model-level
-        ppl cost measured ~zero on top of NF4's +0.5%."""
+        + docs/ACCURACY.md): NF4 at blocksize 128 with W4A8 decode and
+        deferred cache writes — 292 tok/s at B=8 (r3) vs 207 for the
+        exact default, at a model-level ppl cost measured ~zero on top
+        of NF4's +0.5%. Paged serving at B=48 reaches 637+ tok/s
+        aggregate (benchmarks/run.py model7b_paged_decode)."""
         defaults = dict(
             quant="nf4", blocksize=128, a8_decode=True,
             absmax_dtype="bfloat16", kv_quant=True,

@@ -37,7 +37,7 @@ from bitsandbytes_sycl_tpu.ops.paged_attention import (
 
 B, S, P = 48, 4096, 128
 cfg = L.LlamaConfig(max_seq_len=S, quant="nf4", kv_quant=True,
-                    dtype=jnp.bfloat16, a8_decode=True)
+                    dtype=jnp.bfloat16, a8_decode=True, blocksize=128)
 
 _orig = L._paged_write_and_attend
 

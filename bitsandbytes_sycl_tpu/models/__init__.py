@@ -3,7 +3,8 @@ reference lacks — its only models are an MLP test net and HF GPT-J via
 hooks, tests_pvc/test_simple_nn.py, test_int8_hf.py)."""
 
 from . import gemma, gptj, llama, lora, mistral, mixtral, neox, phi, qwen2
-from .gemma import GemmaConfig, gemma_forward, load_gemma_from_hf
+from .gemma import (Gemma2Config, GemmaConfig, gemma2_forward,
+                    gemma_forward, load_gemma2_from_hf, load_gemma_from_hf)
 from .gptj import GPTJConfig, gptj_forward, init_gptj_kv_cache, init_gptj_params
 from .llama import LlamaConfig, init_params, llama_forward, quantize_params
 from .lora import init_lora, merge_lora, qlora_loss_fn
@@ -21,6 +22,7 @@ __all__ = [
     "MixtralConfig", "mixtral_forward", "load_mixtral_from_hf",
     "Qwen2Config", "qwen2_forward", "load_qwen2_from_hf",
     "GemmaConfig", "gemma_forward", "load_gemma_from_hf",
+    "Gemma2Config", "gemma2_forward", "load_gemma2_from_hf",
     "PhiConfig", "phi_forward", "load_phi_from_hf",
     "NeoXConfig", "neox_forward", "load_neox_from_hf",
     "init_lora", "merge_lora", "qlora_loss_fn",

@@ -846,12 +846,15 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
                 softcap=softcap, sm_scale=sm_scale,
             )
         elif T > 1 and _use_fused_decode_attn(cfg):
-            from ..ops.attention import prefill_attention_int8
+            from ..ops.attention import prefill_attention_int8_stacked
 
-            # causal flash prefill over the just-written int8 cache
-            attn = prefill_attention_int8(
-                q, new_cache["k"][li], new_cache["k_scale"][li],
-                new_cache["v"][li], new_cache["v_scale"][li],
+            # causal flash prefill over the just-written int8 cache —
+            # layer-stacked with li scalar-prefetched (slicing cache[li]
+            # materializes the layer's panes; chunked prefill would pay
+            # that once per chunk per layer)
+            attn = prefill_attention_int8_stacked(
+                q, new_cache["k"], new_cache["k_scale"],
+                new_cache["v"], new_cache["v_scale"], li,
                 starts=starts, window=window,
                 softcap=softcap, sm_scale=sm_scale,
             )

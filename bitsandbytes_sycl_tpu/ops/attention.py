@@ -43,6 +43,7 @@ __all__ = [
     "decode_attention_int8",
     "decode_attention_int8_stacked",
     "prefill_attention_int8",
+    "prefill_attention_int8_stacked",
 ]
 
 
@@ -431,6 +432,111 @@ def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts, window=None,
         ),
         interpret=interpret_mode(),
     )(starts.astype(jnp.int32), q4, kq, ks4, vq, vs4)
+
+
+@partial(jax.jit, static_argnames=("tq", "ts", "window", "softcap", "sm_scale"))
+def _prefill_attn_call_stacked(q4, kq, ks5, vq, vs5, li, starts, tq, ts,
+                               window=None, softcap=None, sm_scale=None):
+    B, Hq, T, D = q4.shape
+    S, Hkv = vq.shape[3], vq.shape[2]
+    nq, nkv = T // tq, S // ts
+    rep = Hq // Hkv
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hq, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, D),
+                         lambda b, h, qi, si, li, L: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 1, D, ts),
+                lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, 0, si),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 1, 1, ts),
+                lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, 0, si),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 1, ts, D),
+                lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, si, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 1, 1, ts),
+                lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, 0, si),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tq, D), lambda b, h, qi, si, li, L: (b, h, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, D), jnp.float32),
+        ],
+    )
+
+    def kernel(li_ref, start_ref, *refs, **kw):
+        # same math as _prefill_kernel; li only picks cache blocks
+        return _prefill_kernel(start_ref, *refs, **kw)
+
+    return pl.pallas_call(
+        functools.partial(
+            kernel, tq=tq, ts=ts, nkv=nkv,
+            scale=(sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))) / 127.0,
+            window=window, softcap=softcap,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, T, D), q4.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * T * S * D,
+            bytes_accessed=2 * B * S * Hkv * D + B * Hq * T * D * 4,
+            transcendentals=B * Hq * T * S,
+        ),
+        interpret=interpret_mode(),
+    )(li.astype(jnp.int32), starts.astype(jnp.int32), q4, kq, ks5, vq, vs5)
+
+
+def prefill_attention_int8_stacked(
+    q: jax.Array,  # (B, T, Hq, D)
+    kq: jax.Array,  # (L, B, Hkv, D, S) int8 — layer-stacked cache
+    ks: jax.Array,  # (L, B, Hkv, S)
+    vq: jax.Array,  # (L, B, Hkv, S, D) int8
+    vs: jax.Array,  # (L, B, Hkv, S)
+    li,  # int or (1,) int32 — layer to attend over
+    starts: jax.Array,  # (B,) absolute position of query row 0 per batch
+    tq: int = 256,
+    ts: int = 512,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    sm_scale: Optional[float] = None,
+) -> Optional[jax.Array]:
+    """prefill_attention_int8 over layer `li` of the layer-STACKED engine
+    cache — same no-slice rule as the decode kernels (slicing cache[li]
+    as the operand materializes the layer's full panes every call, which
+    chunked prefill pays once per CHUNK per layer)."""
+    B, T, Hq, D = q.shape
+    L, Hkv, S = vq.shape[0], vq.shape[2], vq.shape[3]
+    if D % 128 != 0 or Hq % Hkv != 0:
+        return None
+    tq = min(tq, T)
+    while T % tq != 0 and tq > 8:
+        tq //= 2
+    ts = min(ts, S)
+    while S % ts != 0 and ts >= 256:
+        ts //= 2
+    if T % tq != 0 or S % ts != 0 or tq < 8 or ts < 128:
+        return None
+    if window is not None and window >= S:
+        window = None  # can never bind
+    q4 = q.transpose(0, 2, 1, 3)  # (B, Hq, T, D)
+    li = jnp.asarray(li, jnp.int32).reshape(1)
+    out = _prefill_attn_call_stacked(
+        q4, kq, ks.reshape(L, B, Hkv, 1, S), vq, vs.reshape(L, B, Hkv, 1, S),
+        li, starts, tq, ts, window=window, softcap=softcap, sm_scale=sm_scale,
+    )
+    return out.transpose(0, 2, 1, 3)
 
 
 def prefill_attention_int8(

@@ -766,3 +766,30 @@ def test_decode_attention_stacked_new_kv_matches_write_then_read(window):
         window=window)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("window", [None, 64])
+def test_prefill_attention_int8_stacked_layer_select(window):
+    """The layer-stacked prefill kernel must attend over exactly layer
+    `li` (scalar-prefetched block selection — no cache[li] slice)."""
+    from bitsandbytes_sycl_tpu.ops.attention import (
+        prefill_attention_int8, prefill_attention_int8_stacked,
+    )
+
+    Lyr, B, T, S, Hkv, D = 3, 2, 64, 256, 2, 128
+    rng = np.random.default_rng(17)
+    q = jnp.asarray(rng.normal(size=(B, T, 2 * Hkv, D)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (Lyr, B, Hkv, D, S)).astype(np.int8))
+    vq = jnp.asarray(rng.integers(-127, 128, (Lyr, B, Hkv, S, D)).astype(np.int8))
+    ks = jnp.asarray(rng.uniform(0.5, 2.0, (Lyr, B, Hkv, S)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.5, 2.0, (Lyr, B, Hkv, S)).astype(np.float32))
+    starts = jnp.asarray([0, 100], jnp.int32)
+
+    for li in range(Lyr):
+        want = prefill_attention_int8(
+            q, kq[li], ks[li], vq[li], vs[li], starts, window=window)
+        got = prefill_attention_int8_stacked(
+            q, kq, ks, vq, vs, li, starts, window=window)
+        assert got is not None
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

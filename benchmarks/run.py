@@ -351,13 +351,19 @@ def model7b_paged_decode(arg="48"):
     Mirrors the engine's decode math exactly (same cache pytree contract
     as models/llama._paged_write_and_attend); page indirection is
     computed in-graph from positions (pages pre-allocated for the
-    measured horizon). Arg: "<B>[.bsN]" (default 48, blocksize 64)."""
+    measured horizon). Arg: "<B>[.bsN][.lenN]" (default 48, blocksize
+    64, avg live length 512 — e.g. "16.bs128.len2048" for the
+    long-context point; mind the pool budget: B x ceil((len+153)/128)
+    pages x 33.6 MB must fit beside ~4 GB of weights)."""
     from bitsandbytes_sycl_tpu.engine.paged import init_page_pool
     from bitsandbytes_sycl_tpu.models.llama import (
         LlamaConfig, init_params, llama_forward,
     )
 
-    bs = 64
+    bs, avg_len = 64, 512
+    if ".len" in arg:
+        arg, len_str = arg.split(".len", 1)
+        avg_len = int(len_str)
     if ".bs" in arg:
         arg, bs_str = arg.split(".bs", 1)
         bs = int(bs_str)
@@ -368,9 +374,9 @@ def model7b_paged_decode(arg="48"):
     params = init_params(cfg, jax.random.PRNGKey(0))
     np.asarray(params["final_norm"])
 
-    # mixed live lengths averaging ~512; horizon = start + 25 steps
+    # mixed live lengths averaging ~avg_len; horizon = start + 25 steps
     rng = np.random.default_rng(0)
-    start = rng.integers(384, 640, size=(B,)).astype(np.int32)
+    start = rng.integers(avg_len - 128, avg_len + 128, size=(B,)).astype(np.int32)
     maxp = int(np.ceil((int(start.max()) + 25) / P))
     n_pages = B * maxp + 1  # + reserved trash page
     pool = init_page_pool(cfg, n_pages, P)
@@ -414,7 +420,7 @@ def model7b_paged_decode(arg="48"):
 
     t = (run(20) - run(5)) / 15
     sfx = f"_bs{bs}" if bs != 64 else ""
-    _emit(f"llama7b_nf4_a8{sfx}_PAGED_decode_b{B}_avg512", B / t, "tok/s", 200.0)
+    _emit(f"llama7b_nf4_a8{sfx}_PAGED_decode_b{B}_avg{avg_len}", B / t, "tok/s", 200.0)
 
 
 ALL = {

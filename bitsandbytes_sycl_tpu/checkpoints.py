@@ -228,11 +228,11 @@ def load_llama_from_hf(model_dir: str, cfg=None, use_native_quantizer: bool = Tr
         return jnp.asarray(np.asarray(tensors[name], np.float32))
 
     layers = []
+    lmap = (_HF_LAYER_MAP_SANDWICH
+            if getattr(cfg, "sandwich_norms", False) else _HF_LAYER_MAP)
     for li in range(cfg.num_layers):
         pre = f"model.layers.{li}."
         layer = {}
-        lmap = (_HF_LAYER_MAP_SANDWICH
-                if getattr(cfg, "sandwich_norms", False) else _HF_LAYER_MAP)
         for ours, theirs in lmap.items():
             w = get(pre + theirs)
             layer[ours] = _quantize_linear(w, cfg) if ours.endswith("_proj") else w

@@ -179,14 +179,10 @@ def gptj_forward(
         mask = jnp.broadcast_to(jnp.tril(jnp.ones((T, T), bool))[None], (B, T, T))
 
     new_cache = dict(cache) if use_cache else None
-    if use_cache and T == 1:
-        from .llama import _stacked_decode_ok, _use_fused_decode_attn, init_pend
+    if use_cache:
+        from .llama import maybe_init_pend
 
-        if "page_table" in new_cache:
-            new_cache = init_pend(new_cache)
-        elif (cfg.kv_quant and _use_fused_decode_attn(cfg)
-              and _stacked_decode_ok(cfg)):
-            new_cache = init_pend(new_cache, positions)
+        new_cache = maybe_init_pend(new_cache, cfg, T, positions)
     for li, layer in enumerate(params["layers"]):
         h = _ln(x, layer["ln_w"], layer["ln_b"], cfg.ln_eps)
         # GPT-NeoX: the parallel MLP branch reads its OWN LayerNorm of

@@ -413,7 +413,10 @@ def _cache_write(arr: jax.Array, li: int, upd: jax.Array, starts: jax.Array, pos
     volume is trivial and unrolled DUS provably stays in place; the
     one-shot prefill inserts (engine insert_fn / paged_ingest) keep
     their fori_loops — a possible one-time copy per ADMISSION is
-    bounded, unlike one per decode step.
+    bounded, unlike one per decode step. NOTE: decode configs that fail
+    _stacked_decode_ok (e.g. 2*S*D > 8 MB VMEM at very long max_seq)
+    fall back to this per-layer chain at 4xBxL ops per step — use the
+    PAGED cache for long-context serving; its deferral has no such gate.
     """
     B = upd.shape[0]
 
@@ -446,16 +449,9 @@ def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
     pages, offs = new_cache["write_page"], new_cache["write_off"]
     from ..ops.paged_attention import paged_decode_attention_int8_stacked
 
-    # stage this layer's token (pend leaves exist in decode steps; the
-    # engine creates them via init_paged_pend in llama_forward)
-    new_cache["pend_k"] = jax.lax.dynamic_update_slice(
-        new_cache["pend_k"], kq[None, :, 0], (li, 0, 0, 0))
-    new_cache["pend_v"] = jax.lax.dynamic_update_slice(
-        new_cache["pend_v"], vq[None, :, 0], (li, 0, 0, 0))
-    new_cache["pend_ks"] = jax.lax.dynamic_update_slice(
-        new_cache["pend_ks"], ks[None, :, 0], (li, 0, 0))
-    new_cache["pend_vs"] = jax.lax.dynamic_update_slice(
-        new_cache["pend_vs"], vs[None, :, 0], (li, 0, 0))
+    # stage this layer's token (pend leaves exist in decode steps;
+    # maybe_init_pend creates them at forward entry)
+    _stage_pend(new_cache, li, kq, ks, vq, vs)
 
     lengths = positions[:, 0]  # tokens IN THE POOL (current one rides new_kv)
     new_kv = (kq[:, 0], ks[:, 0], vq[:, 0], vs[:, 0])
@@ -502,6 +498,35 @@ def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
     return _attention(q, k_full, v_full, mask, cfg.dtype,
                       sm_scale=_sm_scale(cfg),
                       softcap=getattr(cfg, "attn_logit_softcap", None)), new_cache
+
+
+def _stage_pend(new_cache: Dict, li: int, kq, ks, vq, vs) -> None:
+    """Write layer li's quantized token into the pend staging buffers
+    (static-index DUS, in place; shared by the paged and contiguous
+    deferred-write paths)."""
+    new_cache["pend_k"] = jax.lax.dynamic_update_slice(
+        new_cache["pend_k"], kq[None, :, 0], (li, 0, 0, 0))
+    new_cache["pend_v"] = jax.lax.dynamic_update_slice(
+        new_cache["pend_v"], vq[None, :, 0], (li, 0, 0, 0))
+    new_cache["pend_ks"] = jax.lax.dynamic_update_slice(
+        new_cache["pend_ks"], ks[None, :, 0], (li, 0, 0))
+    new_cache["pend_vs"] = jax.lax.dynamic_update_slice(
+        new_cache["pend_vs"], vs[None, :, 0], (li, 0, 0))
+
+
+def maybe_init_pend(new_cache: Dict, cfg, T: int, positions) -> Dict:
+    """Decode-step (T=1) deferred-write gating, shared by every forward
+    (llama, gptj): the paged pool always defers; the contiguous int8
+    cache defers when the stacked flash kernel will actually run
+    (TPU + tileable shapes) — the XLA fallback keeps immediate writes."""
+    if T != 1:
+        return new_cache
+    if "page_table" in new_cache:
+        return init_pend(new_cache)
+    if (cfg.kv_quant and _use_fused_decode_attn(cfg)
+            and _stacked_decode_ok(cfg)):
+        return init_pend(new_cache, positions)
+    return new_cache
 
 
 def init_pend(new_cache: Dict, positions=None) -> Dict:
@@ -801,14 +826,7 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
             # chains cost ~6 us per tiny op x 4 x B x L
             from ..ops.attention import decode_attention_int8_stacked
 
-            new_cache["pend_k"] = jax.lax.dynamic_update_slice(
-                new_cache["pend_k"], kq[None, :, 0], (li, 0, 0, 0))
-            new_cache["pend_v"] = jax.lax.dynamic_update_slice(
-                new_cache["pend_v"], vq[None, :, 0], (li, 0, 0, 0))
-            new_cache["pend_ks"] = jax.lax.dynamic_update_slice(
-                new_cache["pend_ks"], ks[None, :, 0], (li, 0, 0))
-            new_cache["pend_vs"] = jax.lax.dynamic_update_slice(
-                new_cache["pend_vs"], vs[None, :, 0], (li, 0, 0))
+            _stage_pend(new_cache, li, kq, ks, vq, vs)
             attn = decode_attention_int8_stacked(
                 q, new_cache["k"], new_cache["k_scale"],
                 new_cache["v"], new_cache["v_scale"], li,
@@ -949,16 +967,8 @@ def llama_forward(
     sandwich = bool(getattr(cfg, "sandwich_norms", False))
 
     new_cache = dict(cache) if use_cache else None
-    if use_cache and T == 1:
-        # deferred-write decode: per-layer tokens stage into pend buffers
-        # and land once after the loop (flush_paged_writes) — for the
-        # paged pool always, for the contiguous int8 cache whenever the
-        # stacked flash kernel will run (TPU + tileable shapes)
-        if "page_table" in new_cache:
-            new_cache = init_pend(new_cache)
-        elif (cfg.kv_quant and _use_fused_decode_attn(cfg)
-              and _stacked_decode_ok(cfg)):
-            new_cache = init_pend(new_cache, positions)
+    if use_cache:
+        new_cache = maybe_init_pend(new_cache, cfg, T, positions)
     for li, layer in enumerate(params["layers"]):
         lcfg, lmask = cfg, mask
         if alternating and li % 2 == 1:

@@ -91,10 +91,10 @@ def _attn_kernel(
 
     if has_new:
         # fold THIS STEP's token in from registers — exact softmax over
-        # the (S+1)-length row; always valid (distance 0 from the query)
-        q_f = q_ref[:].reshape(R, -1).astype(jnp.float32)
+        # the (S+1)-length row; always valid (distance 0 from the query).
+        # `q` is the same f32 operand the score dot used above.
         kn = kn_ref[:].reshape(1, -1).astype(jnp.float32)  # (1, D)
-        sc_new = jnp.sum(q_f * kn, axis=1, keepdims=True)  # (R, 1)
+        sc_new = jnp.sum(q * kn, axis=1, keepdims=True)  # (R, 1)
         sc_new = sc_new * (ksn_ref[:].reshape(1, 1) * scale)
         if softcap is not None:
             sc_new = softcap * jnp.tanh(sc_new * jnp.float32(1.0 / softcap))

@@ -304,7 +304,6 @@ def paged_decode_attention_int8_stacked(
         return None
     q4 = q.reshape(B, Hkv, Hq // Hkv, D)
     li = jnp.asarray(li, jnp.int32).reshape(1)
-    P = vp.shape[3]
     if window is not None and window >= page_table.shape[1] * P:
         window = None  # can never bind
     out = _paged_attn_call(q4, kp, ks, vp, vs, li, page_table, lengths,

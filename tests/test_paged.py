@@ -420,3 +420,51 @@ def test_paged_kernel_sliding_window_matches_contiguous():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("window", [None, 100])
+def test_paged_attend_new_kv_matches_write_then_read(window):
+    """Deferred-write paged decode: attending the one-step-stale pool
+    with the current token folded in from registers (new_kv) must equal
+    writing the token into its page first and attending with lengths+1 —
+    pins the paged kernel's has_new finalize (its own scratch reuse and
+    alpha rescale, separate from attention.py's) in interpret mode."""
+    from bitsandbytes_sycl_tpu.ops.paged_attention import (
+        paged_decode_attention_int8_stacked,
+    )
+
+    Lyr, B, S, Hq, Hkv, D, P = 2, 3, 512, 4, 2, 128, 128
+    npg = S // P
+    NP = B * npg + 1
+    rng = np.random.default_rng(19)
+    kp = jnp.asarray(rng.integers(-127, 128, (Lyr, NP, Hkv, P, D)).astype(np.int8))
+    vp = jnp.asarray(rng.integers(-127, 128, (Lyr, NP, Hkv, P, D)).astype(np.int8))
+    ksp = jnp.asarray(rng.uniform(0.5, 2.0, (Lyr, NP, Hkv, P)).astype(np.float32))
+    vsp = jnp.asarray(rng.uniform(0.5, 2.0, (Lyr, NP, Hkv, P)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+    table = jnp.asarray(np.arange(1, NP).reshape(B, npg).astype(np.int32))
+    lengths = jnp.asarray([511, 200, 0], jnp.int32)  # POOL tokens per row
+    kn = jnp.asarray(rng.integers(-127, 128, (B, Hkv, D)).astype(np.int8))
+    vn = jnp.asarray(rng.integers(-127, 128, (B, Hkv, D)).astype(np.int8))
+    ksn = jnp.asarray(rng.uniform(0.5, 2.0, (B, Hkv)).astype(np.float32))
+    vsn = jnp.asarray(rng.uniform(0.5, 2.0, (B, Hkv)).astype(np.float32))
+    li = 1
+
+    # write-then-read reference
+    k2, v2 = np.asarray(kp).copy(), np.asarray(vp).copy()
+    ks2, vs2 = np.asarray(ksp).copy(), np.asarray(vsp).copy()
+    for b in range(B):
+        pos = int(lengths[b])
+        pg, off = int(table[b, pos // P]), pos % P
+        k2[li, pg, :, off, :] = np.asarray(kn[b])
+        v2[li, pg, :, off, :] = np.asarray(vn[b])
+        ks2[li, pg, :, off] = np.asarray(ksn[b])
+        vs2[li, pg, :, off] = np.asarray(vsn[b])
+    want = paged_decode_attention_int8_stacked(
+        q, jnp.asarray(k2), jnp.asarray(ks2), jnp.asarray(v2), jnp.asarray(vs2),
+        li, table, lengths + 1, window=window)
+    got = paged_decode_attention_int8_stacked(
+        q, kp, ksp, vp, vsp, li, table, lengths,
+        new_kv=(kn, ksn, vn, vsn), window=window)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

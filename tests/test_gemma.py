@@ -187,3 +187,49 @@ def test_gemma2_engine_decode_matches_uncached():
         logits, _ = gemma2_forward(params, cfg, jnp.asarray([seq]))
         seq.append(int(jnp.argmax(logits[0, -1])))
     assert out == seq[len(prompt):], (out, seq[len(prompt):])
+
+
+def test_gemma2_tensor_parallel_matches_single_device():
+    """Gemma-2 hooks under TP: sandwich norms replicate (generic 1D-leaf
+    spec), softcaps/query scale are static kernel params inside the
+    shard_map body, and the alternating-window per-layer config replace
+    stays trace-time static — TP logits must match single-device."""
+    from bitsandbytes_sycl_tpu.models.gemma import Gemma2Config, gemma2_forward
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from bitsandbytes_sycl_tpu.parallel.llama_tp import (
+        llama_forward_tp, shard_llama_params,
+    )
+
+    cfg = Gemma2Config.tiny(
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+        quant="nf4", kv_quant=False, dtype=jnp.float32,
+        sliding_window=4, query_scale=16.0,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    mesh = make_mesh({"model": 2})
+    sharded = shard_llama_params(params, cfg, mesh)
+    toks = jnp.asarray(np.random.default_rng(2).integers(0, 256, (2, 8)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    logits_tp, _ = llama_forward_tp(sharded, cfg, toks, None, positions, mesh)
+    logits_1d, _ = gemma2_forward(params, cfg, toks)
+    np.testing.assert_allclose(
+        np.asarray(logits_tp, np.float32), np.asarray(logits_1d, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_gemma2_paged_engine_matches_contiguous():
+    """Gemma-2 through the paged engine (gather fallback at hd=64 —
+    softcap/scale/window ride the XLA path) vs the contiguous engine."""
+    from bitsandbytes_sycl_tpu.engine import EngineConfig, InferenceEngine
+    from bitsandbytes_sycl_tpu.models.gemma import Gemma2Config
+
+    cfg = Gemma2Config.tiny(quant="nf4", kv_quant=True, dtype=jnp.float32,
+                            max_seq_len=256, sliding_window=16, head_dim=64)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    prompts = [[3, 17, 5, 9], [42, 7, 8]]
+    ref = InferenceEngine(cfg, params, EngineConfig(max_batch=2)).generate(
+        prompts, max_new_tokens=6)
+    out = InferenceEngine(cfg, params, EngineConfig(max_batch=2, paged=True)).generate(
+        prompts, max_new_tokens=6)
+    assert out == ref, (out, ref)

@@ -360,17 +360,21 @@ def model7b_paged_decode(arg="48"):
         LlamaConfig, init_params, llama_forward,
     )
 
-    bs, avg_len = 64, 512
+    bs, avg_len, quant = 64, 512, "nf4"
     if ".len" in arg:
         arg, len_str = arg.split(".len", 1)
         avg_len = int(len_str)
     if ".bs" in arg:
         arg, bs_str = arg.split(".bs", 1)
         bs = int(bs_str)
+    if "." in arg:  # e.g. "48.int4" — quant type suffix
+        arg, quant = arg.split(".", 1)
     B = int(arg)
     S, P = 4096, 128
-    cfg = LlamaConfig(max_seq_len=S, quant="nf4", kv_quant=True,
-                      dtype=jnp.bfloat16, a8_decode=True, blocksize=bs)
+    # a8_decode only pays for LUT codebooks (docs/PERFORMANCE.md)
+    cfg = LlamaConfig(max_seq_len=S, quant=quant, kv_quant=True,
+                      dtype=jnp.bfloat16, a8_decode=(quant != "int4"),
+                      blocksize=bs)
     params = init_params(cfg, jax.random.PRNGKey(0))
     np.asarray(params["final_norm"])
 
@@ -419,8 +423,8 @@ def model7b_paged_decode(arg="48"):
         return min(ts)
 
     t = (run(20) - run(5)) / 15
-    sfx = f"_bs{bs}" if bs != 64 else ""
-    _emit(f"llama7b_nf4_a8{sfx}_PAGED_decode_b{B}_avg{avg_len}", B / t, "tok/s", 200.0)
+    sfx = ("_a8" if cfg.a8_decode else "") + (f"_bs{bs}" if bs != 64 else "")
+    _emit(f"llama7b_{quant}{sfx}_PAGED_decode_b{B}_avg{avg_len}", B / t, "tok/s", 200.0)
 
 
 ALL = {

@@ -25,11 +25,12 @@ except K — see the write-kernel note):
   = 4096 grid steps of 16 KB DMAs are pure per-step overhead. Folding
   heads into the block cuts the grid 32x and makes every DMA a full
   page slab (the same tradeoff jax's reference paged kernel makes by
-  hand-rolling multi-page async copies per compute block). Measured:
-  168 us in-order / 170 us SHUFFLED page table vs 217 us contiguous —
-  faster than the contiguous kernel (page slabs are contiguous in HBM;
-  the contiguous cache's (1,1,D,S) blocks stride across (B,H,D,S)) and
-  locality-insensitive.
+  hand-rolling multi-page async copies per compute block). Measured
+  (transposed-K variant): 168 us in-order / 170 us shuffled vs 217 us
+  contiguous; the SHIPPED token-major variant measures 174-211 us —
+  still at-or-under the contiguous kernel (page slabs are contiguous
+  in HBM; the contiguous cache's (1,1,D,S) blocks stride across
+  (B,H,D,S)) and locality-insensitive (shuffled within run noise).
 - the LAYER index rides as a scalar-prefetch operand over the stacked
   (L, ...) pool, so per-layer calls share ONE compiled kernel and XLA
   never materializes a per-layer pool slice (a sliced (NP,Hkv,D,P)

@@ -217,11 +217,12 @@ def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None, lora_ids=None) ->
     if isinstance(w, QLinearWeight):
         rows = int(np.prod(x.shape[:-1]))
         # int4's arithmetic decode already beats W4A8 (docs/PERFORMANCE.md).
-        # W4A8-vs-exact crossover (measured twice, docs/PERFORMANCE.md round-3
-        # probe): W4A8 wins through M=64 at every blocksize (0.85-0.95x bf16
-        # vs exact 0.59-0.75x) and through M=256 when the sub-dot K
-        # (= blocksize) is 256; the exact m-tile kernel wins at M>=1024.
-        lim = 256 if w.blocksize >= 256 else 64
+        # W4A8-vs-exact crossover (re-measured after the single-tile
+        # padding fix, docs/PERFORMANCE.md): W4A8 wins through M=128 at
+        # every blocksize (M=128/bs128: 0.79x bf16 vs exact 0.52x) and
+        # through M=256 when the sub-dot K (= blocksize) is 256; the
+        # exact m-tile kernel wins from M~1024.
+        lim = 256 if w.blocksize >= 256 else 128
         if getattr(cfg, "a8_decode", False) and 0 < rows <= lim and w.quant_type != "int4":
             from ..ops.matmul_w4a8 import matmul_4bit_w4a8
 

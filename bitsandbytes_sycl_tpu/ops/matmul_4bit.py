@@ -434,11 +434,22 @@ def _matmul_4bit_fused_impl(
             out = out + bias
         return out.reshape(*lead, N)
 
-    tm = _pick_tile(M, _tm_candidates(tkb, compute_dtype, whole_half))
-    if tm is None:  # pad small/ragged M up to a multiple of 8
+    # the weight DECODES ONCE PER M-TILE, so tile COUNT dominates tile
+    # fit: pad M up to ONE tile whenever a candidate covers it (M=48
+    # divided into 3x16 tiles ran the W4A8 sibling 2.8x slower than one
+    # padded 64-row tile; the same re-decode applies here). Past the
+    # largest candidate, fall back to the divisor pick (+ multiple-of-8
+    # padding for ragged M) — large-M prefill routes to the
+    # dequant-to-HBM path before tile count matters.
+    cands = _tm_candidates(tkb, compute_dtype, whole_half)
+    one_tile = min((c for c in cands if c >= M), default=None)
+    tm = one_tile if one_tile is not None else _pick_tile(M, cands)
+    Mp = one_tile if one_tile is not None else M
+    if tm is None:  # pad ragged large M up to a multiple of 8
         Mp = ((M + 7) // 8) * 8
+        tm = _pick_tile(Mp, cands)
+    if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        tm = _pick_tile(Mp, _tm_candidates(tkb, compute_dtype, whole_half))
         out = _matmul_4bit_call(x2, w, bias, compute_dtype, tm, tn, tkb, decode_dtype)
         return out[:M].reshape(*lead, N)
 

@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import QLinearWeight, interpret_mode, pick_tile as _pick_tile, safe_inv
+from .common import QLinearWeight, interpret_mode, safe_inv
 
 __all__ = ["matmul_4bit_w4a8"]
 
@@ -210,12 +210,20 @@ def _w4a8_impl(
     ):
         return matmul_4bit_fused(x, w, bias, compute_dtype=out_dtype)
     x2 = x.reshape(M, K).astype(jnp.float32)
-    tm = _pick_tile(M, (128, 64, 32, 16, 8))
-    Mp = M
-    if tm is None:  # pad ragged M (decode B=1..7) up to a multiple of 8
-        Mp = ((M + 7) // 8) * 8
+    # PAD M up to the fewest possible m-tiles: the kernel re-decodes the
+    # 4-bit weight per m-tile, so tile COUNT dominates — M=48 divided
+    # into 3x16 tiles measured 135 us for 4096x4096/bs128 while one
+    # padded 64-row tile runs 52 us (the padded rows are free MXU work
+    # in this weight-bound regime). One tile whenever M <= 128, else
+    # 128-row tiles over M padded to a multiple of 128.
+    if M <= 128:
+        Mp = next(c for c in (8, 16, 32, 64, 128) if c >= M)
+        tm = Mp
+    else:
+        Mp = ((M + 127) // 128) * 128
+        tm = 128
+    if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        tm = _pick_tile(Mp, (128, 64, 32, 16, 8))
     row_absmax = jnp.max(jnp.abs(x2), axis=1)
     out = _w4a8_call(x2, row_absmax, w, bias, out_dtype, tm, tn, tkb)
     return out[:M].reshape(*lead, N)

@@ -361,6 +361,17 @@ def model7b_paged_decode(arg="48"):
     )
 
     bs, avg_len, quant = 64, 512, "nf4"
+    # ".wide": ENGINE-REALISTIC table width (max_seq_len/P = 32 columns,
+    # trailing ones garbage) instead of the horizon-sized table — this
+    # is what the engine's allocator hands the kernel. ".widehint" adds
+    # the pow2-bucketed cfg.pages_hint the engine now sets per step;
+    # wide-without-hint measures the trailing-grid-step overhead the
+    # hint removes (ops/paged_attention.py docstring).
+    wide = hint = False
+    if arg.endswith(".widehint"):
+        arg, wide, hint = arg[: -len(".widehint")], True, True
+    elif arg.endswith(".wide"):
+        arg, wide = arg[: -len(".wide")], True
     if ".len" in arg:
         arg, len_str = arg.split(".len", 1)
         avg_len = int(len_str)
@@ -384,8 +395,14 @@ def model7b_paged_decode(arg="48"):
     maxp = int(np.ceil((int(start.max()) + 25) / P))
     n_pages = B * maxp + 1  # + reserved trash page
     pool = init_page_pool(cfg, n_pages, P)
-    table = jnp.asarray(
-        np.arange(1, B * maxp + 1, dtype=np.int32).reshape(B, maxp))
+    tab_np = np.arange(1, B * maxp + 1, dtype=np.int32).reshape(B, maxp)
+    if wide:  # engine-realistic width; pool unchanged (table is tiny)
+        tab_np = np.pad(tab_np, ((0, 0), (0, S // P - maxp)))
+        if hint:
+            from bitsandbytes_sycl_tpu.engine.engine import _pow2_bucket
+            cfg = dataclasses.replace(
+                cfg, pages_hint=_pow2_bucket(maxp, S // P))
+    table = jnp.asarray(tab_np)
     pos0 = jnp.asarray(start)[:, None]
     toks = jnp.ones((B, 1), jnp.int32)
     cache = dict(pool, page_table=table,
@@ -424,6 +441,7 @@ def model7b_paged_decode(arg="48"):
 
     t = (run(20) - run(5)) / 15
     sfx = ("_a8" if cfg.a8_decode else "") + (f"_bs{bs}" if bs != 64 else "")
+    sfx += ("_widehint" if (wide and hint) else "_wide" if wide else "")
     _emit(f"llama7b_{quant}{sfx}_PAGED_decode_b{B}_avg{avg_len}", B / t, "tok/s", 200.0)
 
 

@@ -277,18 +277,24 @@ class InferenceEngine:
             logits, cache = fwd_l(params, mcfg, tokens, cache, positions, ids)
             return sample(logits[:, 0], key), cache
 
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(9,))
         def paged_decode_fn(params, pool, page_table, write_page, write_off,
-                            tokens, positions, key, ids):
+                            tokens, positions, key, ids, pages_hint):
             """Paged decode step: the pool pytree is DONATED so page
             writes stay in place; the host-resolved indirection (table +
             this step's write page/offset per row) rides inside the cache
-            dict, which write_and_attend recognizes."""
+            dict, which write_and_attend recognizes. `pages_hint`
+            (static, power-of-two-bucketed by step()) truncates the
+            attend grid to the live page horizon — trailing grid steps
+            cost ~0.1-0.3 us each even when skipped, 2.2x the whole
+            attend at the B=48 avg-512 point (ops/paged_attention.py)."""
             cache = dict(pool)
             cache["page_table"] = page_table
             cache["write_page"] = write_page
             cache["write_off"] = write_off
-            logits, cache = fwd_l(params, mcfg, tokens, cache, positions, ids)
+            cfg = (mcfg if pages_hint is None
+                   else dataclasses.replace(mcfg, pages_hint=pages_hint))
+            logits, cache = fwd_l(params, cfg, tokens, cache, positions, ids)
             return sample(logits[:, 0], key), {k: cache[k] for k in pool}
 
         @partial(jax.jit, donate_argnums=(0,))
@@ -502,16 +508,21 @@ class InferenceEngine:
             # slots' pages are ALREADY free (released at retirement)
             wp = np.zeros((B,), np.int32)
             wo = np.zeros((B,), np.int32)
+            used_pages = 1
             for b in range(B):
                 if self.active[b]:
                     pos = int(self.seq_lens[b])
                     self._alloc.extend_slot(b, pos + 1)
                     wp[b] = self._alloc.tables[b][pos // P]
                     wo[b] = pos % P
+                    used_pages = max(used_pages, -(-pos // P))
+            # static attend-grid truncation, bucketed so recompiles are
+            # logarithmic in the live horizon (see paged_decode_fn)
+            hint = _pow2_bucket(used_pages, self.mcfg.max_seq_len // P)
             nxt_dev, self.cache = self._paged_decode(
                 self.params, self.cache, self._alloc.table_array(range(B)),
                 jnp.asarray(wp), jnp.asarray(wo), tokens, positions,
-                self._next_key(), jnp.asarray(self.slot_adapter),
+                self._next_key(), jnp.asarray(self.slot_adapter), hint,
             )
         else:
             nxt_dev, self.cache = self._decode(

@@ -51,6 +51,8 @@ class GPTJConfig:
     absmax_dtype: str = "bfloat16"  # scale storage; bf16 is free (see llama)
     llm_int8_threshold: float = 6.0
     kv_quant: bool = True
+    # paged decode grid truncation (see llama.LlamaConfig.pages_hint)
+    pages_hint: Optional[int] = None
 
     @property
     def hd(self) -> int:

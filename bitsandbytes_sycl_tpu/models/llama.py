@@ -112,6 +112,13 @@ class LlamaConfig:
     # decodes the same bytes) — only enable for huge batches or EP.
     moe_dispatch_min_tokens: int = 0
     moe_capacity_factor: float = 2.0
+    # paged decode: static host-known bound on USED pages per sequence.
+    # The attend grid is (B, pages) and even SKIPPED trailing steps cost
+    # ~0.1-0.3 us each (ops/paged_attention.py docstring: 782 -> 361
+    # us/layer at the B=48 avg-512 point when truncated from 32 to 5).
+    # The engine sets this per step, bucketed to powers of two from its
+    # host-side slot lengths; None = full table width.
+    pages_hint: Optional[int] = None
 
     @property
     def hd(self) -> int:
@@ -464,6 +471,7 @@ def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
         window=getattr(cfg, "sliding_window", None),
         softcap=getattr(cfg, "attn_logit_softcap", None),
         sm_scale=_sm_scale(cfg),
+        pages_hint=getattr(cfg, "pages_hint", None),
     )
     if attn is not None:
         return attn, new_cache

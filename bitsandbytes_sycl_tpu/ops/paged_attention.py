@@ -45,6 +45,17 @@ except K — see the write-kernel note):
   copy — short sequences don't pay DMA for the tail of the grid; their
   compute is also skipped (@pl.when), which is exact because a fully
   masked page leaves (m, l, acc) unchanged.
+- even SKIPPED steps cost ~0.1-0.3 us of fixed per-grid-step overhead,
+  so `pages_hint` TRUNCATES the grid's page dimension to a host-known
+  bound on used pages: at the B=48 avg-512-live 7B point a full
+  max_seq_len/P = 32-wide grid measured 782 us/layer vs 361 us
+  truncated to 5 (291 -> 630 GB/s effective — overhead-bound to
+  bandwidth-bound; tools/experiments/paged_grid_trunc_probe.py). The
+  engine buckets the hint (powers of two) from its host-side slot
+  lengths so recompiles are logarithmic in horizon. Contract: every
+  length should fit in hint*P tokens — longer rows attend only their
+  first hint pages (the engine guarantees the bound for active slots;
+  stale inactive rows may truncate, their outputs are discarded).
 - GQA: q grouped (B, Hkv, rep, D) per kv head, kv pages touched once.
 
 Decode writes are DEFERRED AND LAYER-BATCHED (models/llama
@@ -201,12 +212,18 @@ def _paged_attn_kernel(
         o_ref[:] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "softcap", "sm_scale"))
+@functools.partial(
+    jax.jit, static_argnames=("window", "softcap", "sm_scale", "pages_hint"))
 def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths,
-                     new_kv=None, window=None, softcap=None, sm_scale=None):
+                     new_kv=None, window=None, softcap=None, sm_scale=None,
+                     pages_hint=None):
     B, Hkv, rep, D = q4.shape
     P = vp.shape[3]
     max_pages = page_table.shape[1]
+    if pages_hint is not None:
+        # truncate the grid to the host-known live horizon: skipped
+        # trailing steps still cost per-step overhead (docstring)
+        max_pages = max(1, min(int(pages_hint), max_pages))
     has_new = new_kv is not None
 
     def page_map(b, j, li, pt, lens):
@@ -292,13 +309,17 @@ def paged_decode_attention_int8_stacked(
     window: Optional[int] = None,  # sliding window (Mistral/Gemma-2)
     softcap: Optional[float] = None,  # Gemma-2 logit softcapping
     sm_scale: Optional[float] = None,  # softmax scale override
+    pages_hint: Optional[int] = None,  # static bound on USED pages/seq
 ) -> Optional[jax.Array]:
     """Single-step attention over layer `li` of a layer-STACKED paged
     int8 KV pool. The layer index is a scalar-prefetch operand: all
     layers share one compiled kernel and the pool is never sliced (an
-    XLA slice would materialize the layer's pages every call). Returns
-    (B, 1, Hq, D) in q.dtype, or None if untileable (caller falls back
-    to gathering pages and using the XLA path)."""
+    XLA slice would materialize the layer's pages every call).
+    `pages_hint` (static) truncates the grid's page dimension to a
+    host-known bound on used pages — see the module docstring for the
+    measured trailing-step overhead it removes. Returns (B, 1, Hq, D)
+    in q.dtype, or None if untileable (caller falls back to gathering
+    pages and using the XLA path)."""
     B, T, Hq, D = q.shape
     Hkv, P = vp.shape[2], vp.shape[3]
     if T != 1 or D % 128 != 0 or Hq % Hkv != 0 or P % 128 != 0:
@@ -309,7 +330,7 @@ def paged_decode_attention_int8_stacked(
         window = None  # can never bind
     out = _paged_attn_call(q4, kp, ks, vp, vs, li, page_table, lengths,
                            new_kv=new_kv, window=window, softcap=softcap,
-                           sm_scale=sm_scale)
+                           sm_scale=sm_scale, pages_hint=pages_hint)
     return out.reshape(B, 1, Hq, D)
 
 
@@ -324,10 +345,12 @@ def paged_decode_attention_int8(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sm_scale: Optional[float] = None,
+    pages_hint: Optional[int] = None,
 ) -> Optional[jax.Array]:
     """Single-layer-pool convenience wrapper over the stacked kernel
     (expand_dims is a metadata-only reshape — no copy)."""
     return paged_decode_attention_int8_stacked(
         q, kp[None], ks[None], vp[None], vs[None], 0, page_table, lengths,
         window=window, softcap=softcap, sm_scale=sm_scale,
+        pages_hint=pages_hint,
     )

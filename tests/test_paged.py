@@ -74,6 +74,42 @@ def test_paged_kernel_matches_contiguous_flash_decode():
     )
 
 
+def test_pages_hint_truncated_grid_is_exact():
+    """`pages_hint` truncates the attend grid's page dimension to the
+    live horizon (trailing steps cost ~0.1-0.3 us each even when
+    skipped — 2.2x the whole attend at the B=48 serving point). With
+    every length inside hint*P tokens the truncated grid must be
+    BIT-identical to the full-width grid: the removed steps were fully
+    clamped/masked no-ops."""
+    B, Hkv, Hq, D, P = 3, 2, 4, 128, 128
+    width, used = 8, 4  # table sized for max_seq, only 4 pages live
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+    NP = B * used + 1
+    kp = jnp.asarray(rng.integers(-127, 128, (NP, Hkv, P, D)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 128, (NP, Hkv, P, D)), jnp.int8)
+    ksp = jnp.asarray(rng.uniform(0.5, 2.0, (NP, Hkv, P)), jnp.float32)
+    vsp = jnp.asarray(rng.uniform(0.5, 2.0, (NP, Hkv, P)), jnp.float32)
+    table = np.zeros((B, width), np.int32)  # cols past `used` = garbage 0s
+    table[:, :used] = 1 + np.arange(B * used, dtype=np.int32).reshape(B, used)
+    table = jnp.asarray(table)
+    lengths = jnp.asarray([317, used * P, 1], jnp.int32)
+
+    full = paged_decode_attention_int8(
+        q, kp, ksp, vp, vsp, table, lengths)
+    for hint in (used, used + 2, width + 99):  # over-wide hints clamp
+        trunc = paged_decode_attention_int8(
+            q, kp, ksp, vp, vsp, table, lengths, pages_hint=hint)
+        np.testing.assert_array_equal(np.asarray(trunc), np.asarray(full))
+
+    # an over-long row truncates to its first hint pages (documented
+    # contract for stale inactive slots) but stays finite
+    short = paged_decode_attention_int8(
+        q, kp, ksp, vp, vsp, table,
+        jnp.asarray([width * P, used * P, 1], jnp.int32), pages_hint=used)
+    assert np.isfinite(np.asarray(short)).all()
+
+
 def test_pool_alloc_free_reuse():
     cfg = L.LlamaConfig.tiny(num_layers=1, max_seq_len=512)
     pool = PagedKVPool(cfg, num_pages=6, page_size=128)

@@ -399,9 +399,9 @@ def model7b_paged_decode(arg="48"):
     if wide:  # engine-realistic width; pool unchanged (table is tiny)
         tab_np = np.pad(tab_np, ((0, 0), (0, S // P - maxp)))
         if hint:
-            from bitsandbytes_sycl_tpu.engine.engine import _pow2_bucket
+            from bitsandbytes_sycl_tpu.engine.engine import _grid_bucket
             cfg = dataclasses.replace(
-                cfg, pages_hint=_pow2_bucket(maxp, S // P))
+                cfg, pages_hint=_grid_bucket(maxp, S // P))
     table = jnp.asarray(tab_np)
     pos0 = jnp.asarray(start)[:, None]
     toks = jnp.ones((B, 1), jnp.int32)

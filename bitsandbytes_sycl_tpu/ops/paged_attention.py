@@ -51,8 +51,8 @@ except K — see the write-kernel note):
   max_seq_len/P = 32-wide grid measured 782 us/layer vs 361 us
   truncated to 5 (291 -> 630 GB/s effective — overhead-bound to
   bandwidth-bound; tools/experiments/paged_grid_trunc_probe.py). The
-  engine buckets the hint (powers of two) from its host-side slot
-  lengths so recompiles are logarithmic in horizon. Contract: every
+  engine buckets the hint (pow2 up to 4 pages, then multiples of 4)
+  from its host-side slot lengths to bound recompiles. Contract: every
   length should fit in hint*P tokens — longer rows attend only their
   first hint pages (the engine guarantees the bound for active slots;
   stale inactive rows may truncate, their outputs are discarded).

@@ -43,6 +43,10 @@ class GPTJConfig:
     # additive biases on q/k/v/out projections (Phi); fc/head biases are
     # always present (GPT-J has them)
     attn_bias: bool = False
+    # multi/grouped-query attention (Falcon): number of kv heads; None =
+    # num_heads (GPT-J/Phi/NeoX). The shared llama cache + flash kernels
+    # already handle GQA, so only the k/v projection widths change.
+    kv_heads: Optional[int] = None
     dtype: Any = jnp.bfloat16
     quant: str = "nf4"
     blocksize: int = 64
@@ -61,7 +65,7 @@ class GPTJConfig:
     # shims so the shared quantized-linear dispatch works unchanged
     @property
     def num_kv_heads(self) -> int:
-        return self.num_heads
+        return self.kv_heads or self.num_heads
 
     @classmethod
     def tiny(cls, **kw):
@@ -126,6 +130,7 @@ def init_gptj_params(cfg: GPTJConfig, key: jax.Array) -> Dict:
 
     h, ff = cfg.hidden_size, 4 * cfg.hidden_size
     qdim = cfg.num_heads * cfg.hd
+    kvdim = cfg.num_kv_heads * cfg.hd
     layers = []
     for li in range(cfg.num_layers):
         lk = jax.random.split(keys[li], 6)
@@ -133,8 +138,8 @@ def init_gptj_params(cfg: GPTJConfig, key: jax.Array) -> Dict:
             "ln_w": jnp.ones((h,), jnp.float32),
             "ln_b": jnp.zeros((h,), jnp.float32),
             "q_proj": _quantize_linear(dense(lk[0], (qdim, h)), cfg),
-            "k_proj": _quantize_linear(dense(lk[1], (qdim, h)), cfg),
-            "v_proj": _quantize_linear(dense(lk[2], (qdim, h)), cfg),
+            "k_proj": _quantize_linear(dense(lk[1], (kvdim, h)), cfg),
+            "v_proj": _quantize_linear(dense(lk[2], (kvdim, h)), cfg),
             "out_proj": _quantize_linear(dense(lk[3], (h, qdim)), cfg),
             "fc_in": _quantize_linear(dense(lk[4], (ff, h)), cfg),
             "fc_in_b": jnp.zeros((ff,), jnp.float32),
@@ -144,8 +149,8 @@ def init_gptj_params(cfg: GPTJConfig, key: jax.Array) -> Dict:
         if cfg.attn_bias:  # Phi-style biased q/k/v/dense
             bk = jax.random.split(keys[li], 4)
             layer["q_bias"] = jax.random.normal(bk[0], (qdim,), jnp.float32) * 0.02
-            layer["k_bias"] = jax.random.normal(bk[1], (qdim,), jnp.float32) * 0.02
-            layer["v_bias"] = jax.random.normal(bk[2], (qdim,), jnp.float32) * 0.02
+            layer["k_bias"] = jax.random.normal(bk[1], (kvdim,), jnp.float32) * 0.02
+            layer["v_bias"] = jax.random.normal(bk[2], (kvdim,), jnp.float32) * 0.02
             layer["out_bias"] = jax.random.normal(bk[3], (h,), jnp.float32) * 0.02
         layers.append(layer)
     return {
@@ -202,8 +207,8 @@ def gptj_forward(
             k = k + layer["k_bias"].astype(k.dtype)
             v = v + layer["v_bias"].astype(v.dtype)
         q = q.reshape(B, T, cfg.num_heads, cfg.hd)
-        k = k.reshape(B, T, cfg.num_heads, cfg.hd)
-        v = v.reshape(B, T, cfg.num_heads, cfg.hd)
+        k = k.reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        v = v.reshape(B, T, cfg.num_kv_heads, cfg.hd)
         rope = (
             _rope_neox_partial
             if getattr(cfg, "rope_style", "gptj") == "neox"

@@ -15,8 +15,9 @@ from .mesh import (
     qweight_sharding,
     shard_qweight,
 )
-from . import gptj_tp, llama_tp, pipeline, ring
+from . import gptj_tp, llama_tp, opt_tp, pipeline, ring
 from .gptj_tp import gptj_forward_tp, shard_gptj_params
+from .opt_tp import opt_forward_tp, shard_opt_params
 from .llama_tp import kv_cache_specs, llama_forward_tp, llama_param_specs, shard_llama_params
 from .pipeline import (
     init_stage_kv_cache,
@@ -34,8 +35,9 @@ from .collectives import (
 )
 
 __all__ = [
-    "gptj_tp", "llama_tp", "pipeline", "ring",
+    "gptj_tp", "llama_tp", "opt_tp", "pipeline", "ring",
     "gptj_forward_tp", "shard_gptj_params",
+    "opt_forward_tp", "shard_opt_params",
     "kv_cache_specs", "llama_forward_tp", "llama_param_specs", "shard_llama_params",
     "llama_forward_pp", "llama_forward_pp_decode", "init_stage_kv_cache",
     "stack_stage_params", "ring_attention",

@@ -175,6 +175,43 @@ def test_engine_serves_gptj():
     assert [len(o) for o in outs] == [8, 8]
 
 
+def test_engine_serves_falcon_multi_query():
+    """Falcon rides the gptj substrate with kv_heads=1 (MQA) — the engine,
+    int8 KV cache, and flash kernels must serve the GQA extreme where one
+    kv head feeds all query heads."""
+    from bitsandbytes_sycl_tpu.models.falcon import FalconConfig, falcon_forward
+    from bitsandbytes_sycl_tpu.models.gptj import init_gptj_kv_cache, init_gptj_params
+
+    cfg = FalconConfig.tiny(kv_quant=True, quant="nf4")
+    assert cfg.num_kv_heads == 1 and cfg.num_heads == 4
+    params = init_gptj_params(cfg, jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        cfg, params, EngineConfig(max_batch=2, max_new_tokens=8, prefill_buckets=(16,)),
+        forward_fn=falcon_forward, init_cache_fn=init_gptj_kv_cache,
+    )
+    outs = eng.generate([[1, 2, 3], [5, 6, 7, 8, 9]])
+    assert [len(o) for o in outs] == [8, 8]
+    assert all(0 <= t < cfg.vocab_size for o in outs for t in o)
+
+
+def test_engine_serves_opt():
+    """OPT (sequential pre-LN, learned positions, no rotary) through the
+    engine: the absolute-position KV cache design must be rope-agnostic."""
+    from bitsandbytes_sycl_tpu.models.opt import (
+        OPTConfig, init_opt_kv_cache, init_opt_params, opt_forward,
+    )
+
+    cfg = OPTConfig.tiny(kv_quant=True, quant="nf4")
+    params = init_opt_params(cfg, jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        cfg, params, EngineConfig(max_batch=2, max_new_tokens=8, prefill_buckets=(16,)),
+        forward_fn=opt_forward, init_cache_fn=init_opt_kv_cache,
+    )
+    outs = eng.generate([[1, 2, 3], [5, 6, 7, 8, 9]])
+    assert [len(o) for o in outs] == [8, 8]
+    assert all(0 <= t < cfg.vocab_size for o in outs for t in o)
+
+
 def test_engine_tensor_parallel_token_identical():
     """TP engine (VERDICT r1 item 5): mesh-sharded params + KV cache via
     llama_forward_tp must produce token-identical output to the

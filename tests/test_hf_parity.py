@@ -425,3 +425,222 @@ def test_hf_gemma2_fp_parity(tmp_path):
     logits_q, _ = gemma2_forward(params_q, cfg_q, jnp.asarray(toks.numpy()))
     rel_q = np.linalg.norm(np.asarray(logits_q) - ref) / np.linalg.norm(ref)
     assert rel_q < 0.35, rel_q
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_hf_falcon_mq_fp_parity_and_cache_decode(tmp_path):
+    """Tiny HF Falcon in the 7B layout (multi_query: ONE kv head shared
+    by all q heads, single shared LN, parallel residual, bias-free,
+    full-head-dim NeoX rope) through load_falcon_from_hf must reproduce
+    transformers logits — a wrong [q*H|k|v] fused split or a partial
+    rotary shows up as a large rel error. Also proves the int8 KV cache
+    at the kv_heads=1 GQA extreme."""
+    from bitsandbytes_sycl_tpu.models.falcon import (
+        falcon_forward, load_falcon_from_hf)
+    from bitsandbytes_sycl_tpu.models.gptj import init_gptj_kv_cache
+
+    cfg_hf = transformers.FalconConfig(
+        vocab_size=256, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False,
+        layer_norm_epsilon=1e-5, max_position_embeddings=128,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(11)
+    model = transformers.FalconForCausalLM(cfg_hf).eval()
+    d = tmp_path / "hf_falcon"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 12))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_falcon_from_hf(str(d))
+    assert cfg.num_kv_heads == 1 and cfg.rotary_dim == cfg.hd
+    assert cfg.rope_style == "neox" and not cfg.attn_bias
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_falcon_from_hf(str(d), cfg=cfg)
+    assert "ln2_w" not in params["layers"][0]  # single shared LN
+    logits, _ = falcon_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+    # prefill + decode through the int8 KV cache == cacheless forward
+    B, T = toks.shape
+    cache = init_gptj_kv_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T - 1), (B, T - 1))
+    _, cache = falcon_forward(params, cfg, jnp.asarray(toks.numpy()[:, :-1]), cache, pos)
+    posd = jnp.full((B, 1), T - 1, jnp.int32)
+    ld, _ = falcon_forward(params, cfg, jnp.asarray(toks.numpy()[:, -1:]), cache, posd)
+    rel2 = np.linalg.norm(np.asarray(ld[:, 0]) - got[:, -1]) / np.linalg.norm(got[:, -1])
+    assert rel2 < 0.05, rel2
+
+
+def test_hf_falcon_new_arch_fp_parity(tmp_path):
+    """Tiny HF Falcon in the 40B/180B layout (new_decoder_architecture:
+    grouped [q*g|k|v] fused qkv with kv_heads=2 and TWO independent
+    LayerNorms ln_attn/ln_mlp of the layer input) must match
+    transformers — a wrong group de-interleave or a shared-LN shortcut
+    breaks this."""
+    from bitsandbytes_sycl_tpu.models.falcon import (
+        falcon_forward, load_falcon_from_hf)
+
+    cfg_hf = transformers.FalconConfig(
+        vocab_size=256, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2, multi_query=False,
+        parallel_attn=True, new_decoder_architecture=True, bias=False,
+        alibi=False, layer_norm_epsilon=1e-5, max_position_embeddings=128,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    torch.manual_seed(12)
+    model = transformers.FalconForCausalLM(cfg_hf).eval()
+    d = tmp_path / "hf_falcon40"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 10))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_falcon_from_hf(str(d))
+    assert cfg.num_kv_heads == 2
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_falcon_from_hf(str(d), cfg=cfg)
+    assert "ln2_w" in params["layers"][0]  # independent MLP-branch LN
+    logits, _ = falcon_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+    # NF4-quantized stays in the quantization-noise envelope
+    cfg_q = dataclasses.replace(cfg, quant="nf4", dtype=jnp.float32)
+    _, params_q = load_falcon_from_hf(str(d), cfg=cfg_q)
+    logits_q, _ = falcon_forward(params_q, cfg_q, jnp.asarray(toks.numpy()))
+    rel_q = np.linalg.norm(np.asarray(logits_q) - ref) / np.linalg.norm(ref)
+    assert rel_q < 0.35, rel_q
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_hf_opt_fp_parity_and_cache_decode(tmp_path):
+    """Tiny HF OPT (sequential pre-LN decoder, learned positions with the
+    +2 offset, biased projections, ReLU MLP, tied head) through
+    load_opt_from_hf must reproduce transformers logits — a wrong
+    position offset or a missed bias shows up as a large rel error.
+    OPT is the LLM.int8() paper's eval family (the reference's headline
+    algorithm), hence first-class here."""
+    from bitsandbytes_sycl_tpu.models.opt import (
+        init_opt_kv_cache, load_opt_from_hf, opt_forward)
+
+    cfg_hf = transformers.OPTConfig(
+        vocab_size=256, hidden_size=256, num_hidden_layers=2,
+        ffn_dim=512, num_attention_heads=4, max_position_embeddings=128,
+        do_layer_norm_before=True, word_embed_proj_dim=256,
+        activation_function="relu", tie_word_embeddings=True,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(13)
+    model = transformers.OPTForCausalLM(cfg_hf).eval()
+    d = tmp_path / "hf_opt"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 12))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_opt_from_hf(str(d))
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_opt_from_hf(str(d), cfg=cfg)
+    logits, _ = opt_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+    # prefill + decode through the int8 KV cache == cacheless forward
+    B, T = toks.shape
+    cache = init_opt_kv_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T - 1), (B, T - 1))
+    _, cache = opt_forward(params, cfg, jnp.asarray(toks.numpy()[:, :-1]), cache, pos)
+    posd = jnp.full((B, 1), T - 1, jnp.int32)
+    ld, _ = opt_forward(params, cfg, jnp.asarray(toks.numpy()[:, -1:]), cache, posd)
+    rel2 = np.linalg.norm(np.asarray(ld[:, 0]) - got[:, -1]) / np.linalg.norm(got[:, -1])
+    assert rel2 < 0.05, rel2
+
+    # LLM.int8 quantized (the paper pairing) stays in the noise envelope
+    cfg_q = dataclasses.replace(cfg, quant="int8", dtype=jnp.float32)
+    _, params_q = load_opt_from_hf(str(d), cfg=cfg_q)
+    logits_q, _ = opt_forward(params_q, cfg_q, jnp.asarray(toks.numpy()))
+    rel_q = np.linalg.norm(np.asarray(logits_q) - ref) / np.linalg.norm(ref)
+    assert rel_q < 0.25, rel_q
+
+
+def test_hf_opt_350m_projections(tmp_path):
+    """OPT-350M layout: word_embed_proj_dim != hidden_size routes through
+    project_in/project_out. Parity against transformers."""
+    from bitsandbytes_sycl_tpu.models.opt import load_opt_from_hf, opt_forward
+
+    cfg_hf = transformers.OPTConfig(
+        vocab_size=256, hidden_size=256, num_hidden_layers=2,
+        ffn_dim=512, num_attention_heads=4, max_position_embeddings=128,
+        do_layer_norm_before=True, word_embed_proj_dim=128,
+        activation_function="relu", tie_word_embeddings=True,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(14)
+    model = transformers.OPTForCausalLM(cfg_hf).eval()
+    d = tmp_path / "hf_opt350"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 10))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_opt_from_hf(str(d))
+    assert cfg.word_embed_proj_dim == 128
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_opt_from_hf(str(d), cfg=cfg)
+    assert "project_in" in params and "project_out" in params
+    logits, _ = opt_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+
+def test_hf_gpt2_fp_parity_and_cache_decode(tmp_path):
+    """Tiny HF GPT-2 (Conv1D transposed weights, column-fused [q|k|v]
+    c_attn, 0-offset learned positions, gelu_new) through
+    load_gpt2_from_hf must reproduce transformers logits — a missed
+    Conv1D transpose or a wrong fused split is a large rel error."""
+    from bitsandbytes_sycl_tpu.models.gpt2 import gpt2_forward, load_gpt2_from_hf
+    from bitsandbytes_sycl_tpu.models.opt import init_opt_kv_cache
+
+    cfg_hf = transformers.GPT2Config(
+        vocab_size=256, n_embd=256, n_layer=2, n_head=4, n_positions=128,
+        n_inner=512, activation_function="gelu_new",
+        attn_implementation="eager",
+    )
+    torch.manual_seed(15)
+    model = transformers.GPT2LMHeadModel(cfg_hf).eval()
+    d = tmp_path / "hf_gpt2"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 12))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_gpt2_from_hf(str(d))
+    assert cfg.pos_offset == 0 and cfg.act == "gelu_tanh"
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_gpt2_from_hf(str(d), cfg=cfg)
+    logits, _ = gpt2_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+    # prefill + decode through the int8 KV cache == cacheless forward
+    B, T = toks.shape
+    cache = init_opt_kv_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T - 1), (B, T - 1))
+    _, cache = gpt2_forward(params, cfg, jnp.asarray(toks.numpy()[:, :-1]), cache, pos)
+    posd = jnp.full((B, 1), T - 1, jnp.int32)
+    ld, _ = gpt2_forward(params, cfg, jnp.asarray(toks.numpy()[:, -1:]), cache, posd)
+    rel2 = np.linalg.norm(np.asarray(ld[:, 0]) - got[:, -1]) / np.linalg.norm(got[:, -1])
+    assert rel2 < 0.05, rel2

@@ -620,3 +620,57 @@ def test_llama_forward_tp_with_a8_decode():
     # row-parallel shards quantize their activation slices independently
     # (per-shard absmax <= global), so expect int8-class noise, not exact
     assert rel < 0.05, rel
+
+
+def test_opt_forward_tp_matches_single_device():
+    """OPT/GPT-2 substrate TP (sequential pre-LN, biased projections,
+    learned positions): prefill + decode over the sharded int8 cache ==
+    single-device. Covers the q/k/v/fc1 column biases sharding and the
+    out_proj/fc2 row-parallel psum placement."""
+    from jax.sharding import NamedSharding
+    from bitsandbytes_sycl_tpu.models.opt import (
+        OPTConfig, init_opt_kv_cache, init_opt_params, opt_forward,
+    )
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from bitsandbytes_sycl_tpu.parallel.llama_tp import kv_cache_specs
+    from bitsandbytes_sycl_tpu.parallel.opt_tp import opt_forward_tp, shard_opt_params
+
+    cfg = OPTConfig(
+        vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
+        ffn_dim=1024, max_seq_len=64, quant="nf4", kv_quant=True,
+        dtype=jnp.float32,
+    )
+    params = init_opt_params(cfg, jax.random.PRNGKey(0))
+    # make the zero-initialized biases exercise the sharded-add paths
+    params["layers"] = [
+        {
+            k: (jax.random.normal(jax.random.PRNGKey(i * 31 + j), v.shape) * 0.02
+                if k.endswith(("_b", "_bias")) else v)
+            for j, (k, v) in enumerate(layer.items())
+        }
+        for i, layer in enumerate(params["layers"])
+    ]
+    mesh = make_mesh({"model": 4})
+    sp = shard_opt_params(params, cfg, mesh)
+
+    B, T = 2, 6
+    toks = jnp.asarray(np.random.default_rng(3).integers(0, 256, (B, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+    cache = init_opt_kv_cache(cfg, B)
+    cache_sh = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        cache, kv_cache_specs(cfg),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+    lt, ct = opt_forward_tp(sp, cfg, toks, cache_sh, pos, mesh)
+    l1, c1 = opt_forward(params, cfg, toks, cache, pos)
+    np.testing.assert_allclose(
+        np.asarray(lt, np.float32), np.asarray(l1, np.float32), rtol=2e-2, atol=2e-2
+    )
+    posd = jnp.full((B, 1), T, jnp.int32)
+    ldt, _ = opt_forward_tp(sp, cfg, toks[:, -1:], ct, posd, mesh)
+    ld1, _ = opt_forward(params, cfg, toks[:, -1:], c1, posd)
+    np.testing.assert_allclose(
+        np.asarray(ldt, np.float32), np.asarray(ld1, np.float32), rtol=2e-2, atol=2e-2
+    )

@@ -504,3 +504,26 @@ def test_paged_attend_new_kv_matches_write_then_read(window):
         new_kv=(kn, ksn, vn, vsn), window=window)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_engine_paged_serves_gptj_substrate_families():
+    """Paged mode composes with forward_fn families: the page-table cache
+    keys flow through the SHARED write_and_attend, so the gptj substrate
+    (here Falcon: MQA kv_heads=1, head_dim=128 keeps the paged kernel
+    tileable) must produce the same greedy tokens paged as contiguous."""
+    from bitsandbytes_sycl_tpu.engine import EngineConfig, InferenceEngine
+    from bitsandbytes_sycl_tpu.models.falcon import FalconConfig, falcon_forward
+    from bitsandbytes_sycl_tpu.models.gptj import init_gptj_kv_cache, init_gptj_params
+
+    cfg = FalconConfig.tiny(
+        hidden_size=256, num_heads=2, kv_heads=1, head_dim=128,
+        rotary_dim=128, max_seq_len=256, kv_quant=True, quant="nf4",
+    )
+    params = init_gptj_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3, 4], [9, 8, 7, 6, 5]]
+    kw = dict(forward_fn=falcon_forward, init_cache_fn=init_gptj_kv_cache)
+    ec = InferenceEngine(cfg, params, EngineConfig(max_batch=2), **kw)
+    ep = InferenceEngine(cfg, params, EngineConfig(max_batch=2, paged=True), **kw)
+    ref = ec.generate(prompts, max_new_tokens=6)
+    out = ep.generate(prompts, max_new_tokens=6)
+    assert out == ref, (out, ref)

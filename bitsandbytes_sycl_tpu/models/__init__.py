@@ -2,8 +2,9 @@
 reference lacks — its only models are an MLP test net and HF GPT-J via
 hooks, tests_pvc/test_simple_nn.py, test_int8_hf.py)."""
 
-from . import (falcon, gemma, gpt2, gptj, llama, lora, mistral, mixtral,
-               neox, opt, phi, qwen2)
+from . import (bloom, falcon, gemma, gpt2, gptj, llama, lora, mistral,
+               mixtral, neox, opt, phi, qwen2)
+from .bloom import BloomConfig, bloom_forward, load_bloom_from_hf
 from .falcon import FalconConfig, falcon_forward, load_falcon_from_hf
 from .gpt2 import GPT2Config, gpt2_forward, load_gpt2_from_hf
 from .opt import OPTConfig, init_opt_params, load_opt_from_hf, opt_forward
@@ -23,6 +24,7 @@ __all__ = [
     "falcon", "FalconConfig", "falcon_forward", "load_falcon_from_hf",
     "opt", "OPTConfig", "opt_forward", "init_opt_params", "load_opt_from_hf",
     "gpt2", "GPT2Config", "gpt2_forward", "load_gpt2_from_hf",
+    "bloom", "BloomConfig", "bloom_forward", "load_bloom_from_hf",
     "LlamaConfig", "init_params", "llama_forward", "quantize_params",
     "GPTJConfig", "gptj_forward", "init_gptj_kv_cache", "init_gptj_params",
     "MistralConfig", "mistral_forward", "load_mistral_from_hf",

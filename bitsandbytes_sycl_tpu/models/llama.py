@@ -400,7 +400,10 @@ def _use_fused_decode_attn(cfg: LlamaConfig) -> bool:
     mask parameter."""
     from ..ops.common import on_tpu
 
-    return on_tpu()
+    # ALiBi (BLOOM) adds a per-head positional bias the fused kernels do
+    # not model — those configs keep the XLA fallback (and immediate
+    # cache writes: maybe_init_pend gates on this too)
+    return on_tpu() and not getattr(cfg, "alibi", False)
 
 
 def _cache_write(arr: jax.Array, li: int, upd: jax.Array, starts: jax.Array, pos_axis: int) -> jax.Array:
@@ -782,10 +785,11 @@ def _sm_scale(cfg) -> Optional[float]:
     return None if qs is None else float(qs) ** -0.5
 
 
-def _attention(q, k, v, mask, dtype, sm_scale=None, softcap=None):
+def _attention(q, k, v, mask, dtype, sm_scale=None, softcap=None, bias=None):
     """q: (B,T,Hq,D); k,v: (B,S,Hkv,D) full cache; GQA via head repeat.
     sm_scale overrides 1/sqrt(D) (Gemma-2 query_pre_attn_scalar);
-    softcap applies cap*tanh(logit/cap) pre-mask (Gemma-2)."""
+    softcap applies cap*tanh(logit/cap) pre-mask (Gemma-2);
+    bias (B,Hq,T,S) adds to the scaled logits pre-mask (ALiBi)."""
     B, T, Hq, D = q.shape
     Hkv = k.shape[2]
     if Hq != Hkv:
@@ -794,6 +798,8 @@ def _attention(q, k, v, mask, dtype, sm_scale=None, softcap=None):
         v = jnp.repeat(v, rep, axis=2)
     scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32))
     scores = scores * (sm_scale if sm_scale is not None else 1.0 / np.sqrt(D))
+    if bias is not None:
+        scores = scores + bias
     if softcap is not None:
         scores = softcap * jnp.tanh(scores / softcap)
     scores = jnp.where(mask[:, None, :, :], scores, -1e30)
@@ -801,6 +807,44 @@ def _attention(q, k, v, mask, dtype, sm_scale=None, softcap=None):
     out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
     return out.astype(dtype)
 
+
+
+def alibi_slopes(n: int) -> np.ndarray:
+    """ALiBi per-head slopes (Press et al., arxiv 2108.12409): the
+    geometric sequence 2^(-8/n), with the paper's interpolation for
+    non-power-of-two head counts (matches HF BloomModel.build_alibi)."""
+    import math
+
+    def pow2(m):
+        start = 2.0 ** (-(2.0 ** -(math.log2(m) - 3)))
+        return [start * start ** i for i in range(m)]
+
+    if math.log2(n).is_integer():
+        return np.asarray(pow2(n), np.float32)
+    closest = 2 ** int(math.floor(math.log2(n)))
+    return np.asarray(
+        pow2(closest) + pow2(2 * closest)[0::2][: n - closest], np.float32
+    )
+
+
+def _alibi_bias(cfg, positions: jax.Array, S: int) -> jax.Array:
+    """(B,Hq,T,S) additive logit bias: -slope_h * (q_pos - k_pos).
+    Positive-distance rows only matter (k_pos > q_pos is masked);
+    equivalent post-softmax to HF Bloom's slope*k_pos form (the per-row
+    slope*q_pos offset cancels in softmax).
+
+    Under TP the slope sequence is GLOBAL while cfg.num_heads is the
+    shard-local count: opt_forward_tp sets alibi_total_heads/alibi_axis
+    so each shard slices ITS contiguous head block (row-block sharded
+    projections own heads [i*Hl, (i+1)*Hl))."""
+    total = getattr(cfg, "alibi_total_heads", None) or cfg.num_heads
+    slopes = jnp.asarray(alibi_slopes(total))  # (H_total,)
+    ax = getattr(cfg, "alibi_axis", None)
+    if ax is not None:
+        off = jax.lax.axis_index(ax) * cfg.num_heads
+        slopes = jax.lax.dynamic_slice(slopes, (off,), (cfg.num_heads,))
+    dist = positions[:, None, :, None] - jnp.arange(S)[None, None, None, :]
+    return -slopes[None, :, None, None] * dist.astype(jnp.float32)
 
 
 def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
@@ -820,6 +864,11 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
             raise ValueError("paged KV cache supports decode (T=1) steps only")
         if not cfg.kv_quant:
             raise ValueError("paged KV cache requires kv_quant=True (int8 pages)")
+        if getattr(cfg, "alibi", False):
+            raise NotImplementedError(
+                "paged KV does not model the ALiBi bias (BLOOM) — use the "
+                "contiguous cache"
+            )
         return _paged_write_and_attend(new_cache, li, q, k, v, positions, cfg)
     if cfg.kv_quant:
         kq, ks = _kv_quantize(k)
@@ -906,9 +955,14 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
         )
         k_full = new_cache["k"][li].transpose(0, 2, 1, 3)
         v_full = new_cache["v"][li].transpose(0, 2, 1, 3)
+    bias = (
+        _alibi_bias(cfg, positions, k_full.shape[1])
+        if getattr(cfg, "alibi", False) else None
+    )
     return _attention(q, k_full, v_full, mask, cfg.dtype,
                       sm_scale=_sm_scale(cfg),
-                      softcap=getattr(cfg, "attn_logit_softcap", None)), new_cache
+                      softcap=getattr(cfg, "attn_logit_softcap", None),
+                      bias=bias), new_cache
 
 
 def llama_forward(

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .gptj import GPTJConfig, _ln
-from .llama import _attention, _quantize_linear, apply_linear, write_and_attend
+from .llama import (_alibi_bias, _attention, _quantize_linear, apply_linear,
+                    write_and_attend)
 
 __all__ = ["OPTConfig", "init_opt_params", "opt_forward", "load_opt_from_hf"]
 
@@ -48,6 +49,13 @@ class OPTConfig(GPTJConfig):
     word_embed_proj_dim: Optional[int] = None
     # learned-position table offset: OPT's historical +2; GPT-2 uses 0
     pos_offset: int = 2
+    # ALiBi positional bias instead of position embeddings (BLOOM);
+    # routes attention to the XLA path (llama._use_fused_decode_attn)
+    alibi: bool = False
+    # TP-internal (set by opt_forward_tp, never by users): global head
+    # count + mesh axis so each shard slices its slope block
+    alibi_total_heads: Optional[int] = None
+    alibi_axis: Optional[str] = None
 
     @property
     def ffn(self) -> int:
@@ -98,8 +106,6 @@ def init_opt_params(cfg: OPTConfig, key: jax.Array) -> Dict:
         })
     params = {
         "wte": dense(keys[-3], (cfg.vocab_size, w), scale=0.02).astype(cfg.dtype),
-        # learned positions carry OPT's historical +2 offset rows
-        "wpe": dense(keys[-2], (cfg.max_seq_len + 2, h), scale=0.02).astype(cfg.dtype),
         "layers": layers,
         "ln_f_w": jnp.ones((h,), jnp.float32),
         "ln_f_b": jnp.zeros((h,), jnp.float32),
@@ -108,6 +114,15 @@ def init_opt_params(cfg: OPTConfig, key: jax.Array) -> Dict:
             dense(keys[-1], (cfg.vocab_size, w), scale=0.02), cfg
         ),
     }
+    if not cfg.alibi:
+        # learned positions carry OPT's pos_offset extra rows; ALiBi
+        # families (BLOOM) have no position table at all
+        params["wpe"] = dense(
+            keys[-2], (cfg.max_seq_len + cfg.pos_offset, h), scale=0.02
+        ).astype(cfg.dtype)
+    else:
+        params["wln_w"] = jnp.ones((h,), jnp.float32)  # BLOOM embed LN
+        params["wln_b"] = jnp.zeros((h,), jnp.float32)
     if w != h:
         k1, k2 = jax.random.split(keys[-1])
         params["project_in"] = _quantize_linear(dense(k1, (h, w)), cfg)
@@ -130,11 +145,17 @@ def opt_forward(
         positions = jnp.broadcast_to(jnp.arange(T), (B, T))
 
     x = jnp.take(params["wte"], tokens, axis=0).astype(cfg.dtype)
+    if "wln_w" in params:  # BLOOM: LayerNorm straight after the embedding
+        x = _ln(x, params["wln_w"], params["wln_b"], cfg.ln_eps)
     if "project_in" in params:
         x = apply_linear(x, params["project_in"], cfg)
-    # learned absolute positions (OPT: +2 offset rows in the table,
-    # HF OPTLearnedPositionalEmbedding; GPT-2: offset 0)
-    x = x + jnp.take(params["wpe"], positions + cfg.pos_offset, axis=0).astype(cfg.dtype)
+    if "wpe" in params:
+        # learned absolute positions (OPT: +2 offset rows in the table,
+        # HF OPTLearnedPositionalEmbedding; GPT-2: offset 0); ALiBi
+        # families carry no position table — distance bias in attention
+        x = x + jnp.take(
+            params["wpe"], positions + cfg.pos_offset, axis=0
+        ).astype(cfg.dtype)
 
     use_cache = cache is not None
     S = cfg.max_seq_len if use_cache else T
@@ -161,7 +182,10 @@ def opt_forward(
                 new_cache, li, q, k, v, positions, mask, cfg
             )
         else:
-            attn = _attention(q, k, v, mask, cfg.dtype)
+            bias = (
+                _alibi_bias(cfg, positions, T) if cfg.alibi else None
+            )
+            attn = _attention(q, k, v, mask, cfg.dtype, bias=bias)
         attn = attn.astype(cfg.dtype).reshape(B, T, -1)
         attn_out = apply_linear(attn, layer["out_proj"], cfg)
         if psum_axis is not None:

@@ -76,9 +76,14 @@ def opt_forward_tp(
     tp = mesh.shape[axis]
     if cfg.num_heads % tp or cfg.num_kv_heads % tp:
         raise ValueError(f"TP={tp} must divide num_heads({cfg.num_heads})")
+    # ALiBi: the per-head slope sequence is GLOBAL — hand the local
+    # forward the total head count + mesh axis so each shard
+    # dynamic-slices its contiguous slope block (llama._alibi_bias)
     cfg_local = dataclasses.replace(
         cfg, num_heads=cfg.num_heads // tp, head_dim=cfg.hd,
         kv_heads=cfg.num_kv_heads // tp,
+        alibi_total_heads=(cfg.num_heads if getattr(cfg, "alibi", False) else None),
+        alibi_axis=(axis if getattr(cfg, "alibi", False) else None),
     )
     pspecs = opt_param_specs(params, cfg, axis)
     cspecs = kv_cache_specs(cfg, axis) if cache is not None else None

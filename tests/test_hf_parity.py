@@ -644,3 +644,66 @@ def test_hf_gpt2_fp_parity_and_cache_decode(tmp_path):
     ld, _ = gpt2_forward(params, cfg, jnp.asarray(toks.numpy()[:, -1:]), cache, posd)
     rel2 = np.linalg.norm(np.asarray(ld[:, 0]) - got[:, -1]) / np.linalg.norm(got[:, -1])
     assert rel2 < 0.05, rel2
+
+
+def test_hf_bloom_fp_parity_and_cache_decode(tmp_path):
+    """Tiny HF BLOOM (ALiBi distance bias — no position embeddings,
+    embedding LayerNorm, per-head [q|k|v] fused qkv, gelu_tanh) through
+    load_bloom_from_hf must reproduce transformers logits — wrong alibi
+    slopes or a missed embed-LN show up as a large rel error. BLOOM is,
+    with OPT, the LLM.int8() paper's target family. The cached decode
+    check proves the int8 KV cache is ALiBi-compatible (bias recomputed
+    from absolute positions at attend time, nothing stored)."""
+    from bitsandbytes_sycl_tpu.models.bloom import bloom_forward, load_bloom_from_hf
+    from bitsandbytes_sycl_tpu.models.opt import init_opt_kv_cache
+
+    cfg_hf = transformers.BloomConfig(
+        vocab_size=256, hidden_size=256, n_layer=2, n_head=4,
+        layer_norm_epsilon=1e-5,
+        apply_residual_connection_post_layernorm=False, slow_but_exact=False,
+        tie_word_embeddings=True, attn_implementation="eager",
+    )
+    torch.manual_seed(16)
+    model = transformers.BloomForCausalLM(cfg_hf).eval()
+    d = tmp_path / "hf_bloom"
+    model.save_pretrained(d, safe_serialization=True)
+    toks = torch.randint(0, 256, (2, 12))
+    with torch.no_grad():
+        ref = model(toks).logits.float().numpy()
+
+    cfg, _ = load_bloom_from_hf(str(d))
+    assert cfg.alibi
+    cfg = dataclasses.replace(cfg, quant="none", dtype=jnp.float32)
+    _, params = load_bloom_from_hf(str(d), cfg=cfg)
+    assert "wln_w" in params and "wpe" not in params
+    logits, _ = bloom_forward(params, cfg, jnp.asarray(toks.numpy()))
+    got = np.asarray(logits, np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+
+    # prefill + decode through the int8 KV cache == cacheless forward
+    B, T = toks.shape
+    cache = init_opt_kv_cache(cfg, B)
+    pos = jnp.broadcast_to(jnp.arange(T - 1), (B, T - 1))
+    _, cache = bloom_forward(params, cfg, jnp.asarray(toks.numpy()[:, :-1]), cache, pos)
+    posd = jnp.full((B, 1), T - 1, jnp.int32)
+    ld, _ = bloom_forward(params, cfg, jnp.asarray(toks.numpy()[:, -1:]), cache, posd)
+    rel2 = np.linalg.norm(np.asarray(ld[:, 0]) - got[:, -1]) / np.linalg.norm(got[:, -1])
+    assert rel2 < 0.05, rel2
+
+
+def test_alibi_slopes_match_reference():
+    """Slopes for power-of-two and ragged head counts match the ALiBi
+    paper recipe (and HF's build_alibi_tensor values)."""
+    from bitsandbytes_sycl_tpu.models.llama import alibi_slopes
+
+    s8 = alibi_slopes(8)
+    np.testing.assert_allclose(s8, [2.0 ** (-(i + 1)) for i in range(8)], rtol=1e-6)
+    # ragged count: first 8 are the pow2(8) sequence, the 4 extras are
+    # every-other entry of the pow2(16) sequence (2^-0.5, 2^-1.5, ...)
+    s12 = alibi_slopes(12)
+    assert len(s12) == 12
+    np.testing.assert_allclose(s12[:8], s8, rtol=1e-6)
+    np.testing.assert_allclose(
+        s12[8:], [2.0 ** -(0.5 + i) for i in range(4)], rtol=1e-6
+    )

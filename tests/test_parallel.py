@@ -674,3 +674,46 @@ def test_opt_forward_tp_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ldt, np.float32), np.asarray(ld1, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_bloom_alibi_forward_tp_matches_single_device():
+    """ALiBi under TP: each head shard must slice ITS block of the GLOBAL
+    slope sequence (llama._alibi_bias alibi_total_heads/alibi_axis) —
+    recomputing slopes for the local head count would bias every shard
+    identically and diverge from single-device."""
+    from jax.sharding import NamedSharding
+    from bitsandbytes_sycl_tpu.models.bloom import BloomConfig, bloom_forward
+    from bitsandbytes_sycl_tpu.models.opt import init_opt_kv_cache, init_opt_params
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+    from bitsandbytes_sycl_tpu.parallel.llama_tp import kv_cache_specs
+    from bitsandbytes_sycl_tpu.parallel.opt_tp import opt_forward_tp, shard_opt_params
+
+    cfg = BloomConfig.tiny(
+        hidden_size=512, num_heads=8, ffn_dim=1024, max_seq_len=64,
+        quant="nf4", kv_quant=True, dtype=jnp.float32,
+    )
+    params = init_opt_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh({"model": 4})
+    sp = shard_opt_params(params, cfg, mesh)
+
+    B, T = 2, 6
+    toks = jnp.asarray(np.random.default_rng(5).integers(0, 256, (B, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+    cache = init_opt_kv_cache(cfg, B)
+    cache_sh = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        cache, kv_cache_specs(cfg),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+    lt, ct = opt_forward_tp(sp, cfg, toks, cache_sh, pos, mesh)
+    l1, c1 = bloom_forward(params, cfg, toks, cache, pos)
+    np.testing.assert_allclose(
+        np.asarray(lt, np.float32), np.asarray(l1, np.float32), rtol=2e-2, atol=2e-2
+    )
+    posd = jnp.full((B, 1), T, jnp.int32)
+    ldt, _ = opt_forward_tp(sp, cfg, toks[:, -1:], ct, posd, mesh)
+    ld1, _ = bloom_forward(params, cfg, toks[:, -1:], c1, posd)
+    np.testing.assert_allclose(
+        np.asarray(ldt, np.float32), np.asarray(ld1, np.float32), rtol=2e-2, atol=2e-2
+    )

@@ -90,6 +90,11 @@ def load_falcon_from_hf(model_dir: str, cfg=None, quant: str = "nf4"):
             "sequential-residual Falcon checkpoints are not supported "
             "(the substrate implements the parallel block)"
         )
+    if hf.get("bias", False):
+        raise NotImplementedError(
+            "bias=true Falcon checkpoints are not supported — the loader "
+            "builds bias-free projections (mainline Falcon ships none)"
+        )
     new_arch = hf.get("new_decoder_architecture", False)
     H = hf["num_attention_heads"]
     hd = hf["hidden_size"] // H

@@ -61,6 +61,22 @@ def load_gpt2_from_hf(model_dir: str, cfg=None, quant: str = "nf4"):
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
+    for flag in ("scale_attn_by_inverse_layer_idx", "reorder_and_upcast_attn"):
+        if hf.get(flag, False):
+            raise NotImplementedError(
+                f"GPT-2 checkpoints with {flag}=true are not supported — "
+                "the substrate attention has no per-layer scaling variant"
+            )
+    # HF activation_function -> substrate act (opt_forward); mainline
+    # GPT-2 ships gelu_new. Unknown activations must not load silently.
+    act_map = {"gelu_new": "gelu_tanh", "gelu_pytorch_tanh": "gelu_tanh",
+               "gelu": "gelu", "relu": "relu"}
+    hf_act = hf.get("activation_function", "gelu_new")
+    if hf_act not in act_map:
+        raise NotImplementedError(
+            f"GPT-2 activation_function={hf_act!r} is not supported "
+            f"(known: {sorted(act_map)})"
+        )
     if cfg is None:
         cfg = GPT2Config(
             vocab_size=hf["vocab_size"],
@@ -70,6 +86,7 @@ def load_gpt2_from_hf(model_dir: str, cfg=None, quant: str = "nf4"):
             ffn_dim=hf.get("n_inner") or 4 * hf["n_embd"],
             max_seq_len=min(hf.get("n_positions", 1024), 4096),
             ln_eps=hf.get("layer_norm_epsilon", 1e-5),
+            act=act_map[hf_act],
             quant=quant,
         )
     tensors = _read_hf_tensors(model_dir)

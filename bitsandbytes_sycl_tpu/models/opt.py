@@ -74,7 +74,7 @@ class OPTConfig(GPTJConfig):
 
 
 def init_opt_params(cfg: OPTConfig, key: jax.Array) -> Dict:
-    keys = jax.random.split(key, cfg.num_layers + 3)
+    keys = jax.random.split(key, cfg.num_layers + 4)
 
     def dense(k, shape, scale=None):
         scale = scale or (1.0 / np.sqrt(shape[1]))
@@ -105,25 +105,27 @@ def init_opt_params(cfg: OPTConfig, key: jax.Array) -> Dict:
             "fc2_b": jnp.zeros((h,), jnp.float32),
         })
     params = {
-        "wte": dense(keys[-3], (cfg.vocab_size, w), scale=0.02).astype(cfg.dtype),
+        "wte": dense(keys[-4], (cfg.vocab_size, w), scale=0.02).astype(cfg.dtype),
         "layers": layers,
         "ln_f_w": jnp.ones((h,), jnp.float32),
         "ln_f_b": jnp.zeros((h,), jnp.float32),
         # tied head (OPT default); a loader may install an untied one
         "lm_head": _quantize_linear(
-            dense(keys[-1], (cfg.vocab_size, w), scale=0.02), cfg
+            dense(keys[-2], (cfg.vocab_size, w), scale=0.02), cfg
         ),
     }
     if not cfg.alibi:
         # learned positions carry OPT's pos_offset extra rows; ALiBi
         # families (BLOOM) have no position table at all
         params["wpe"] = dense(
-            keys[-2], (cfg.max_seq_len + cfg.pos_offset, h), scale=0.02
+            keys[-3], (cfg.max_seq_len + cfg.pos_offset, h), scale=0.02
         ).astype(cfg.dtype)
     else:
         params["wln_w"] = jnp.ones((h,), jnp.float32)  # BLOOM embed LN
         params["wln_b"] = jnp.zeros((h,), jnp.float32)
     if w != h:
+        # fresh key — reusing lm_head's key would correlate the
+        # projection inits with the head
         k1, k2 = jax.random.split(keys[-1])
         params["project_in"] = _quantize_linear(dense(k1, (h, w)), cfg)
         params["project_out"] = _quantize_linear(dense(k2, (w, h)), cfg)
@@ -231,6 +233,24 @@ def load_opt_from_hf(model_dir: str, cfg=None, quant: str = "nf4"):
         raise NotImplementedError(
             "post-LayerNorm OPT checkpoints (do_layer_norm_before=False) "
             "are not supported"
+        )
+    # guard the variant knobs the loader hardcodes (all mainline OPT
+    # sizes match the defaults; a variant must not load silently wrong)
+    hf_act = hf.get("activation_function", "relu")
+    if hf_act != "relu":
+        raise NotImplementedError(
+            f"OPT activation_function={hf_act!r} is not supported "
+            "(the substrate hardcodes relu for OPT)"
+        )
+    if not hf.get("enable_bias", True):
+        raise NotImplementedError(
+            "enable_bias=false OPT checkpoints are not supported — the "
+            "loader reads a bias for every projection"
+        )
+    if not hf.get("layer_norm_elementwise_affine", True):
+        raise NotImplementedError(
+            "layer_norm_elementwise_affine=false OPT checkpoints are not "
+            "supported — the loader reads LayerNorm weight/bias tensors"
         )
     if cfg is None:
         cfg = OPTConfig(

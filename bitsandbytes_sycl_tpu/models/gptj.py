@@ -51,7 +51,7 @@ class GPTJConfig:
     quant: str = "nf4"
     blocksize: int = 64
     compress_stats: bool = False  # 8-bit scales decoded in-kernel
-    a8_decode: bool = False  # W4A8 decode routing (see llama.apply_linear)
+    a8_decode: bool = True  # W4A8 decode routing (see llama.apply_linear)
     absmax_dtype: str = "bfloat16"  # scale storage; bf16 is free (see llama)
     llm_int8_threshold: float = 6.0
     kv_quant: bool = True

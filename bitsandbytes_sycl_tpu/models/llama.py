@@ -55,10 +55,15 @@ class LlamaConfig:
     # scale storage dtype for 4-bit weights: "bfloat16" halves scale
     # memory at zero kernel cost (measured; the kernel casts anyway)
     absmax_dtype: str = "bfloat16"
-    # W4A8 decode: route small-M 4-bit matmuls through the int8-MXU
-    # kernel (ops/matmul_w4a8.py) — measured 1.47x the exact bf16-decode
-    # path at M=8 on v5e, at LLM.int8-class activation-quant accuracy
-    a8_decode: bool = False
+    # W4A8 decode: route small-M LUT-4-bit matmuls through the int8-MXU
+    # kernel (ops/matmul_w4a8.py) — measured 1.4-1.5x the exact
+    # bf16-decode path at M=8 on v5e, at LLM.int8-class activation-quant
+    # accuracy. DEFAULT ON since round 4: the model-level ppl cost is
+    # measured ~zero on top of NF4's own +0.5% (docs/ACCURACY.md, gated
+    # in tests/test_accuracy.py); int4 never routes here (its arithmetic
+    # decode already beats W4A8). Set False for bit-exact decode w.r.t.
+    # the stored 4-bit codes.
+    a8_decode: bool = True
     llm_int8_threshold: float = 6.0
     kv_quant: bool = True  # int8 KV cache
     tie_embeddings: bool = False
@@ -526,6 +531,30 @@ def _stage_pend(new_cache: Dict, li: int, kq, ks, vq, vs) -> None:
         new_cache["pend_vs"], vs[None, :, 0], (li, 0, 0))
 
 
+_warned_decode_cliff: set = set()
+
+
+def _warn_decode_cliff(cfg) -> None:
+    """One-time warning for decode configs that silently pay the
+    4xBxL per-step unrolled-DUS write cost (_cache_write docstring:
+    measured 36 ms/step at B=48 on a 32-layer 7B)."""
+    key = (cfg.hd, cfg.max_seq_len, cfg.num_heads, cfg.num_kv_heads)
+    if key in _warned_decode_cliff:
+        return
+    _warned_decode_cliff.add(key)
+    import warnings
+
+    warnings.warn(
+        "contiguous int8 KV decode for this config (head_dim=%d, "
+        "max_seq_len=%d) cannot use the deferred-write flash-decode path "
+        "(shape gate _stacked_decode_ok failed) — every step pays "
+        "4*batch*layers tiny cache writes (~6 us each on v5e). Use the "
+        "paged KV cache (engine paged mode) for long-context serving; "
+        "its write deferral has no shape gate." % (cfg.hd, cfg.max_seq_len),
+        stacklevel=3,
+    )
+
+
 def maybe_init_pend(new_cache: Dict, cfg, T: int, positions) -> Dict:
     """Decode-step (T=1) deferred-write gating, shared by every forward
     (llama, gptj): the paged pool always defers; the contiguous int8
@@ -538,6 +567,10 @@ def maybe_init_pend(new_cache: Dict, cfg, T: int, positions) -> Dict:
     if (cfg.kv_quant and _use_fused_decode_attn(cfg)
             and _stacked_decode_ok(cfg)):
         return init_pend(new_cache, positions)
+    if cfg.kv_quant and _use_fused_decode_attn(cfg):
+        # the kernel would run but the shapes fail its gate: the silent
+        # per-layer write cliff (item the r3 review flagged) — say so once
+        _warn_decode_cliff(cfg)
     return new_cache
 
 

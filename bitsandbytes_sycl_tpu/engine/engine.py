@@ -124,10 +124,19 @@ class InferenceEngine:
         # its adapter via add_request(adapter_id=...) (S-LoRA style)
         self._lora = lora
         if lora is not None:
-            if forward_fn is not None or mesh is not None:
-                raise NotImplementedError(
-                    "engine lora serving is wired for the default llama forward"
-                )
+            if forward_fn is not None:
+                # model-agnostic forwards must accept the adapter kwargs
+                # (gptj_forward/opt_forward do); fail at construction,
+                # not deep inside the first jitted prefill
+                import inspect
+
+                sig_params = inspect.signature(forward_fn).parameters
+                if "lora" not in sig_params or "lora_ids" not in sig_params:
+                    raise NotImplementedError(
+                        "forward_fn does not accept lora/lora_ids kwargs — "
+                        "lora serving needs a forward with the llama_forward "
+                        "adapter contract"
+                    )
             first = next(iter(lora[0].values()))
             if first["A"].ndim != 3:
                 raise ValueError(
@@ -140,10 +149,20 @@ class InferenceEngine:
         if forward_fn is not None:
             fwd = forward_fn
         elif mesh is not None:
-            from ..parallel.llama_tp import kv_cache_specs, llama_forward_tp
+            from ..parallel.llama_tp import (
+                kv_cache_specs, llama_forward_tp, shard_lora_params)
 
-            def fwd(params, cfg, tokens, cache, positions):
-                return llama_forward_tp(params, cfg, tokens, cache, positions, mesh, tp_axis)
+            if lora is not None:
+                # adapters shard congruently with the base projections
+                # (col targets: B on N; row targets: A on K — deltas ride
+                # the existing per-layer psums token-identically)
+                self._lora = lora = shard_lora_params(lora, mesh, tp_axis)
+
+            def fwd(params, cfg, tokens, cache, positions, lora=None, lora_ids=None):
+                return llama_forward_tp(
+                    params, cfg, tokens, cache, positions, mesh, tp_axis,
+                    lora=lora, lora_ids=lora_ids,
+                )
 
             specs = kv_cache_specs(model_cfg, tp_axis)
             self._cache_sharding = jax.tree.map(
@@ -262,6 +281,21 @@ class InferenceEngine:
                 cache = jax.lax.with_sharding_constraint(cache, self._cache_sharding)
             return cache
 
+        @partial(jax.jit, static_argnums=(1,))
+        def broadcast_prefix_fn(Kb, prefix_cache):
+            """(L, 1, ...) stored prefix KV -> (L, Kb, ...) scratch cache
+            (chunked-prefill-over-prefix starts from this instead of a
+            zero cache; absolute positions make the rest identical)."""
+            out = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(
+                    x, (x.shape[0], Kb) + x.shape[2:]
+                ).astype(x.dtype),
+                prefix_cache,
+            )
+            if self._cache_sharding is not None:
+                out = jax.lax.with_sharding_constraint(out, self._cache_sharding)
+            return out
+
         @jax.jit
         def prefix_prefill_fn(params, tokens, true_len, key, ids, prefix_cache, plen):
             """Suffix prefill on top of a shared-prefix cache: the scratch
@@ -318,6 +352,7 @@ class InferenceEngine:
 
         self._paged_decode = paged_decode_fn
         self._paged_insert = paged_insert_fn
+        self._broadcast_prefix = broadcast_prefix_fn
         self._prefill = prefill_fn
         self._prefix_prefill = prefix_prefill_fn
         self._chunk_prefill = chunk_prefill_fn
@@ -425,32 +460,42 @@ class InferenceEngine:
         aid = np.zeros((Kb,), np.int32)
         aid[: len(eff_adapter_ids)] = eff_adapter_ids
         chunk = self.ecfg.prefill_chunk
-        if pre is not None:
-            nxt, cacheK = self._prefix_prefill(
-                self.params, jnp.asarray(toks), jnp.asarray(lens),
-                self._next_key(), jnp.asarray(aid), pre["cache"],
-                jnp.int32(plen),
-            )
-        elif chunk > 0 and T > chunk:
+        if chunk > 0 and T > chunk:
             # chunked prefill: re-pad to a multiple of the chunk size and
             # stream chunks through ONE compiled program, carrying the
             # scratch cache; the chunk containing each prompt's last
-            # token contributes its sampled first generation
+            # token contributes its sampled first generation. COMPOSES
+            # with prefix caching: the scratch cache starts as the
+            # broadcast prefix KV and chunk offsets/lengths are absolute
+            # (plen 0 without a prefix — same compiled program), so a
+            # long suffix on a shared prefix pays only chunked SUFFIX
+            # prefill (r3 review: the old elif silently skipped chunking
+            # for prefix requests).
             Tc = -(-T // chunk) * chunk
             toks_c = np.zeros((Kb, Tc), np.int32)
             toks_c[:, :T] = toks
-            cacheK = self._init_cache(self.mcfg, Kb)
-            if self._cache_sharding is not None:
-                cacheK = jax.device_put(cacheK, self._cache_sharding)
-            lens_j = jnp.asarray(lens)
+            if pre is not None:
+                cacheK = self._broadcast_prefix(Kb, pre["cache"])
+            else:
+                cacheK = self._init_cache(self.mcfg, Kb)
+                if self._cache_sharding is not None:
+                    cacheK = jax.device_put(cacheK, self._cache_sharding)
+            lens_j = jnp.asarray(lens) + jnp.int32(plen)  # absolute
             aid_j = jnp.asarray(aid)
             nxt = jnp.zeros((Kb,), jnp.int32)
             for ci in range(Tc // chunk):
                 tok, hit, cacheK = self._chunk_prefill(
                     self.params, jnp.asarray(toks_c[:, ci * chunk:(ci + 1) * chunk]),
-                    jnp.int32(ci * chunk), cacheK, lens_j, self._next_key(), aid_j,
+                    jnp.int32(plen + ci * chunk), cacheK, lens_j,
+                    self._next_key(), aid_j,
                 )
                 nxt = jnp.where(hit, tok, nxt)
+        elif pre is not None:
+            nxt, cacheK = self._prefix_prefill(
+                self.params, jnp.asarray(toks), jnp.asarray(lens),
+                self._next_key(), jnp.asarray(aid), pre["cache"],
+                jnp.int32(plen),
+            )
         else:
             nxt, cacheK = self._prefill(
                 self.params, jnp.asarray(toks), jnp.asarray(lens), self._next_key(),

@@ -171,11 +171,19 @@ def gptj_forward(
     positions: Optional[jax.Array] = None,
     seq_lens: Optional[jax.Array] = None,  # unused; engine-signature parity
     psum_axis: Optional[str] = None,  # mesh axis for TP row-parallel sums
+    lora: Optional[list] = None,  # per-layer {proj_name: {A,B,scale}} adapters
+    lora_ids: Optional[jax.Array] = None,  # (B,) per-sequence adapter ids
 ) -> Tuple[jax.Array, Optional[Dict]]:
-    """Same contract as llama_forward: (logits, updated cache)."""
+    """Same contract as llama_forward: (logits, updated cache). LoRA
+    adapters target any of q/k/v/out_proj/fc_in/fc_out by key name."""
+    from .llama import _lora_for
+
     B, T = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+    ids_bt = (
+        jnp.broadcast_to(lora_ids[:, None], (B, T)) if lora_ids is not None else None
+    )
 
     x = jnp.take(params["wte"], tokens, axis=0).astype(cfg.dtype)
     use_cache = cache is not None
@@ -199,9 +207,9 @@ def gptj_forward(
             if "ln2_w" in layer
             else h
         )
-        q = apply_linear(h, layer["q_proj"], cfg)
-        k = apply_linear(h, layer["k_proj"], cfg)
-        v = apply_linear(h, layer["v_proj"], cfg)
+        q = apply_linear(h, layer["q_proj"], cfg, _lora_for(lora, li, "q_proj"), ids_bt)
+        k = apply_linear(h, layer["k_proj"], cfg, _lora_for(lora, li, "k_proj"), ids_bt)
+        v = apply_linear(h, layer["v_proj"], cfg, _lora_for(lora, li, "v_proj"), ids_bt)
         if "q_bias" in layer:  # Phi-style biased attention projections
             q = q + layer["q_bias"].astype(q.dtype)
             k = k + layer["k_bias"].astype(k.dtype)
@@ -225,16 +233,16 @@ def gptj_forward(
             attn = _attention(q, k, v, mask, cfg.dtype)
         # -1 keeps the reshape valid for TP-local head shards
         attn = attn.astype(cfg.dtype).reshape(B, T, -1)
-        attn_out = apply_linear(attn, layer["out_proj"], cfg)
+        attn_out = apply_linear(attn, layer["out_proj"], cfg, _lora_for(lora, li, "out_proj"), ids_bt)
 
         # parallel MLP block (same LN as attention for GPT-J/Phi; its own
         # LN for GPT-NeoX — see h_mlp above)
-        ff = apply_linear(h_mlp, layer["fc_in"], cfg) + layer["fc_in_b"].astype(cfg.dtype)
+        ff = apply_linear(h_mlp, layer["fc_in"], cfg, _lora_for(lora, li, "fc_in"), ids_bt) + layer["fc_in_b"].astype(cfg.dtype)
         ff = jax.nn.gelu(
             ff.astype(jnp.float32),
             approximate=getattr(cfg, "act", "gelu_tanh") == "gelu_tanh",
         ).astype(cfg.dtype)
-        ff = apply_linear(ff, layer["fc_out"], cfg)
+        ff = apply_linear(ff, layer["fc_out"], cfg, _lora_for(lora, li, "fc_out"), ids_bt)
         if psum_axis is not None:
             # row-parallel partial sums; biases are added ONCE, after
             attn_out = jax.lax.psum(attn_out, psum_axis)

@@ -34,9 +34,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import QLinearWeight, interpret_mode, safe_inv
+from .common import QLinearWeight, interpret_mode, pick_tile as _pick_tile, safe_inv
 
-__all__ = ["matmul_4bit_w4a8"]
+__all__ = ["matmul_4bit_w4a8", "matmul_4bit_w8a8_prefill", "dequantize_to_int8"]
 
 
 def _int8_code_table(code) -> tuple:
@@ -230,3 +230,159 @@ def _w4a8_impl(
 
 
 matmul_4bit_w4a8.defvjp(_w4a8_fwd, _w4a8_bwd)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 prefill route: dequantize the 4-bit weight ONCE to int8 codes under a
+# per-output-column scale, then one dense int8-MXU GEMM (2x the bf16 rate).
+# ---------------------------------------------------------------------------
+
+
+def _dequant8_kernel(w_ref, f_ref, o_ref, *, code, quant_type, blocksize,
+                     decode_dtype):
+    """4-bit packed bytes -> int8 codes on the per-column grid.
+
+    Per element: v = lut(nibble), then q8 = round(v * f_block) where
+    f = block_absmax * 127 / column_max is precomputed OUTSIDE (f32,
+    same (2, nbh, N) shape as the raw absmax). The round error is
+    <= column_max/254 absolute — far inside NF4's own tail-gap error
+    (the gap 0.7229..1.0 puts NF4's worst per-element error at
+    ~0.14 * block_absmax), so the regrid is accuracy-neutral on top of
+    4-bit quantization (asserted by tests/test_ops_kernels.py)."""
+    from .matmul_4bit import _decode_plane
+
+    ity = jnp.int16 if jnp.dtype(decode_dtype).itemsize == 2 else jnp.int32
+    b = w_ref[:].astype(ity)  # (TKB, TN) bytes
+    w_hi = _decode_plane(b, code, quant_type, decode_dtype, shift=4)
+    w_lo = _decode_plane(b, code, quant_type, decode_dtype, shift=0)
+    f = f_ref[:]  # (2, TKB//bs, TN) f32
+    f_hi = jnp.repeat(f[0], blocksize, axis=0)
+    f_lo = jnp.repeat(f[1], blocksize, axis=0)
+    q_hi = jnp.round(w_hi.astype(jnp.float32) * f_hi)
+    q_lo = jnp.round(w_lo.astype(jnp.float32) * f_lo)
+    o_ref[0] = jnp.clip(q_hi, -127.0, 127.0).astype(jnp.int8)
+    o_ref[1] = jnp.clip(q_lo, -127.0, 127.0).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("N", "half", "tn", "tkb", "quant_type", "code", "blocksize"))
+def _dequant8_call(packed, f, N, half, tn, tkb, quant_type, code, blocksize):
+    nk = half // tkb
+    use16 = quant_type != "int4"
+    kernel = functools.partial(
+        _dequant8_kernel,
+        code=tuple(float(v) for v in code),
+        quant_type=quant_type,
+        blocksize=blocksize,
+        decode_dtype=jnp.bfloat16 if use16 else jnp.float32,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(N // tn, nk),
+        in_specs=[
+            pl.BlockSpec((tkb, tn), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tkb // blocksize, tn), lambda n, k: (0, k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, tkb, tn), lambda n, k: (0, k, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, half, N), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=N * half + (N * half // blocksize) * 8
+            + 2 * half * N, transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(packed, f)
+
+
+def dequantize_to_int8(w: QLinearWeight):
+    """(wq (K, N) int8, col_scale (N,) f32) with dequant(W)^T ~ wq *
+    col_scale/127 — the 4-bit codes regridded ONTO the int8 grid under one
+    scale per output column (reference shape: MatMul4Bit dequant-then-GEMM,
+    autograd/_functions.py:507, but emitting int8 for the int8 MXU at
+    HALF the write bytes of the bf16 dequant). Returns (None, None) for
+    untileable shapes — callers fall back."""
+    N, K = w.shape
+    half = K // 2
+    bs = w.blocksize
+    tn = _pick_tile(N, (256, 128))
+    if tn is None or K % (2 * bs) != 0:
+        return None, None
+    amax = w.scales_f32()  # (2, nbh, N) f32 (decodes compression if any)
+    colmax = jnp.max(amax, axis=(0, 1))  # (N,)
+    f = amax * (127.0 * safe_inv(colmax))[None, None, :]
+    step = 8 * bs
+    hp = ((half + step - 1) // step) * step
+    # same scoped-VMEM ceiling as dequantize_transposed (decode
+    # temporaries), int8 output halves only the store side
+    if step * tn * 4 > 512 * 256 * 4 or hp > 2 * half:
+        return None, None
+    packed = w.packed
+    if hp != half:
+        packed = jnp.pad(packed, ((0, hp - half), (0, 0)))
+        f = jnp.pad(f, ((0, 0), (0, (hp - half) // bs), (0, 0)))
+    out = _dequant8_call(packed, f, N, hp, tn, step, w.quant_type,
+                         tuple(float(v) for v in w.code), bs)
+    if hp != half:
+        out = out[:, :half, :]
+    return out.reshape(K, N), colmax
+
+
+# measured crossover to the W8A8 dequant-once route (v5e, 4096^2,
+# docs/PERFORMANCE.md): the one-time int8 decode+write costs ~55-70 us;
+# the int8 MXU GEMM then runs at 2x the bf16 rate, beating both the
+# exact m-tile kernel (decode per m-tile) and the bf16 dequant-to-HBM
+# route (2x write bytes, 1x MXU rate) from M ~= 256 up.
+W8A8_PREFILL_MIN_M = 256
+
+
+def _w8a8_prefill_impl(x, w: QLinearWeight, bias, out_dtype):
+    from .matmul_4bit import matmul_4bit_fused
+
+    N, K = w.shape
+    lead = x.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    wq, colmax = dequantize_to_int8(w)
+    if M == 0 or wq is None:
+        return matmul_4bit_fused(x, w, bias, compute_dtype=out_dtype)
+    x2 = x.reshape(M, K).astype(jnp.float32)
+    row_absmax = jnp.max(jnp.abs(x2), axis=1)
+    xq = jnp.clip(
+        jnp.round(x2 * (127.0 * safe_inv(row_absmax)).reshape(M, 1)),
+        -127.0, 127.0,
+    ).astype(jnp.int8)
+    out32 = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = out32.astype(jnp.float32) * (
+        (row_absmax / 127.0).reshape(M, 1) * (colmax / 127.0).reshape(1, N)
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype).reshape(*lead, N)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def matmul_4bit_w8a8_prefill(
+    x: jax.Array,
+    w: QLinearWeight,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Prefill-size W8A8: out ~= x @ dequant(W)^T with the weight decoded
+    ONCE per call to int8 codes in HBM (Pallas, half the bf16-dequant
+    write bytes) and one dense int8 GEMM on the int8 MXU (2x the bf16
+    rate; XLA tiles large static int8 dots well — no custom matmul
+    kernel needed here).
+
+    Accuracy class: W4A8's per-row int8 activations plus a per-column
+    int8 weight regrid whose absolute error (<= colmax/254) sits far
+    inside NF4's own tail-gap error — covered by the same envelope test.
+    Backward is the EXACT dequant path (like matmul_4bit_w4a8)."""
+    return _w8a8_prefill_impl(x, w, bias, out_dtype)
+
+
+def _w8a8_fwd(x, w, bias, out_dtype):
+    return _w8a8_prefill_impl(x, w, bias, out_dtype), (x, w, bias)
+
+
+matmul_4bit_w8a8_prefill.defvjp(_w8a8_fwd, _w4a8_bwd)

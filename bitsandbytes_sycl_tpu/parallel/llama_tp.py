@@ -28,7 +28,10 @@ from ..models.llama import LlamaConfig, llama_forward
 from ..ops.common import QLinearWeight
 from .mesh import qweight_pspec, qweight_sharding, retile_qweight_row_tp
 
-__all__ = ["llama_param_specs", "shard_llama_params", "kv_cache_specs", "llama_forward_tp"]
+__all__ = [
+    "llama_param_specs", "shard_llama_params", "kv_cache_specs",
+    "llama_forward_tp", "lora_param_specs", "shard_lora_params",
+]
 
 # projection -> TP sharding direction
 _COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
@@ -123,6 +126,37 @@ def shard_llama_params(params: Dict, cfg: LlamaConfig, mesh: Mesh, axis: str = "
     return _device_put_tree(params, llama_param_specs(params, cfg, axis), mesh)
 
 
+def lora_param_specs(lora, axis: str = "model", col=_COL, row=_ROW):
+    """PartitionSpec pytree for a (possibly stacked) adapter list, sharded
+    CONGRUENTLY with the base projections so the deltas ride the existing
+    TP math: column-parallel targets shard B on the output dim (the delta
+    is local per shard); row-parallel targets shard A on the input dim
+    (the partial xa sums through the layer's existing psum — psum(B @
+    xa_partial) == B @ sum(xa) by linearity). A leading adapter-stack dim
+    (stack_lora) is never sharded. Non-proj target names (gptj fc_in/
+    fc_out map col/row by their shapes' role) must be passed via col/row."""
+    def spec_for(name, ab):
+        nd = ab["A"].ndim  # 2 = single adapter, 3 = stacked
+        if name in col:
+            a_spec, b_spec = P(), (P(axis, None) if nd == 2 else P(None, axis, None))
+        elif name in row:
+            a_spec, b_spec = (P(None, axis) if nd == 2 else P(None, None, axis)), P()
+        else:
+            a_spec = b_spec = P()
+        return {"A": a_spec, "B": b_spec, "scale": P()}
+
+    return [
+        {name: spec_for(name, ab) for name, ab in layer.items()}
+        for layer in lora
+    ]
+
+
+def shard_lora_params(lora, mesh: Mesh, axis: str = "model", col=_COL, row=_ROW):
+    """Place an adapter pytree on the mesh congruently with the base
+    weights (see lora_param_specs)."""
+    return _device_put_tree(lora, lora_param_specs(lora, axis, col, row), mesh)
+
+
 def kv_cache_specs(cfg: LlamaConfig, axis: str = "model") -> Dict:
     """Cache sharded over the kv-head dim (dim 2 of every leaf)."""
     if cfg.kv_quant:
@@ -166,10 +200,16 @@ def llama_forward_tp(
     positions: jax.Array,
     mesh: Mesh,
     axis: str = "model",
+    lora=None,
+    lora_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict]]:
     """TP forward: params/cache pre-sharded per llama_param_specs /
     kv_cache_specs; tokens/positions replicated. Returns replicated
-    logits and the sharded updated cache."""
+    logits and the sharded updated cache. `lora` (single or stacked
+    adapters, pre-sharded with shard_lora_params or replicated) rides
+    the same shard_map — its specs derive from each target's col/row
+    role, so the deltas stay token-identical to the single-device
+    forward."""
     tp = mesh.shape[axis]
     if cfg.num_heads % tp or cfg.num_kv_heads % tp or cfg.intermediate_size % tp:
         raise ValueError(
@@ -201,18 +241,22 @@ def llama_forward_tp(
         cspecs["write_page"] = P()
         cspecs["write_off"] = P()
 
-    def body(params_l, tokens, cache_l, positions):
+    lspecs = lora_param_specs(lora, axis) if lora is not None else None
+    idspec = P() if lora_ids is not None else None
+
+    def body(params_l, tokens, cache_l, positions, lora_l, ids):
         params_l = _localize(params_l, tp)
         logits, new_cache = llama_forward(
-            params_l, cfg_local, tokens, cache_l, positions, psum_axis=axis
+            params_l, cfg_local, tokens, cache_l, positions, psum_axis=axis,
+            lora=lora_l, lora_ids=ids,
         )
         return logits, new_cache
 
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(pspecs, P(), cspecs, P()),
+        in_specs=(pspecs, P(), cspecs, P(), lspecs, idspec),
         out_specs=(P(), cspecs),
         check_rep=False,
     )
-    return fn(params, tokens, cache, positions)
+    return fn(params, tokens, cache, positions, lora, lora_ids)

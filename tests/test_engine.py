@@ -696,3 +696,129 @@ def test_engine_generate_speculative_gptj():
     ref = eng.generate(prompts, max_new_tokens=6)
     out = eng.generate_speculative(prompts, 6, params, cfg, gamma=3)
     assert out == ref, (out, ref)
+
+
+def test_engine_lora_with_tensor_parallel_token_identical():
+    """LoRA x TP composition (r3 review item 5a): the TP engine serving
+    per-request adapters must be token-identical to the single-device
+    multi-lora engine — adapter stacks shard congruently with the base
+    projections (col targets: B on N; row targets: A on K)."""
+    from bitsandbytes_sycl_tpu.models.lora import init_lora, stack_lora
+    from bitsandbytes_sycl_tpu.parallel import make_mesh, shard_llama_params
+
+    cfg = LlamaConfig.tiny(quant="nf4", dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    # adapters on BOTH a column-parallel (q_proj) and a row-parallel
+    # (o_proj) target, so each sharding direction is exercised
+    a0 = init_lora(cfg, jax.random.PRNGKey(1), rank=4, targets=("q_proj", "o_proj"))
+    a1 = init_lora(cfg, jax.random.PRNGKey(2), rank=4, targets=("q_proj", "o_proj"))
+    for a, k in ((a0, 11), (a1, 22)):
+        for layer in a:
+            for name in layer:
+                layer[name]["B"] = jnp.asarray(
+                    np.random.default_rng(k).normal(size=layer[name]["B"].shape) * 0.05,
+                    jnp.float32,
+                )
+    stacked = stack_lora([a0, a1])
+    ecfg = EngineConfig(max_batch=2, max_new_tokens=6, prefill_buckets=(16,))
+    prompts = [[1, 2, 3], [1, 2, 3]]
+
+    ref = InferenceEngine(cfg, params, ecfg, lora=stacked).generate(
+        prompts, adapter_ids=[0, 1]
+    )
+    mesh = make_mesh({"model": 2})
+    sharded = shard_llama_params(params, cfg, mesh)
+    eng = InferenceEngine(cfg, sharded, ecfg, mesh=mesh, lora=stacked)
+    out = eng.generate(prompts, adapter_ids=[0, 1])
+    assert out == ref, (out, ref)
+    assert out[0] != out[1]  # adapters actually differ
+
+
+def test_engine_lora_with_forward_fn_gptj():
+    """LoRA x forward_fn composition (r3 review item 5a): gptj_forward
+    accepts the adapter contract; adapters on gptj target names must
+    change the output and route per request."""
+    from bitsandbytes_sycl_tpu.models.gptj import (
+        GPTJConfig, gptj_forward, init_gptj_kv_cache, init_gptj_params,
+    )
+    from bitsandbytes_sycl_tpu.models.lora import stack_lora
+
+    cfg = GPTJConfig.tiny(kv_quant=True, quant="nf4", dtype=jnp.float32)
+    params = init_gptj_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+
+    def mk_adapter(seed, scale):
+        r = np.random.default_rng(seed)
+        out = []
+        for _ in range(cfg.num_layers):
+            h = cfg.hidden_size
+            out.append({
+                "q_proj": {
+                    "A": jnp.asarray(r.normal(size=(4, h)) * 0.2, jnp.float32),
+                    "B": jnp.asarray(r.normal(size=(h, 4)) * scale, jnp.float32),
+                    "scale": jnp.asarray(2.0, jnp.float32),
+                },
+                "fc_out": {
+                    "A": jnp.asarray(r.normal(size=(4, 4 * h)) * 0.2, jnp.float32),
+                    "B": jnp.asarray(r.normal(size=(h, 4)) * scale, jnp.float32),
+                    "scale": jnp.asarray(2.0, jnp.float32),
+                },
+            })
+        return out
+
+    zero = mk_adapter(1, 0.0)  # B=0 => identity delta
+    real = mk_adapter(2, 0.1)
+    stacked = stack_lora([zero, real])
+    ecfg = EngineConfig(max_batch=2, max_new_tokens=6, prefill_buckets=(16,))
+    base = InferenceEngine(
+        cfg, params, ecfg, forward_fn=gptj_forward, init_cache_fn=init_gptj_kv_cache
+    )
+    ref = base.generate([[1, 2, 3, 4]])
+    eng = InferenceEngine(
+        cfg, params, ecfg, forward_fn=gptj_forward,
+        init_cache_fn=init_gptj_kv_cache, lora=stacked,
+    )
+    out = eng.generate([[1, 2, 3, 4], [1, 2, 3, 4]], adapter_ids=[0, 1])
+    assert out[0] == ref[0]  # zero adapter == base model
+    assert out[1] != ref[0]  # real adapter changes the tokens
+
+
+def test_engine_lora_forward_fn_without_contract_rejected(setup):
+    """A forward_fn that cannot take adapters must be rejected at
+    construction, not fail deep inside the first jitted prefill."""
+    from bitsandbytes_sycl_tpu.models.lora import init_lora, stack_lora
+
+    cfg, params = setup
+    stacked = stack_lora([init_lora(cfg, jax.random.PRNGKey(1), rank=2)])
+
+    def bare_forward(params, cfg, tokens, cache, positions):
+        return llama_forward(params, cfg, tokens, cache, positions)
+
+    with pytest.raises(NotImplementedError):
+        InferenceEngine(
+            cfg, params, EngineConfig(max_batch=2), forward_fn=bare_forward,
+            lora=stacked,
+        )
+
+
+def test_engine_prefix_plus_chunked_prefill(setup):
+    """Prefix caching COMPOSES with chunked prefill (r3 review item 5b:
+    the old elif silently skipped chunking for prefix requests): a long
+    suffix over a registered prefix, chunked, must be token-identical to
+    the whole-prompt reference."""
+    cfg, params = setup
+    prefix = [7, 8, 9, 10, 11]
+    suffixes = [[1, 2, 3, 4, 5, 6, 7, 8, 9], [4, 5, 6, 1, 2, 9, 9, 8, 3]]
+    ref_eng = InferenceEngine(cfg, params, EngineConfig(max_batch=2, max_new_tokens=6))
+    ref = ref_eng.generate([prefix + sfx for sfx in suffixes])
+
+    eng = InferenceEngine(
+        cfg, params,
+        EngineConfig(max_batch=2, max_new_tokens=6, prefill_chunk=4),
+    )
+    pid = eng.register_prefix(prefix)
+    slots = eng.add_requests(suffixes, prefix=pid)
+    while eng.active.any():
+        eng.step()
+    got = [eng.slot_tokens[s][len(prefix) + len(sfx):] for s, sfx in zip(slots, suffixes)]
+    assert got == ref, (got, ref)

@@ -367,11 +367,26 @@ def model7b_paged_decode(arg="48"):
     # the pow2-bucketed cfg.pages_hint the engine now sets per step;
     # wide-without-hint measures the trailing-grid-step overhead the
     # hint removes (ops/paged_attention.py docstring).
-    wide = hint = False
+    wide = hint = repack = False
     if arg.endswith(".widehint"):
         arg, wide, hint = arg[: -len(".widehint")], True, True
     elif arg.endswith(".wide"):
         arg, wide = arg[: -len(".wide")], True
+    repack_only = None
+    if ".repackbig" in arg:
+        # PARTIAL repack: only the wide FFN projections + lm_head go int8
+        # (most of the W4A8 sub-dot penalty, ~+2.3 GB instead of +3.3) —
+        # fits the B=48 avg-512 pool where the full repack does not
+        arg = arg.replace(".repackbig", "")
+        repack = True
+        repack_only = {"gate_proj", "up_proj", "down_proj", "lm_head"}
+    elif ".repack" in arg:
+        # serving-time 4-bit -> int8 repack (models/llama.repack_params_int8,
+        # r4): 2x weight memory (6.7 GB) for 1.6-2.1x faster mid-M linears
+        # — the pool budget shrinks accordingly (B*maxp*33.6MB + 6.7GB
+        # must fit; B=32 avg-512 fits, B=48 avg-512 does NOT)
+        arg = arg.replace(".repack", "")
+        repack = True
     if ".len" in arg:
         arg, len_str = arg.split(".len", 1)
         avg_len = int(len_str)
@@ -387,6 +402,10 @@ def model7b_paged_decode(arg="48"):
                       dtype=jnp.bfloat16, a8_decode=(quant != "int4"),
                       blocksize=bs)
     params = init_params(cfg, jax.random.PRNGKey(0))
+    if repack:
+        from bitsandbytes_sycl_tpu.models.llama import repack_params_int8
+
+        params, cfg = repack_params_int8(params, cfg, only=repack_only)
     np.asarray(params["final_norm"])
 
     # mixed live lengths averaging ~avg_len; horizon = start + 25 steps
@@ -442,6 +461,7 @@ def model7b_paged_decode(arg="48"):
     t = (run(20) - run(5)) / 15
     sfx = ("_a8" if cfg.a8_decode else "") + (f"_bs{bs}" if bs != 64 else "")
     sfx += ("_widehint" if (wide and hint) else "_wide" if wide else "")
+    sfx += ("_repack8big" if (repack and repack_only) else "_repack8" if repack else "")
     _emit(f"llama7b_{quant}{sfx}_PAGED_decode_b{B}_avg{avg_len}", B / t, "tok/s", 200.0)
 
 

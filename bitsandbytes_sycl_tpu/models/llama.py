@@ -28,6 +28,7 @@ __all__ = [
     "LlamaConfig",
     "init_params",
     "quantize_params",
+    "repack_params_int8",
     "llama_forward",
     "init_kv_cache",
 ]
@@ -186,6 +187,52 @@ def _quantize_linear(W: jax.Array, cfg: LlamaConfig):
     return W.astype(cfg.dtype)
 
 
+def repack_params_int8(params, cfg, only=None):
+    """Serving-time 4-bit -> int8 repack (r3 review item 2, the mid-M fix).
+
+    Replaces every 2D QLinearWeight leaf with LLM.int8-style {CB, SCB}
+    (per-output-row int8 regrid of the DEQUANTIZED 4-bit weight — the
+    regrid's absolute error, <= rowmax/254, sits far inside the 4-bit
+    format's own grid error, so the codes keep NF4/FP4 fidelity) and
+    returns a matching config (quant="int8", threshold 0: the codes need
+    no activation outlier decomposition beyond the W4A8-class per-row
+    activation quant already accepted for serving).
+
+    Why: the W4A8 kernel's per-quantization-block sub-dots underutilize
+    the MXU at mid M — M=48 (the B=48 paged serving step's linear size)
+    measured 0.76x bf16, while the SAME weight repacked int8 runs the
+    existing int8 machinery at 1.6-2.7x bf16 across M=48..4096
+    (docs/PERFORMANCE.md r4 table). The trade is 2x weight memory
+    (6.7 GB for 7B) — opt in for throughput-bound serving; keep 4-bit
+    for memory-bound configs. Stacked MoE expert weights (3D) stay
+    4-bit. Returns (params8, cfg8); the original tree is not mutated.
+
+    `only`: optional set of param KEY NAMES to repack (e.g.
+    {"gate_proj", "up_proj", "down_proj", "lm_head"}) — the PARTIAL
+    repack for pool-budget-bound serving: the wide FFN projections are
+    where the W4A8 sub-dot penalty is largest (their MAC count), so
+    repacking just them buys most of the speedup for a third of the
+    extra memory (the qkv/o projections stay 4-bit W4A8).
+    """
+    def walk(obj, name=None):
+        if isinstance(obj, QLinearWeight):
+            if obj.packed.ndim != 2:
+                return obj  # stacked experts: keep 4-bit (see docstring)
+            if only is not None and name not in only:
+                return obj
+            CB, SCB = F.int8_vectorwise_quant(
+                obj.dequantize().astype(jnp.float32))
+            return {"CB": CB, "SCB": SCB}
+        if isinstance(obj, dict):
+            return {k: walk(v, k) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [walk(v, name) for v in obj]
+        return obj
+
+    cfg8 = dataclasses.replace(cfg, quant="int8", llm_int8_threshold=0.0)
+    return walk(params), cfg8
+
+
 def _lora_for(lora, li: int, name: str):
     if lora is None:
         return None
@@ -225,6 +272,12 @@ def _apply_lora(x, out, lora, lora_ids):
     return out + delta.reshape(*lead, -1).astype(out.dtype)
 
 
+def _w8a8_prefill_min() -> int:
+    from ..ops.matmul_w4a8 import W8A8_PREFILL_MIN_M
+
+    return W8A8_PREFILL_MIN_M
+
+
 def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None, lora_ids=None) -> jax.Array:
     if isinstance(w, QLinearWeight):
         rows = int(np.prod(x.shape[:-1]))
@@ -235,10 +288,21 @@ def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None, lora_ids=None) ->
         # through M=256 when the sub-dot K (= blocksize) is 256; the
         # exact m-tile kernel wins from M~1024.
         lim = 256 if w.blocksize >= 256 else 128
-        if getattr(cfg, "a8_decode", False) and 0 < rows <= lim and w.quant_type != "int4":
+        a8 = getattr(cfg, "a8_decode", False)
+        if a8 and 0 < rows <= lim and w.quant_type != "int4":
             from ..ops.matmul_w4a8 import matmul_4bit_w4a8
 
             out = matmul_4bit_w4a8(x, w, out_dtype=cfg.dtype)
+        elif a8 and rows >= _w8a8_prefill_min():
+            # W8A8 prefill route (r4, docs/PERFORMANCE.md): decode the
+            # nibbles ONCE to int8 codes (~165 us at 4096², half the
+            # bf16-dequant write) and run one dense int8-MXU GEMM —
+            # measured 1.0x bf16 at M=2048 and 1.28x at M=4096 vs the
+            # bf16 dequant-to-HBM route's 0.76/0.81x. All 4-bit types
+            # (int4's 0.91x loses to it too).
+            from ..ops.matmul_w4a8 import matmul_4bit_w8a8_prefill
+
+            out = matmul_4bit_w8a8_prefill(x, w, out_dtype=cfg.dtype)
         else:
             out = matmul_4bit_fused(x, w, compute_dtype=cfg.dtype)
     elif isinstance(w, dict) and "CB" in w:
@@ -401,14 +465,28 @@ def _use_fused_decode_attn(cfg: LlamaConfig) -> bool:
     """The flash-decode kernel runs compiled on TPU; interpret mode is too
     slow for the per-layer loop, so CPU tests take the XLA fallback (the
     kernel itself is covered by interpret-mode unit tests). Sliding
-    windows (Mistral) ride the same kernels via their static `window`
-    mask parameter."""
+    windows (Mistral), Gemma-2 softcapping and ALiBi (BLOOM — in-kernel
+    -slope*distance bias since r4; the r3 review flagged BLOOM fenced
+    out of every fast path) all ride the same kernels via static/operand
+    parameters."""
     from ..ops.common import on_tpu
 
-    # ALiBi (BLOOM) adds a per-head positional bias the fused kernels do
-    # not model — those configs keep the XLA fallback (and immediate
-    # cache writes: maybe_init_pend gates on this too)
-    return on_tpu() and not getattr(cfg, "alibi", False)
+    return on_tpu()
+
+
+def _alibi_slopes_local(cfg) -> Optional[jax.Array]:
+    """(Hq_local,) ALiBi slope vector for the fused kernels, or None for
+    non-ALiBi configs. Under TP the slope sequence is GLOBAL while
+    cfg.num_heads is shard-local — same slicing as _alibi_bias."""
+    if not getattr(cfg, "alibi", False):
+        return None
+    total = getattr(cfg, "alibi_total_heads", None) or cfg.num_heads
+    slopes = jnp.asarray(alibi_slopes(total))
+    ax = getattr(cfg, "alibi_axis", None)
+    if ax is not None:
+        off = jax.lax.axis_index(ax) * cfg.num_heads
+        slopes = jax.lax.dynamic_slice(slopes, (off,), (cfg.num_heads,))
+    return slopes
 
 
 def _cache_write(arr: jax.Array, li: int, upd: jax.Array, starts: jax.Array, pos_axis: int) -> jax.Array:
@@ -480,6 +558,7 @@ def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
         softcap=getattr(cfg, "attn_logit_softcap", None),
         sm_scale=_sm_scale(cfg),
         pages_hint=getattr(cfg, "pages_hint", None),
+        alibi_slopes=_alibi_slopes_local(cfg),
     )
     if attn is not None:
         return attn, new_cache
@@ -512,9 +591,20 @@ def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
         mask = mask & (positions[:, :, None] - jnp.arange(S)[None, None, :] < sw)
     mask = jnp.concatenate(
         [mask, jnp.ones((B, q.shape[1], 1), bool)], axis=2)  # self: always valid
+    bias = None
+    if getattr(cfg, "alibi", False):
+        # pool order IS logical token order here; the appended current
+        # token sits AT the query position (distance 0)
+        sl = _alibi_slopes_local(cfg)
+        kpos = jnp.concatenate(
+            [jnp.broadcast_to(jnp.arange(S)[None, :], (B, S)),
+             positions[:, 0:1]], axis=1)  # (B, S+1)
+        dist = positions[:, None, :, None] - kpos[:, None, None, :]
+        bias = -sl[None, :, None, None] * dist.astype(jnp.float32)
     return _attention(q, k_full, v_full, mask, cfg.dtype,
                       sm_scale=_sm_scale(cfg),
-                      softcap=getattr(cfg, "attn_logit_softcap", None)), new_cache
+                      softcap=getattr(cfg, "attn_logit_softcap", None),
+                      bias=bias), new_cache
 
 
 def _stage_pend(new_cache: Dict, li: int, kq, ks, vq, vs) -> None:
@@ -897,11 +987,6 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
             raise ValueError("paged KV cache supports decode (T=1) steps only")
         if not cfg.kv_quant:
             raise ValueError("paged KV cache requires kv_quant=True (int8 pages)")
-        if getattr(cfg, "alibi", False):
-            raise NotImplementedError(
-                "paged KV does not model the ALiBi bias (BLOOM) — use the "
-                "contiguous cache"
-            )
         return _paged_write_and_attend(new_cache, li, q, k, v, positions, cfg)
     if cfg.kv_quant:
         kq, ks = _kv_quantize(k)
@@ -924,6 +1009,7 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
                 lengths=positions[:, 0],
                 new_kv=(kq[:, 0], ks[:, 0], vq[:, 0], vs[:, 0]),
                 window=window, softcap=softcap, sm_scale=sm_scale,
+                alibi_slopes=_alibi_slopes_local(cfg),
             )
             assert attn is not None  # init_pend is gated on tileability
             return attn, new_cache
@@ -953,6 +1039,7 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
                 new_cache["v"], new_cache["v_scale"], li,
                 lengths=positions[:, 0] + 1, window=window,
                 softcap=softcap, sm_scale=sm_scale,
+                alibi_slopes=_alibi_slopes_local(cfg),
             )
         elif T > 1 and _use_fused_decode_attn(cfg):
             from ..ops.attention import prefill_attention_int8_stacked
@@ -966,6 +1053,7 @@ def write_and_attend(new_cache: Dict, li: int, q, k, v, positions, mask, cfg):
                 new_cache["v"], new_cache["v_scale"], li,
                 starts=starts, window=window,
                 softcap=softcap, sm_scale=sm_scale,
+                alibi_slopes=_alibi_slopes_local(cfg),
             )
         if attn is not None:
             return attn, new_cache

@@ -49,14 +49,17 @@ __all__ = [
 
 def _attn_kernel(
     len_ref,  # scalar prefetch: (B,) int32 valid lengths
-    *refs,  # q, cache blocks, [optional new-token operands], out
-    S, R, scale, window=None, softcap=None, has_new=False,
+    *refs,  # q, cache blocks, [slopes], [optional new-token operands], out
+    S, R, scale, window=None, softcap=None, has_new=False, has_alibi=False,
 ):
+    refs = list(refs)
+    q_ref, k_ref, ks_ref, v_ref, vs_ref = refs[:5]
+    rest = refs[5:]
+    sl_ref = rest.pop(0) if has_alibi else None
     if has_new:
-        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
-         kn_ref, vn_ref, ksn_ref, vsn_ref, o_ref) = refs
+        kn_ref, vn_ref, ksn_ref, vsn_ref, o_ref = rest
     else:
-        q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref = refs
+        (o_ref,) = rest
     b = pl.program_id(0)
 
     # f32 dot operands: Mosaic mis-lowers skinny bf16 dots
@@ -73,19 +76,24 @@ def _attn_kernel(
         q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     sc = sc * (ks_ref[:].reshape(1, S) * scale)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+    # the query position: len-1, or len when the current token rides in
+    # registers (has_new: deferred-write design, len counts CACHE tokens)
+    qpos = len_ref[b] if has_new else len_ref[b] - 1
+    if has_alibi:
+        # ALiBi (BLOOM, arxiv 2108.12409): -slope_h * (qpos - kpos) on
+        # the REAL logits (pre-softcap/mask); the r3 review fenced BLOOM
+        # out of every fast path for lack of exactly this term
+        sl = sl_ref[:].reshape(R, 1)  # per-q-head slopes for this kv head
+        sc = sc + sl * (pos - qpos).astype(jnp.float32)
     if softcap is not None:
         # Gemma-2 attention logit softcapping: cap*tanh(logit/cap) —
         # applied to REAL logits, so before the -1e30 mask fill
         sc = softcap * jnp.tanh(sc * jnp.float32(1.0 / softcap))
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
     valid = pos < len_ref[b]
     if window is not None:
-        # sliding window (Mistral): the query sits at position len-1, or
-        # at len when the current token rides in registers (has_new:
-        # deferred-write design, len counts only CACHE tokens); it
-        # attends keys in (qpos - window, qpos]
-        qpos = len_ref[b] if has_new else len_ref[b] - 1
+        # sliding window (Mistral): query attends keys in (qpos-window, qpos]
         valid = jnp.logical_and(valid, pos >= qpos + 1 - window)
     sc = jnp.where(valid, sc, -1e30)
 
@@ -134,22 +142,31 @@ def _attn_kernel(
 
 @partial(jax.jit, static_argnames=("window", "softcap", "sm_scale"))
 def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths, window=None,
-                      softcap=None, sm_scale=None):
+                      softcap=None, sm_scale=None, alibi=None):
     # q4 is grouped (B, Hkv, rep, D): q heads [h*rep, (h+1)*rep) share kv
     # head h, so the grid runs per KV head and each kv tile is read once
     B, Hkv, rep, D = q4.shape
     S = vq.shape[2]
 
+    in_specs = [
+        pl.BlockSpec((1, 1, rep, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, D, S), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, S), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, S, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, S), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    extra = ()
+    if alibi is not None:
+        # per-q-head ALiBi slopes grouped like q: (Hkv, rep, 1); the
+        # block's last two dims equal the array dims (min-tile escape)
+        in_specs.append(
+            pl.BlockSpec((1, rep, 1), lambda b, h, L: (h, 0, 0),
+                         memory_space=pltpu.VMEM))
+        extra = (alibi.reshape(Hkv, rep, 1).astype(jnp.float32),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, rep, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, S), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, S), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, S), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, rep, D), lambda b, h, L: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -157,7 +174,7 @@ def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths, window=None,
     sm = sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))
     kernel = functools.partial(
         _attn_kernel, S=S, R=rep, scale=sm / 127.0,
-        window=window, softcap=softcap,
+        window=window, softcap=softcap, has_alibi=alibi is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -169,7 +186,7 @@ def _decode_attn_call(q4, kq, ks4, vq, vs4, lengths, window=None,
             transcendentals=B * Hkv * rep * S,
         ),
         interpret=interpret_mode(),
-    )(lengths.astype(jnp.int32), q4, kq, ks4, vq, vs4)
+    )(lengths.astype(jnp.int32), q4, kq, ks4, vq, vs4, *extra)
 
 
 def decode_attention_int8(
@@ -182,13 +199,16 @@ def decode_attention_int8(
     window: Optional[int] = None,  # sliding window (Mistral): attend slots >= len-window
     softcap: Optional[float] = None,  # Gemma-2 logit softcapping cap*tanh(x/cap)
     sm_scale: Optional[float] = None,  # softmax scale override (Gemma-2 query_pre_attn_scalar)
+    alibi_slopes: Optional[jax.Array] = None,  # (Hq,) ALiBi slopes (BLOOM)
 ) -> Optional[jax.Array]:
     """Single-step (T=1) attention over an int8 KV cache, one fused kernel.
 
     Scales are the raw per-(token,head) absmax stored by
     models.llama._kv_quantize (the 1/127 dequant factor is folded into
-    kernel constants). Returns (B, 1, Hq, D) in q.dtype, or None if the
-    shapes can't tile (caller falls back to dequantize-then-attend).
+    kernel constants). `alibi_slopes` adds -slope_h*(qpos-kpos) to the
+    logits in-kernel (BLOOM; r3 review item 3). Returns (B, 1, Hq, D) in
+    q.dtype, or None if the shapes can't tile (caller falls back to
+    dequantize-then-attend).
     """
     B, T, Hq, D = q.shape
     Hkv, S = vq.shape[1], vq.shape[2]
@@ -202,14 +222,15 @@ def decode_attention_int8(
     q4 = q.reshape(B, Hkv, Hq // Hkv, D)
     out = _decode_attn_call(
         q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), lengths,
-        window=window, softcap=softcap, sm_scale=sm_scale,
+        window=window, softcap=softcap, sm_scale=sm_scale, alibi=alibi_slopes,
     )
     return out.reshape(B, 1, Hq, D)
 
 
 @partial(jax.jit, static_argnames=("window", "softcap", "sm_scale"))
 def _decode_attn_call_stacked(q4, kq, ks5, vq, vs5, li, lengths, new_kv=None,
-                              window=None, softcap=None, sm_scale=None):
+                              window=None, softcap=None, sm_scale=None,
+                              alibi=None):
     B, Hkv, rep, D = q4.shape
     S = vq.shape[3]
     has_new = new_kv is not None
@@ -226,6 +247,10 @@ def _decode_attn_call_stacked(q4, kq, ks5, vq, vs5, li, lengths, new_kv=None,
         pl.BlockSpec((1, 1, 1, 1, S), lambda b, h, li, L: (li[0], b, h, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if alibi is not None:
+        in_specs.append(
+            pl.BlockSpec((1, rep, 1), lambda b, h, li, L: (h, 0, 0),
+                         memory_space=pltpu.VMEM))
     if has_new:
         in_specs += [
             pl.BlockSpec((1, 1, 1, D), lambda b, h, li, L: (b, h, 0, 0),
@@ -254,14 +279,17 @@ def _decode_attn_call_stacked(q4, kq, ks5, vq, vs5, li, lengths, new_kv=None,
 
     sm = sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))
     extra = ()
+    if alibi is not None:
+        extra += (alibi.reshape(Hkv, rep, 1).astype(jnp.float32),)
     if has_new:
         kn, ksn, vn, vsn = new_kv
-        extra = (kn[:, :, None, :], vn[:, :, None, :],
-                 ksn[:, :, None, None], vsn[:, :, None, None])
+        extra += (kn[:, :, None, :], vn[:, :, None, :],
+                  ksn[:, :, None, None], vsn[:, :, None, None])
     return pl.pallas_call(
         functools.partial(
             kernel, S=S, R=rep, scale=sm / 127.0,
             window=window, softcap=softcap, has_new=has_new,
+            has_alibi=alibi is not None,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, rep, D), q4.dtype),
@@ -289,6 +317,7 @@ def decode_attention_int8_stacked(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sm_scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # (Hq,) ALiBi slopes (BLOOM)
 ) -> Optional[jax.Array]:
     """decode_attention_int8 over layer `li` of the layer-STACKED engine
     cache. The layer index is a scalar-prefetch operand picking the
@@ -310,7 +339,7 @@ def decode_attention_int8_stacked(
     out = _decode_attn_call_stacked(
         q4, kq, ks.reshape(L, B, Hkv, 1, S), vq, vs.reshape(L, B, Hkv, 1, S),
         li, lengths, new_kv=new_kv, window=window, softcap=softcap,
-        sm_scale=sm_scale,
+        sm_scale=sm_scale, alibi=alibi_slopes,
     )
     return out.reshape(B, 1, Hq, D)
 
@@ -327,10 +356,12 @@ def decode_attention_int8_stacked(
 def _prefill_kernel(
     start_ref,  # scalar prefetch: (B,) int32 first absolute position per batch
     q_ref, k_ref, ks_ref, v_ref, vs_ref,
-    o_ref,
-    m_ref, l_ref, acc_ref,
-    *, tq, ts, nkv, scale, window=None, softcap=None,
+    *rest,  # [slopes], out, scratch (m, l, acc)
+    tq, ts, nkv, scale, window=None, softcap=None, has_alibi=False,
 ):
+    rest = list(rest)
+    sl_ref = rest.pop(0) if has_alibi else None
+    o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
     si = pl.program_id(3)
@@ -347,13 +378,17 @@ def _prefill_kernel(
         q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TQ, TS)
     sc = sc * (ks_ref[:].reshape(1, ts) * scale)
-    if softcap is not None:
-        sc = softcap * jnp.tanh(sc * jnp.float32(1.0 / softcap))
-
     # causal mask in absolute positions: kv slot s is valid for query row r
     # iff s <= start_b + qi*tq + r  (cache holds [0, start+T) after writes)
     q_pos = start_ref[b] + qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 0)
     k_pos = si * ts + jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 1)
+    if has_alibi:
+        # ALiBi: -slope_h * (q_pos - k_pos) on the real logits (BLOOM)
+        sl = sl_ref[:].reshape(1, 1)  # this head's slope
+        sc = sc + sl * (k_pos - q_pos).astype(jnp.float32)
+    if softcap is not None:
+        sc = softcap * jnp.tanh(sc * jnp.float32(1.0 / softcap))
+
     valid = k_pos <= q_pos
     if window is not None:
         # sliding window (Mistral): query t attends keys in (t-window, t];
@@ -384,30 +419,39 @@ def _prefill_kernel(
 
 @partial(jax.jit, static_argnames=("tq", "ts", "window", "softcap", "sm_scale"))
 def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts, window=None,
-                       softcap=None, sm_scale=None):
+                       softcap=None, sm_scale=None, alibi=None):
     B, Hq, T, D = q4.shape
     S, Hkv = vq.shape[2], vq.shape[1]
     nq, nkv = T // tq, S // ts
     rep = Hq // Hkv
 
+    in_specs = [
+        pl.BlockSpec((1, 1, tq, D), lambda b, h, qi, si, L: (b, h, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, D, ts), lambda b, h, qi, si, L, _r=rep: (b, h // _r, 0, si), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, ts), lambda b, h, qi, si, L, _r=rep: (b, h // _r, 0, si), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, ts, D), lambda b, h, qi, si, L, _r=rep: (b, h // _r, si, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, ts), lambda b, h, qi, si, L, _r=rep: (b, h // _r, 0, si), memory_space=pltpu.VMEM
+        ),
+    ]
+    extra = ()
+    if alibi is not None:
+        # one slope per q head: (Hq, 1, 1) with (1, 1, 1) blocks — the
+        # last two dims equal the array dims (min-tile escape)
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1), lambda b, h, qi, si, L: (h, 0, 0),
+                         memory_space=pltpu.VMEM))
+        extra = (alibi.reshape(Hq, 1, 1).astype(jnp.float32),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hq, nq, nkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, tq, D), lambda b, h, qi, si, L: (b, h, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, D, ts), lambda b, h, qi, si, L, _r=rep: (b, h // _r, 0, si), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, ts), lambda b, h, qi, si, L, _r=rep: (b, h // _r, 0, si), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, ts, D), lambda b, h, qi, si, L, _r=rep: (b, h // _r, si, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, ts), lambda b, h, qi, si, L, _r=rep: (b, h // _r, 0, si), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, tq, D), lambda b, h, qi, si, L: (b, h, qi, 0), memory_space=pltpu.VMEM
         ),
@@ -420,6 +464,7 @@ def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts, window=None,
     kernel = functools.partial(
         _prefill_kernel, tq=tq, ts=ts, nkv=nkv,
         scale=(sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))) / 127.0, window=window, softcap=softcap,
+        has_alibi=alibi is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -431,41 +476,49 @@ def _prefill_attn_call(q4, kq, ks4, vq, vs4, starts, tq, ts, window=None,
             transcendentals=B * Hq * T * S,
         ),
         interpret=interpret_mode(),
-    )(starts.astype(jnp.int32), q4, kq, ks4, vq, vs4)
+    )(starts.astype(jnp.int32), q4, kq, ks4, vq, vs4, *extra)
 
 
 @partial(jax.jit, static_argnames=("tq", "ts", "window", "softcap", "sm_scale"))
 def _prefill_attn_call_stacked(q4, kq, ks5, vq, vs5, li, starts, tq, ts,
-                               window=None, softcap=None, sm_scale=None):
+                               window=None, softcap=None, sm_scale=None,
+                               alibi=None):
     B, Hq, T, D = q4.shape
     S, Hkv = vq.shape[3], vq.shape[2]
     nq, nkv = T // tq, S // ts
     rep = Hq // Hkv
 
+    in_specs = [
+        pl.BlockSpec((1, 1, tq, D),
+                     lambda b, h, qi, si, li, L: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, 1, D, ts),
+            lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, 0, si),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, 1, 1, ts),
+            lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, 0, si),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, 1, ts, D),
+            lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, si, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, 1, 1, ts),
+            lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, 0, si),
+            memory_space=pltpu.VMEM),
+    ]
+    extra = ()
+    if alibi is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1), lambda b, h, qi, si, li, L: (h, 0, 0),
+                         memory_space=pltpu.VMEM))
+        extra = (alibi.reshape(Hq, 1, 1).astype(jnp.float32),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hq, nq, nkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, tq, D),
-                         lambda b, h, qi, si, li, L: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, 1, D, ts),
-                lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, 0, si),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, 1, 1, ts),
-                lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, 0, si),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, 1, ts, D),
-                lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, si, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, 1, 1, ts),
-                lambda b, h, qi, si, li, L, _r=rep: (li[0], b, h // _r, 0, si),
-                memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, tq, D), lambda b, h, qi, si, li, L: (b, h, qi, 0),
             memory_space=pltpu.VMEM,
@@ -485,7 +538,7 @@ def _prefill_attn_call_stacked(q4, kq, ks5, vq, vs5, li, starts, tq, ts,
         functools.partial(
             kernel, tq=tq, ts=ts, nkv=nkv,
             scale=(sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))) / 127.0,
-            window=window, softcap=softcap,
+            window=window, softcap=softcap, has_alibi=alibi is not None,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, T, D), q4.dtype),
@@ -495,7 +548,8 @@ def _prefill_attn_call_stacked(q4, kq, ks5, vq, vs5, li, starts, tq, ts,
             transcendentals=B * Hq * T * S,
         ),
         interpret=interpret_mode(),
-    )(li.astype(jnp.int32), starts.astype(jnp.int32), q4, kq, ks5, vq, vs5)
+    )(li.astype(jnp.int32), starts.astype(jnp.int32), q4, kq, ks5, vq, vs5,
+      *extra)
 
 
 def prefill_attention_int8_stacked(
@@ -511,6 +565,7 @@ def prefill_attention_int8_stacked(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sm_scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # (Hq,) ALiBi slopes (BLOOM)
 ) -> Optional[jax.Array]:
     """prefill_attention_int8 over layer `li` of the layer-STACKED engine
     cache — same no-slice rule as the decode kernels (slicing cache[li]
@@ -535,6 +590,7 @@ def prefill_attention_int8_stacked(
     out = _prefill_attn_call_stacked(
         q4, kq, ks.reshape(L, B, Hkv, 1, S), vq, vs.reshape(L, B, Hkv, 1, S),
         li, starts, tq, ts, window=window, softcap=softcap, sm_scale=sm_scale,
+        alibi=alibi_slopes,
     )
     return out.transpose(0, 2, 1, 3)
 
@@ -551,6 +607,7 @@ def prefill_attention_int8(
     window: Optional[int] = None,  # sliding window (Mistral): keys in (t-window, t]
     softcap: Optional[float] = None,  # Gemma-2 logit softcapping
     sm_scale: Optional[float] = None,  # softmax scale override
+    alibi_slopes: Optional[jax.Array] = None,  # (Hq,) ALiBi slopes (BLOOM)
 ) -> Optional[jax.Array]:
     """Causal flash attention over the int8 KV cache for prefill (T > 1).
     Returns (B, T, Hq, D) or None if untileable (caller falls back)."""
@@ -571,6 +628,6 @@ def prefill_attention_int8(
     q4 = q.transpose(0, 2, 1, 3)  # (B, Hq, T, D)
     out = _prefill_attn_call(
         q4, kq, ks.reshape(B, Hkv, 1, S), vq, vs.reshape(B, Hkv, 1, S), starts, tq, ts,
-        window=window, softcap=softcap, sm_scale=sm_scale,
+        window=window, softcap=softcap, sm_scale=sm_scale, alibi=alibi_slopes,
     )
     return out.transpose(0, 2, 1, 3)

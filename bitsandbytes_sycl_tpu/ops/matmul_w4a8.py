@@ -328,11 +328,13 @@ def dequantize_to_int8(w: QLinearWeight):
 
 
 # measured crossover to the W8A8 dequant-once route (v5e, 4096^2,
-# docs/PERFORMANCE.md): the one-time int8 decode+write costs ~55-70 us;
-# the int8 MXU GEMM then runs at 2x the bf16 rate, beating both the
-# exact m-tile kernel (decode per m-tile) and the bf16 dequant-to-HBM
-# route (2x write bytes, 1x MXU rate) from M ~= 256 up.
-W8A8_PREFILL_MIN_M = 256
+# docs/PERFORMANCE.md): the one-time int8 decode+write costs ~165 us;
+# the int8 MXU GEMM then runs at ~2x the bf16 rate (XLA int8 dot,
+# measured 1.97x at M>=2048), beating both the exact m-tile kernel
+# (decode per m-tile: 0.77x @1024) and the bf16 dequant-to-HBM route
+# (2x write bytes, 1x MXU rate: 0.76-0.81x) from M ~= 2048 up
+# (M=2048 1.0x, M=4096 1.28x; M=1024 0.70x still loses to exact).
+W8A8_PREFILL_MIN_M = 2048
 
 
 def _w8a8_prefill_impl(x, w: QLinearWeight, bias, out_dtype):

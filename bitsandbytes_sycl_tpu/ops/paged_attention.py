@@ -102,16 +102,19 @@ def _paged_attn_kernel(
     li_ref,  # scalar prefetch: (1,) int32 layer index
     pt_ref,  # scalar prefetch: (B, MAXP) int32 page table
     len_ref,  # scalar prefetch: (B,) int32 valid lengths
-    *refs,  # q, pool blocks, [optional new-token operands], out, scratch
+    *refs,  # q, pool blocks, [slopes], [new-token operands], out, scratch
     P, R, H, n_pages, scale, window=None, softcap=None, has_new=False,
+    has_alibi=False,
 ):
+    refs = list(refs)
+    q_ref, k_ref, ks_ref, v_ref, vs_ref = refs[:5]
+    rest = refs[5:]
+    sl_ref = rest.pop(0) if has_alibi else None
     if has_new:
-        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
-         kn_ref, vn_ref, ksn_ref, vsn_ref,
-         o_ref, m_ref, l_ref, acc_ref, sc_ref, pv_ref) = refs
+        (kn_ref, vn_ref, ksn_ref, vsn_ref,
+         o_ref, m_ref, l_ref, acc_ref, sc_ref, pv_ref) = rest
     else:
-        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
-         o_ref, m_ref, l_ref, acc_ref, sc_ref, pv_ref) = refs
+        o_ref, m_ref, l_ref, acc_ref, sc_ref, pv_ref = rest
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -138,21 +141,23 @@ def _paged_attn_kernel(
         ks = ks_ref[0, 0].astype(jnp.float32)  # (H, P)
         ksr = jnp.broadcast_to(ks[:, None, :], (H, R, P)).reshape(H * R, P)
         sc = sc_ref[:] * (ksr * scale)
+        # token positions covered by THIS grid step: [j*P, j*P + P) — the
+        # clamped index_map only changes WHICH physical page is resident,
+        # masking is always in logical position space. The query sits at
+        # position qpos = len-1 (len counts it) or len (has_new: the
+        # current token rides in registers, len counts only POOL tokens)
+        pos = j * P + jax.lax.broadcasted_iota(jnp.int32, (H * R, P), 1)
+        qpos = len_ref[b] if has_new else len_ref[b] - 1
+        if has_alibi:
+            # ALiBi (BLOOM): -slope_h * (qpos - kpos) on the real logits
+            sc = sc + sl_ref[:] * (pos - qpos).astype(jnp.float32)
         if softcap is not None:
             # Gemma-2 logit softcapping — on real logits, before masking
             sc = softcap * jnp.tanh(sc * jnp.float32(1.0 / softcap))
 
-        # token positions covered by THIS grid step: [j*P, j*P + P) — the
-        # clamped index_map only changes WHICH physical page is resident,
-        # masking is always in logical position space
-        pos = j * P + jax.lax.broadcasted_iota(jnp.int32, (H * R, P), 1)
         valid = pos < len_ref[b]
         if window is not None:
-            # sliding window: the query sits at position qpos = len-1
-            # (len counts it) or len (has_new: the current token rides
-            # in registers and len counts only POOL tokens); it attends
-            # keys in (qpos - window, qpos], i.e. pos >= qpos+1 - window
-            qpos = len_ref[b] if has_new else len_ref[b] - 1
+            # sliding window: keys in (qpos - window, qpos]
             valid = jnp.logical_and(valid, pos >= qpos + 1 - window)
         sc = jnp.where(valid, sc, -1e30)
 
@@ -216,7 +221,7 @@ def _paged_attn_kernel(
     jax.jit, static_argnames=("window", "softcap", "sm_scale", "pages_hint"))
 def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths,
                      new_kv=None, window=None, softcap=None, sm_scale=None,
-                     pages_hint=None):
+                     pages_hint=None, alibi=None):
     B, Hkv, rep, D = q4.shape
     P = vp.shape[3]
     max_pages = page_table.shape[1]
@@ -245,6 +250,12 @@ def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths,
         pl.BlockSpec((1, 1, Hkv, P, D), page_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, Hkv, P), scale_map, memory_space=pltpu.VMEM),
     ]
+    if alibi is not None:
+        # per-q-head ALiBi slopes as one (Hq, 1) column block (last two
+        # dims equal the array dims — min-tile escape)
+        in_specs.append(
+            pl.BlockSpec((Hkv * rep, 1), lambda b, j, li, pt, lens: (0, 0),
+                         memory_space=pltpu.VMEM))
     if has_new:
         in_specs += [
             pl.BlockSpec((1, Hkv, 1, D), lambda b, j, li, pt, lens: (b, 0, 0, 0),
@@ -276,7 +287,14 @@ def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths,
     kernel = functools.partial(
         _paged_attn_kernel, P=P, R=rep, H=Hkv, n_pages=max_pages,
         scale=sm / 127.0, window=window, softcap=softcap, has_new=has_new,
+        has_alibi=alibi is not None,
     )
+    extra = ()
+    if alibi is not None:
+        extra += (alibi.reshape(Hkv * rep, 1).astype(jnp.float32),)
+    if has_new:
+        extra += (new_kv[0][:, :, None, :], new_kv[2][:, :, None, :],
+                  new_kv[1][:, :, None], new_kv[3][:, :, None])
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -288,9 +306,7 @@ def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths,
         ),
         interpret=interpret_mode(),
     )(li.astype(jnp.int32), page_table.astype(jnp.int32),
-      lengths.astype(jnp.int32), q4, kp, ksp, vp, vsp,
-      *((new_kv[0][:, :, None, :], new_kv[2][:, :, None, :],
-         new_kv[1][:, :, None], new_kv[3][:, :, None]) if has_new else ()))
+      lengths.astype(jnp.int32), q4, kp, ksp, vp, vsp, *extra)
     return out
 
 
@@ -310,6 +326,7 @@ def paged_decode_attention_int8_stacked(
     softcap: Optional[float] = None,  # Gemma-2 logit softcapping
     sm_scale: Optional[float] = None,  # softmax scale override
     pages_hint: Optional[int] = None,  # static bound on USED pages/seq
+    alibi_slopes: Optional[jax.Array] = None,  # (Hq,) ALiBi slopes (BLOOM)
 ) -> Optional[jax.Array]:
     """Single-step attention over layer `li` of a layer-STACKED paged
     int8 KV pool. The layer index is a scalar-prefetch operand: all
@@ -330,7 +347,8 @@ def paged_decode_attention_int8_stacked(
         window = None  # can never bind
     out = _paged_attn_call(q4, kp, ks, vp, vs, li, page_table, lengths,
                            new_kv=new_kv, window=window, softcap=softcap,
-                           sm_scale=sm_scale, pages_hint=pages_hint)
+                           sm_scale=sm_scale, pages_hint=pages_hint,
+                           alibi=alibi_slopes)
     return out.reshape(B, 1, Hq, D)
 
 
@@ -346,11 +364,12 @@ def paged_decode_attention_int8(
     softcap: Optional[float] = None,
     sm_scale: Optional[float] = None,
     pages_hint: Optional[int] = None,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> Optional[jax.Array]:
     """Single-layer-pool convenience wrapper over the stacked kernel
     (expand_dims is a metadata-only reshape — no copy)."""
     return paged_decode_attention_int8_stacked(
         q, kp[None], ks[None], vp[None], vs[None], 0, page_table, lengths,
         window=window, softcap=softcap, sm_scale=sm_scale,
-        pages_hint=pages_hint,
+        pages_hint=pages_hint, alibi_slopes=alibi_slopes,
     )

@@ -822,3 +822,29 @@ def test_engine_prefix_plus_chunked_prefill(setup):
         eng.step()
     got = [eng.slot_tokens[s][len(prefix) + len(sfx):] for s, sfx in zip(slots, suffixes)]
     assert got == ref, (got, ref)
+
+
+def test_engine_serves_bloom_paged_token_identical():
+    """BLOOM (ALiBi) on the PAGED engine — unfenced in r4 (the r3 review:
+    'BLOOM serves degraded / paged refuses it outright'). Greedy paged
+    output must be token-identical to the contiguous engine."""
+    from bitsandbytes_sycl_tpu.models.bloom import BloomConfig, bloom_forward
+    from bitsandbytes_sycl_tpu.models.opt import init_opt_kv_cache, init_opt_params
+
+    cfg = BloomConfig.tiny(kv_quant=True, quant="nf4")
+    assert cfg.alibi
+    params = init_opt_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3], [5, 6, 7, 8, 9]]
+    ref_eng = InferenceEngine(
+        cfg, params, EngineConfig(max_batch=2, max_new_tokens=8, prefill_buckets=(16,)),
+        forward_fn=bloom_forward, init_cache_fn=init_opt_kv_cache,
+    )
+    ref = ref_eng.generate(prompts)
+    eng = InferenceEngine(
+        cfg, params,
+        EngineConfig(max_batch=2, max_new_tokens=8, prefill_buckets=(16,),
+                     paged=True, page_size=128),
+        forward_fn=bloom_forward, init_cache_fn=init_opt_kv_cache,
+    )
+    out = eng.generate(prompts)
+    assert out == ref, (out, ref)

@@ -793,3 +793,268 @@ def test_prefill_attention_int8_stacked_layer_select(window):
         assert got is not None
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+# --- W8A8 prefill route (ops/matmul_w4a8.py, r4) ---
+
+
+@pytest.mark.parametrize("quant_type", ["nf4", "fp4", "int4"])
+def test_dequantize_to_int8_regrid_bound(weight, quant_type):
+    """The per-column int8 regrid of the dequantized 4-bit weight must be
+    within ONE int8 code step of the exact dequant (half a step from
+    rounding + up to half a step from the bf16 decode tree)."""
+    from bitsandbytes_sycl_tpu.ops import dequantize_to_int8
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type=quant_type)
+    wq, colmax = dequantize_to_int8(qw)
+    assert wq is not None and wq.shape == (1024, 256)
+    Wre = np.asarray(wq, np.float32) * (np.asarray(colmax)[None, :] / 127.0)
+    exact = np.asarray(qw.dequantize(), np.float32).T  # (K, N)
+    err = np.abs(Wre - exact)
+    step = np.asarray(colmax)[None, :] / 127.0
+    assert np.all(err <= step + 1e-7), err.max()
+
+
+@pytest.mark.parametrize("quant_type", ["nf4", "int4"])
+def test_matmul_4bit_w8a8_prefill_accuracy_envelope(weight, quant_type):
+    """vs the exact matmul of the stored codes: the W8A8 route adds the
+    W4A8 activation class + the per-column regrid — same few-percent
+    envelope as matmul_4bit_w4a8."""
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit_w8a8_prefill
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type=quant_type)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(64, 1024)), jnp.float32)
+    y = np.asarray(matmul_4bit_w8a8_prefill(x, qw, out_dtype=jnp.float32))
+    exact = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T
+    rel = np.abs(y - exact).mean() / np.abs(exact).mean()
+    assert rel < 0.02, rel
+
+
+def test_matmul_4bit_w8a8_prefill_bias_grad_and_fallback(weight):
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit_w8a8_prefill
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    b = jnp.arange(256, dtype=jnp.float32) * 0.01
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(16, 1024)), jnp.float32)
+    y = np.asarray(matmul_4bit_w8a8_prefill(x, qw, bias=b, out_dtype=jnp.float32))
+    y0 = np.asarray(matmul_4bit_w8a8_prefill(x, qw, out_dtype=jnp.float32))
+    np.testing.assert_allclose(y, y0 + np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    # backward is the EXACT dequant path (QLoRA trains on clean grads)
+    g = jax.grad(lambda x: jnp.sum(matmul_4bit_w8a8_prefill(x, qw).astype(jnp.float32)))(x)
+    gref = jnp.ones((16, 256)) @ qw.dequantize().astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), rtol=2e-2, atol=2e-2)
+
+    # untileable N (not a multiple of 128) falls back to the exact path
+    Wodd = jnp.asarray(np.random.default_rng(3).normal(size=(192, 1024)) * 0.02, jnp.float32)
+    qodd = quantize_4bit_native(Wodd, blocksize=64, quant_type="nf4")
+    yodd = np.asarray(matmul_4bit_w8a8_prefill(x, qodd, out_dtype=jnp.float32))
+    ref = np.asarray(x) @ np.asarray(qodd.dequantize(), np.float32).T
+    np.testing.assert_allclose(yodd, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_apply_linear_w8a8_routing_boundary(monkeypatch):
+    """a8_decode routes rows >= W8A8_PREFILL_MIN_M through the W8A8
+    prefill path, rows <= lim through W4A8, the mid-M band through the
+    exact kernel (r3 review: 'routing boundary tested')."""
+    import bitsandbytes_sycl_tpu.models.llama as L
+    from bitsandbytes_sycl_tpu.ops import matmul_w4a8 as mw
+
+    cfg = L.LlamaConfig.tiny(quant="nf4", a8_decode=True, dtype=jnp.float32)
+    W = jnp.asarray(np.random.default_rng(0).normal(size=(256, 1024)) * 0.02, jnp.float32)
+    qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+    calls = []
+    real_w4a8, real_w8a8 = mw.matmul_4bit_w4a8, mw.matmul_4bit_w8a8_prefill
+    monkeypatch.setattr(
+        mw, "matmul_4bit_w4a8",
+        lambda *a, **k: calls.append("w4a8") or real_w4a8(*a, **k))
+    monkeypatch.setattr(
+        mw, "matmul_4bit_w8a8_prefill",
+        lambda *a, **k: calls.append("w8a8") or real_w8a8(*a, **k))
+
+    for rows, expect in ((8, "w4a8"), (512, "exact"), (2048, "w8a8")):
+        calls.clear()
+        x = jnp.zeros((rows, 1024), jnp.float32)
+        L.apply_linear(x, qw, cfg)
+        got = calls[0] if calls else "exact"
+        assert got == expect, (rows, got, calls)
+
+
+def test_repack_params_int8_parity():
+    """repack_params_int8: forward logits stay within the 4-bit model's
+    own quantization envelope, MoE experts stay 4-bit, and the repacked
+    tree shards under TP."""
+    from bitsandbytes_sycl_tpu.models import llama as L
+
+    cfg = L.LlamaConfig.tiny(quant="nf4", dtype=jnp.float32)
+    params = L.init_params(cfg, jax.random.PRNGKey(0))
+    p8, cfg8 = L.repack_params_int8(params, cfg)
+    assert cfg8.quant == "int8" and cfg8.llm_int8_threshold == 0.0
+    assert isinstance(p8["layers"][0]["q_proj"], dict)
+    toks = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]])
+    ref, _ = L.llama_forward(params, cfg, toks)
+    got, _ = L.llama_forward(p8, cfg8, toks)
+    # int8-regrid + per-row activation quant: LLM.int8-class noise
+    rel = float(jnp.abs(got - ref).mean() / (jnp.abs(ref).mean() + 1e-9))
+    assert rel < 0.05, rel
+
+    # MoE: stacked experts stay 4-bit
+    cfg_moe = L.LlamaConfig.tiny(quant="nf4", num_experts=2, dtype=jnp.float32)
+    pm = L.init_params(cfg_moe, jax.random.PRNGKey(1))
+    pm8, _ = L.repack_params_int8(pm, cfg_moe)
+    from bitsandbytes_sycl_tpu.ops import QLinearWeight
+    assert isinstance(pm8["layers"][0]["experts"]["gate_proj"], QLinearWeight)
+
+
+# --- ALiBi in the flash kernels (r3 review item 3: unfence BLOOM) ---
+
+
+def _alibi_ref_attend(q, kq, ks, vq, vs, lengths, slopes, new_kv=None):
+    """XLA reference: dequantize, score with -slope*(qpos-kpos), mask,
+    softmax. q (B,1,Hq,D); cache (B,Hkv,D,S)/(B,Hkv,S,D)."""
+    B, _, Hq, D = q.shape
+    Hkv, S = vq.shape[1], vq.shape[2]
+    rep = Hq // Hkv
+    kf = np.asarray(kq, np.float32) * (np.asarray(ks)[:, :, None, :] / 127.0)  # (B,Hkv,D,S)
+    vf = np.asarray(vq, np.float32) * (np.asarray(vs)[:, :, :, None] / 127.0)  # (B,Hkv,S,D)
+    if new_kv is not None:
+        kn, ksn, vn, vsn = new_kv  # (B,Hkv,D) i8, (B,Hkv) f32, ...
+        knf = np.asarray(kn, np.float32) * (np.asarray(ksn)[:, :, None] / 127.0)
+        vnf = np.asarray(vn, np.float32) * (np.asarray(vsn)[:, :, None] / 127.0)
+        kf = np.concatenate([kf, knf[:, :, :, None]], axis=3)
+        vf = np.concatenate([vf, vnf[:, :, None, :]], axis=2)
+        S = S + 1
+    out = np.zeros((B, 1, Hq, D), np.float32)
+    for b in range(B):
+        L = int(lengths[b])
+        qpos = L if new_kv is not None else L - 1
+        kpos = np.arange(S)
+        if new_kv is not None:
+            kpos = kpos.copy()
+            kpos[S - 1] = qpos  # the in-register token sits AT the query
+        for h in range(Hq):
+            sc = np.asarray(q, np.float32)[b, 0, h] @ kf[b, h // rep] / np.sqrt(D)
+            sc += np.asarray(slopes)[h] * (kpos - qpos)
+            valid = np.arange(S) < L
+            if new_kv is not None:
+                valid[S - 1] = True  # the in-register token (distance 0)
+            sc = np.where(valid, sc, -1e30)
+            w = np.exp(sc - sc.max())
+            w /= w.sum()
+            out[b, 0, h] = w @ vf[b, h // rep]
+    return out
+
+
+def _rand_cache(rng, B, Hkv, S, D):
+    kq = jnp.asarray(rng.integers(-127, 128, (B, Hkv, D, S)).astype(np.int8))
+    ks = jnp.asarray(rng.uniform(0.5, 2.0, (B, Hkv, S)).astype(np.float32))
+    vq = jnp.asarray(rng.integers(-127, 128, (B, Hkv, S, D)).astype(np.int8))
+    vs = jnp.asarray(rng.uniform(0.5, 2.0, (B, Hkv, S)).astype(np.float32))
+    return kq, ks, vq, vs
+
+
+def test_decode_attention_int8_alibi_matches_reference():
+    from bitsandbytes_sycl_tpu.models.llama import alibi_slopes
+    from bitsandbytes_sycl_tpu.ops.attention import decode_attention_int8
+
+    B, Hq, Hkv, S, D = 2, 4, 2, 256, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+    kq, ks, vq, vs = _rand_cache(rng, B, Hkv, S, D)
+    lengths = jnp.asarray([100, 256], jnp.int32)
+    sl = jnp.asarray(alibi_slopes(Hq))
+    got = decode_attention_int8(q, kq, ks, vq, vs, lengths, alibi_slopes=sl)
+    assert got is not None
+    ref = _alibi_ref_attend(q, kq, ks, vq, vs, lengths, sl)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_decode_attention_int8_stacked_alibi_with_new_kv():
+    """ALiBi composes with the deferred-write fold-in: the in-register
+    token sits at distance 0 (zero bias)."""
+    from bitsandbytes_sycl_tpu.models.llama import alibi_slopes
+    from bitsandbytes_sycl_tpu.ops.attention import decode_attention_int8_stacked
+
+    Lyr, B, Hq, Hkv, S, D = 2, 2, 4, 2, 256, 128
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (Lyr, B, Hkv, D, S)).astype(np.int8))
+    ks = jnp.asarray(rng.uniform(0.5, 2.0, (Lyr, B, Hkv, S)).astype(np.float32))
+    vq = jnp.asarray(rng.integers(-127, 128, (Lyr, B, Hkv, S, D)).astype(np.int8))
+    vs = jnp.asarray(rng.uniform(0.5, 2.0, (Lyr, B, Hkv, S)).astype(np.float32))
+    new_kv = (
+        jnp.asarray(rng.integers(-127, 128, (B, Hkv, D)).astype(np.int8)),
+        jnp.asarray(rng.uniform(0.5, 2.0, (B, Hkv)).astype(np.float32)),
+        jnp.asarray(rng.integers(-127, 128, (B, Hkv, D)).astype(np.int8)),
+        jnp.asarray(rng.uniform(0.5, 2.0, (B, Hkv)).astype(np.float32)),
+    )
+    lengths = jnp.asarray([60, 200], jnp.int32)
+    sl = jnp.asarray(alibi_slopes(Hq))
+    for li in range(Lyr):
+        got = decode_attention_int8_stacked(
+            q, kq, ks, vq, vs, li, lengths, new_kv=new_kv, alibi_slopes=sl)
+        assert got is not None
+        ref = _alibi_ref_attend(
+            q, kq[li], ks[li], vq[li], vs[li], lengths, sl, new_kv=new_kv)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_prefill_attention_int8_alibi_matches_reference():
+    from bitsandbytes_sycl_tpu.models.llama import alibi_slopes
+    from bitsandbytes_sycl_tpu.ops.attention import prefill_attention_int8
+
+    B, T, Hq, Hkv, S, D = 2, 64, 4, 2, 256, 128
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(B, T, Hq, D)), jnp.float32)
+    kq, ks, vq, vs = _rand_cache(rng, B, Hkv, S, D)
+    starts = jnp.asarray([0, 100], jnp.int32)
+    sl = jnp.asarray(alibi_slopes(Hq))
+    got = prefill_attention_int8(q, kq, ks, vq, vs, starts, alibi_slopes=sl)
+    assert got is not None
+    # reference: per-row decode-style attention at qpos = start + t
+    kf = np.asarray(kq, np.float32) * (np.asarray(ks)[:, :, None, :] / 127.0)
+    vf = np.asarray(vq, np.float32) * (np.asarray(vs)[:, :, :, None] / 127.0)
+    ref = np.zeros((B, T, Hq, D), np.float32)
+    rep = Hq // Hkv
+    for b in range(B):
+        for t in range(T):
+            qpos = int(starts[b]) + t
+            for h in range(Hq):
+                sc = np.asarray(q, np.float32)[b, t, h] @ kf[b, h // rep] / np.sqrt(D)
+                sc += np.asarray(sl)[h] * (np.arange(S) - qpos)
+                sc = np.where(np.arange(S) <= qpos, sc, -1e30)
+                w = np.exp(sc - sc.max()); w /= w.sum()
+                ref[b, t, h] = w @ vf[b, h // rep]
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_paged_decode_attention_alibi_matches_reference():
+    from bitsandbytes_sycl_tpu.models.llama import alibi_slopes
+    from bitsandbytes_sycl_tpu.ops.paged_attention import paged_decode_attention_int8
+
+    B, Hq, Hkv, P, NP, MAXP, D = 2, 4, 2, 128, 9, 4, 128
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+    kp = jnp.asarray(rng.integers(-127, 128, (NP, Hkv, P, D)).astype(np.int8))
+    ksp = jnp.asarray(rng.uniform(0.5, 2.0, (NP, Hkv, P)).astype(np.float32))
+    vp = jnp.asarray(rng.integers(-127, 128, (NP, Hkv, P, D)).astype(np.int8))
+    vsp = jnp.asarray(rng.uniform(0.5, 2.0, (NP, Hkv, P)).astype(np.float32))
+    pt = jnp.asarray([[1, 3, 5, 7], [2, 4, 6, 8]], jnp.int32)
+    lengths = jnp.asarray([300, 450], jnp.int32)
+    sl = jnp.asarray(alibi_slopes(Hq))
+    got = paged_decode_attention_int8(
+        q, kp, ksp, vp, vsp, pt, lengths, alibi_slopes=sl)
+    assert got is not None
+    # gather pages into a contiguous (B,Hkv,D,S)/(B,Hkv,S,D) view
+    S = MAXP * P
+    kg = np.asarray(kp)[np.asarray(pt)]  # (B,MAXP,Hkv,P,D)
+    ksg = np.asarray(ksp)[np.asarray(pt)]
+    vg = np.asarray(vp)[np.asarray(pt)]
+    vsg = np.asarray(vsp)[np.asarray(pt)]
+    kq_c = kg.transpose(0, 2, 4, 1, 3).reshape(B, Hkv, D, S)
+    ks_c = ksg.transpose(0, 2, 1, 3).reshape(B, Hkv, S)
+    vq_c = vg.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, S, D)
+    vs_c = vsg.transpose(0, 2, 1, 3).reshape(B, Hkv, S)
+    ref = _alibi_ref_attend(q, kq_c, ks_c, vq_c, vs_c, lengths, sl)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)

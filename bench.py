@@ -61,7 +61,8 @@ def _child(shapes_arg: str) -> int:
     import numpy as np
 
     from bitsandbytes_sycl_tpu.ops import (
-        matmul_4bit_fused, matmul_4bit_w4a8, quantize_4bit_native,
+        matmul_4bit_fused, matmul_4bit_w4a8, matmul_4bit_w8a8_prefill,
+        quantize_4bit_native,
     )
 
     def _fold(y, K):
@@ -125,7 +126,9 @@ def _child(shapes_arg: str) -> int:
                       file=sys.stderr, flush=True)
         results[f"{n}x{k}"] = rec
 
-    # prefill ratio (round-3 HBM-dequant route), first shape only
+    # prefill ratio at M=2048, first shape only: the DEFAULT route since
+    # r4 (a8_decode on) is the W8A8 dequant-once-to-int8 path; the r3
+    # bf16 HBM-dequant route is reported alongside as nf4_dq
     n, k = shapes[0]
     if n == k == 4096:
         W = jnp.asarray(rng.normal(size=(n, k)) * 0.02, jnp.float32)
@@ -135,13 +138,22 @@ def _child(shapes_arg: str) -> int:
         try:
             t_bf = measure(lambda x, i, w: x @ ((1.0 + 1e-30 * i) * w.T), xp, Wb,
                            lo=30, hi=130)
+            rec = {}
+            t_w8 = measure(
+                lambda x, i, pk, am: matmul_4bit_w8a8_prefill(
+                    x, dataclasses.replace(qw, packed=pk, absmax=am * (1.0 + 1e-30 * i))
+                ),
+                xp, qw.packed, qw.absmax, lo=30, hi=130,
+            )
+            rec["nf4"] = t_bf / t_w8
             t_nf = measure(
                 lambda x, i, pk, am: matmul_4bit_fused(
                     x, dataclasses.replace(qw, packed=pk, absmax=am * (1.0 + 1e-30 * i))
                 ),
                 xp, qw.packed, qw.absmax, lo=30, hi=130,
             )
-            results["prefill_2048"] = {"nf4": t_bf / t_nf}
+            rec["nf4_dq"] = t_bf / t_nf
+            results["prefill_2048"] = rec
         except Exception as e:  # noqa: BLE001
             print(f"prefill bench failed: {str(e)[:120]}", file=sys.stderr, flush=True)
 

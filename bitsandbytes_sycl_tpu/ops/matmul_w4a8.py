@@ -313,7 +313,11 @@ def dequantize_to_int8(w: QLinearWeight):
     step = 8 * bs
     hp = ((half + step - 1) // step) * step
     # same scoped-VMEM ceiling as dequantize_transposed (decode
-    # temporaries), int8 output halves only the store side
+    # temporaries; the f32 round chain makes blocks f32-equivalent).
+    # Coarser blocksizes force bigger k steps — NARROW tn instead of
+    # refusing (bs=128 is the recommended serving blocksize)
+    if step * tn * 4 > 512 * 256 * 4 and tn == 256 and N % 128 == 0:
+        tn = 128
     if step * tn * 4 > 512 * 256 * 4 or hp > 2 * half:
         return None, None
     packed = w.packed

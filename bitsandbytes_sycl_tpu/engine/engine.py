@@ -281,7 +281,7 @@ class InferenceEngine:
                 cache = jax.lax.with_sharding_constraint(cache, self._cache_sharding)
             return cache
 
-        @partial(jax.jit, static_argnums=(1,))
+        @partial(jax.jit, static_argnums=(0,))
         def broadcast_prefix_fn(Kb, prefix_cache):
             """(L, 1, ...) stored prefix KV -> (L, Kb, ...) scratch cache
             (chunked-prefill-over-prefix starts from this instead of a

@@ -154,6 +154,17 @@ def _child(shapes_arg: str) -> int:
             )
             rec["nf4_dq"] = t_bf / t_nf
             results["prefill_2048"] = rec
+            # M=4096 point (the W8A8 route's best case: decode amortizes)
+            xp4 = jnp.asarray(rng.normal(size=(4096, k)), jnp.bfloat16)
+            t_bf4 = measure(lambda x, i, w: x @ ((1.0 + 1e-30 * i) * w.T),
+                            xp4, Wb, lo=15, hi=60)
+            t_w84 = measure(
+                lambda x, i, pk, am: matmul_4bit_w8a8_prefill(
+                    x, dataclasses.replace(qw, packed=pk, absmax=am * (1.0 + 1e-30 * i))
+                ),
+                xp4, qw.packed, qw.absmax, lo=15, hi=60,
+            )
+            results["prefill_4096"] = {"nf4": t_bf4 / t_w84}
         except Exception as e:  # noqa: BLE001
             print(f"prefill bench failed: {str(e)[:120]}", file=sys.stderr, flush=True)
 
@@ -195,7 +206,7 @@ def main():
         for a in range(attempts):
             res, err = _attempt(shapes, timeout_s)
             if res is not None:
-                shape_keys = [kk for kk in res if kk != "prefill_2048"]
+                shape_keys = [kk for kk in res if not kk.startswith("prefill")]
                 value = _geomean([res[kk].get("w4a8") for kk in shape_keys])
                 if value <= 0:
                     last_err = "no w4a8 ratios measured"

@@ -848,3 +848,27 @@ def test_engine_serves_bloom_paged_token_identical():
     )
     out = eng.generate(prompts)
     assert out == ref, (out, ref)
+
+
+def test_engine_serves_repacked_int8(setup):
+    """Serving-time 4-bit -> int8 repack (r4): the repacked tree rides the
+    engine (contiguous AND paged) through the existing int8 dispatch, and
+    greedy outputs match the same repacked model served contiguously."""
+    from bitsandbytes_sycl_tpu.models.llama import repack_params_int8
+
+    cfg, params = setup
+    p8, cfg8 = repack_params_int8(params, cfg)
+    ecfg = EngineConfig(max_batch=2, max_new_tokens=6, prefill_buckets=(16,))
+    prompts = [[1, 2, 3], [5, 6, 7, 8]]
+    ref = InferenceEngine(cfg8, p8, ecfg).generate(prompts)
+    assert all(len(o) == 6 for o in ref)
+    # same model, paged cache: token-identical
+    cfg8q = cfg8 if cfg8.kv_quant else __import__("dataclasses").replace(cfg8, kv_quant=True)
+    if cfg8q is not cfg8:
+        ref = InferenceEngine(cfg8q, p8, ecfg).generate(prompts)
+    out = InferenceEngine(
+        cfg8q, p8,
+        EngineConfig(max_batch=2, max_new_tokens=6, prefill_buckets=(16,),
+                     paged=True, page_size=128),
+    ).generate(prompts)
+    assert out == ref, (out, ref)

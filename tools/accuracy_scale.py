@@ -144,12 +144,15 @@ def main():
     print("\n## Results (paste into docs/ACCURACY.md)\n")
     print(f"fp32 ppl mean {np.mean(fp_ppls):.4f}, seed noise (rel std) "
           f"{fp_noise:.5f} over {args.seeds} seeds\n")
-    print("| format | mean ppl ratio | std over seeds | delta/noise |")
+    # delta/noise uses the PAIRED std (each ratio is quantized-vs-fp32 on
+    # the SAME trained params, so the unpaired fp32-ppl seed spread is not
+    # the relevant yardstick — the ratio's own seed spread is)
+    print("| format | mean ppl ratio | std over seeds | delta/paired-noise |")
     print("|---|---|---|---|")
     for f in FORMATS:
         rs = np.asarray(ratios[f])
         name = f[0] + ("+a8" if f[1] else "")
-        dn = (rs.mean() - 1.0) / max(fp_noise, 1e-9)
+        dn = (rs.mean() - 1.0) / max(rs.std(), 1e-9)
         print(f"| {name} | {rs.mean():.5f} | {rs.std():.5f} | {dn:.1f}x |")
 
 

@@ -200,9 +200,14 @@ def test_gemma2_tensor_parallel_matches_single_device():
         llama_forward_tp, shard_llama_params,
     )
 
+    # a8_decode=False: this is an EXACTNESS test for the TP hooks — the
+    # W4A8 route (the r4 default for LUT 4-bit types) quantizes each
+    # row-parallel shard's activation slice under its own absmax, so
+    # a8xTP is int8-class-noise-close, not exact (covered at that
+    # tolerance by test_parallel.test_llama_forward_tp_with_a8_decode)
     cfg = Gemma2Config.tiny(
         num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
-        quant="nf4", kv_quant=False, dtype=jnp.float32,
+        quant="nf4", kv_quant=False, dtype=jnp.float32, a8_decode=False,
         sliding_window=4, query_scale=16.0,
     )
     params = init_params(cfg, jax.random.PRNGKey(2))

@@ -163,7 +163,11 @@ def test_qwen2_tensor_parallel_biases_shard():
     from bitsandbytes_sycl_tpu.parallel import make_mesh, shard_llama_params
     from bitsandbytes_sycl_tpu.parallel.llama_tp import llama_forward_tp
 
-    cfg = Qwen2Config.tiny(quant="nf4", dtype=jnp.float32, kv_quant=False)
+    # a8_decode=False: rtol 2e-4 exactness claim — the W4A8 default
+    # quantizes row-parallel activation shards independently (noise-close
+    # only; covered by test_parallel.test_llama_forward_tp_with_a8_decode)
+    cfg = Qwen2Config.tiny(quant="nf4", dtype=jnp.float32, kv_quant=False,
+                           a8_decode=False)
     params = init_params(cfg, jax.random.PRNGKey(1))
     toks = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 8)), jnp.int32)
     ref, _ = qwen2_forward(params, cfg, toks, init_kv_cache(cfg, 2),

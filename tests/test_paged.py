@@ -242,7 +242,13 @@ def test_engine_paged_matches_contiguous_kernel_path():
     where it is exact: identical prefill tokens (same code path) and
     teacher-forced decode steps whose written KV matches the contiguous
     cache within one int8 code."""
-    mcfg = _paged_cfgs()
+    # a8_decode=False: this test's premise is that paged and contiguous
+    # prefill share ONE code path — the W4A8 default routes by total row
+    # count, which differs between the two engines' prefill batching, so
+    # token-identity across paging modes holds only on the exact path
+    # (the engine-level a8/int8 paged serving path is covered by
+    # test_engine.test_engine_serves_repacked_int8 and the serving benches)
+    mcfg = _paged_cfgs(a8_decode=False)
     prompts = [[1, 2, 3, 4, 5], [9, 8, 7, 6, 5, 4, 3, 2, 1]]
     params = L.init_params(mcfg, jax.random.PRNGKey(0))
     ec = InferenceEngine(mcfg, params, EngineConfig(max_batch=2))

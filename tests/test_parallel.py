@@ -190,6 +190,7 @@ def test_llama_forward_tp_matches_single_device(setup):
         vocab_size=256, hidden_size=256, intermediate_size=512,
         num_layers=2, num_heads=4, num_kv_heads=4, head_dim=128,
         max_seq_len=128, quant="nf4", kv_quant=True, dtype=jnp.float32,
+        a8_decode=False,  # exactness test: W4A8xTP noise covered by test_llama_forward_tp_with_a8_decode
     )
     params = init_params(cfg, jax.random.PRNGKey(0))
     mesh = make_mesh({"model": 4})
@@ -517,6 +518,7 @@ def test_gptj_forward_tp_matches_single_device():
         vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
         rotary_dim=32, max_seq_len=64, quant="nf4", kv_quant=True,
         dtype=jnp.float32,
+        a8_decode=False,  # exactness test: W4A8xTP noise covered by test_llama_forward_tp_with_a8_decode
     )
     params = init_gptj_params(cfg, jax.random.PRNGKey(0))
     mesh = make_mesh({"model": 4})
@@ -561,6 +563,7 @@ def test_phi_forward_tp_matches_single_device():
         vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
         rotary_dim=64, max_seq_len=64, quant="nf4", kv_quant=True,
         dtype=jnp.float32,
+        a8_decode=False,  # exactness test: W4A8xTP noise covered by test_llama_forward_tp_with_a8_decode
     )
     assert cfg.attn_bias and cfg.rope_style == "neox"
     params = init_gptj_params(cfg, jax.random.PRNGKey(3))
@@ -639,6 +642,7 @@ def test_opt_forward_tp_matches_single_device():
         vocab_size=256, hidden_size=512, num_layers=2, num_heads=4,
         ffn_dim=1024, max_seq_len=64, quant="nf4", kv_quant=True,
         dtype=jnp.float32,
+        a8_decode=False,  # exactness test: W4A8xTP noise covered by test_llama_forward_tp_with_a8_decode
     )
     params = init_opt_params(cfg, jax.random.PRNGKey(0))
     # make the zero-initialized biases exercise the sharded-add paths
@@ -691,6 +695,7 @@ def test_bloom_alibi_forward_tp_matches_single_device():
     cfg = BloomConfig.tiny(
         hidden_size=512, num_heads=8, ffn_dim=1024, max_seq_len=64,
         quant="nf4", kv_quant=True, dtype=jnp.float32,
+        a8_decode=False,  # exactness test: W4A8xTP noise covered by test_llama_forward_tp_with_a8_decode
     )
     params = init_opt_params(cfg, jax.random.PRNGKey(0))
     mesh = make_mesh({"model": 4})

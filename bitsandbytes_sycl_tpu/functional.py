@@ -110,9 +110,17 @@ def _code_arrays(code: Optional[jax.Array], quant_type: str):
 def _encode_nearest(x: jax.Array, mids: jax.Array, order: jax.Array) -> jax.Array:
     """Round-to-nearest codebook encode. `mids` are sorted decision
     boundaries, `order` maps sorted rank -> code index (identity for
-    monotone codebooks like NF4; a permutation for FP4)."""
-    rank = jnp.searchsorted(mids, x, side="left")
-    return order[rank].astype(jnp.uint8)
+    monotone codebooks like NF4; a permutation for FP4).
+
+    Select trees (ops/lut8.py), not searchsorted/take: gather-free, so
+    the encode is pure VPU compare/select work on TPU (searchsorted's
+    sort/scan lowering is orders of magnitude slower there)."""
+    from .ops.lut8 import searchsorted_tree, take_tree
+
+    rank = searchsorted_tree(x, mids, side="left")
+    if isinstance(order, np.ndarray) and np.array_equal(order, np.arange(order.shape[0])):
+        return rank.astype(jnp.uint8)
+    return take_tree(rank, order).astype(jnp.uint8)
 
 
 def _encode_stochastic(
@@ -122,16 +130,18 @@ def _encode_stochastic(
     probability proportional to proximity (expectation-unbiased) — the
     reference's STOCHASTIC template path (kernel_quant.cpp:1229-1365,
     dQuantize<1> consuming a per-element rand)."""
+    from .ops.lut8 import searchsorted_tree, take_tree
+
     last = sorted_code.shape[0] - 1
-    lo_rank = jnp.clip(jnp.searchsorted(sorted_code, x, side="right") - 1, 0, last)
+    lo_rank = jnp.clip(searchsorted_tree(x, sorted_code, side="right") - 1, 0, last)
     hi_rank = jnp.minimum(lo_rank + 1, last)
-    lo = sorted_code[lo_rank]
-    hi = sorted_code[hi_rank]
+    lo = take_tree(lo_rank, sorted_code)
+    hi = take_tree(hi_rank, sorted_code)
     span = hi - lo
     p = jnp.where(span > 0, (x - lo) / jnp.where(span > 0, span, 1.0), 0.0)
     u = jax.random.uniform(key, x.shape, dtype=jnp.float32)
     rank = jnp.where(u < jnp.clip(p, 0.0, 1.0), hi_rank, lo_rank)
-    return order[rank].astype(jnp.uint8)
+    return take_tree(rank, order).astype(jnp.uint8)
 
 
 def pack_4bit(codes: jax.Array) -> jax.Array:
@@ -828,13 +838,14 @@ def optimizer_update_32bit(
 def _optim8_fused_dispatch(
     optimizer_name, state1, absmax1, state2, absmax2,
     beta1, beta2, eps, step, lr, weight_decay, gnorm_scale,
-    blocksize, nb, n, p_orig, g_orig, noise=None,
+    blocksize, nb, n, p_orig, g_orig, noise=None, qmap1=None, qmap2=None,
 ):
-    """Route the dynamic-codec 8-bit blockwise update to the fused Pallas
-    kernel (ops/optim8.py) on TPU. Returns the standard 5-tuple or None to
-    fall back to the XLA-fused codec path."""
+    """Route the 8-bit blockwise update to the fused Pallas kernel
+    (ops/optim8.py) on TPU — dynamic codec by default, or in-kernel
+    select trees over concrete ascending qmap1/qmap2 tables. Returns the
+    standard 5-tuple or None to fall back to the XLA-fused codec path."""
     from .ops.common import on_tpu
-    from .ops.optim8 import _ROWS, optim8_blockwise_fused
+    from .ops.optim8 import _ROWS, _ROWS_LUT, optim8_blockwise_fused
 
     if not on_tpu():
         return None
@@ -843,7 +854,8 @@ def _optim8_fused_dispatch(
         return None
 
     # pad block count to the kernel's row tile
-    nbp = ((nb + _ROWS - 1) // _ROWS) * _ROWS
+    _rows_tile = _ROWS_LUT if qmap1 is not None else _ROWS
+    nbp = ((nb + _rows_tile - 1) // _rows_tile) * _rows_tile
 
     def _rows(x, fill=0):
         x = x.reshape(-1)
@@ -875,6 +887,7 @@ def _optim8_fused_dispatch(
             _rows(state1.astype(jnp.uint8), 127), _amax(absmax1),
             _rows(state2.astype(jnp.uint8), 0), _amax(absmax2), scalars,
             u=None if noise is None else _rows(noise),
+            qmap1=qmap1, qmap2=qmap2,
         )
         if out is None:
             return None
@@ -897,6 +910,7 @@ def _optim8_fused_dispatch(
         _rows(g_orig.astype(jnp.float32)), _rows(p_orig.astype(jnp.float32)),
         _rows(state1.astype(jnp.uint8), 127), _amax(absmax1), None, None, scalars,
         u=None if noise is None else _rows(noise),
+        qmap1=qmap1,
     )
     if out is None:
         return None
@@ -908,16 +922,6 @@ def _optim8_fused_dispatch(
         None,
         None,
     )
-
-
-def _blockwise_requant(s: jax.Array, mids: jax.Array, order: jax.Array, sorted_code: jax.Array, blocksize: int):
-    """Quantize optimizer state s (flat, padded) blockwise; returns
-    (codes uint8, absmax)."""
-    blocks = s.reshape(-1, blocksize)
-    absmax = jnp.max(jnp.abs(blocks), axis=1)
-    normed = blocks * _safe_inv(absmax)[:, None]
-    codes = _encode_nearest(normed, mids, order)
-    return codes.reshape(-1), absmax
 
 
 def optimizer_update_8bit_blockwise(
@@ -1011,44 +1015,78 @@ def optimizer_update_8bit_blockwise(
         decode2 = functools.partial(_decode, signed=False)
         requant2 = functools.partial(_requant, signed=False)
     else:
-        # custom-qmap LUT branch: correct but NOT fused — the Pallas kernel
-        # only understands the analytic dynamic codec, so a user-supplied
-        # quantile/custom qmap runs the XLA LUT path (~87 GB/s vs 130+ for
-        # the fused kernel). Surface that instead of silently degrading.
-        import warnings
+        # custom-qmap (quantile / user-table) codec. The reference kernel
+        # takes ANY smem codebook (kernel_quant.cpp:2715-2974); the TPU
+        # equivalent is an in-kernel select tree over the table
+        # (ops/lut8.py). A concrete strictly-ascending 256-entry map
+        # dispatches to the SAME fused Pallas kernel as the dynamic codec
+        # (ops/optim8.py qmap1=/qmap2=); traced tables, non-monotone maps
+        # and stochastic rounding fall back to the XLA select-tree path
+        # (still gather-free — searchsorted/take lowerings are ~4 orders
+        # of magnitude off roofline on TPU, see ops/dynamic8.py).
+        from .ops.lut8 import searchsorted_tree, take_tree
 
-        warnings.warn(
-            "optimizer_update_8bit_blockwise: custom qmap uses the unfused "
-            "XLA LUT path; pass codec='dynamic' (the bnb default maps) for "
-            "the fused Pallas kernel",
-            stacklevel=2,
-        )
-        q1 = jnp.asarray(qmap1, jnp.float32)
-        order1 = jnp.argsort(q1)
-        sc1 = q1[order1]
-        mids1 = (sc1[1:] + sc1[:-1]) / 2.0
+        two = optimizer_name in OPTIMIZER_FUNCS_2STATE
 
-        def decode1(codes, absmax):
-            return jnp.take(q1, _padflat(codes, jnp.int32).astype(jnp.int32)) * jnp.repeat(
-                absmax.astype(jnp.float32), blocksize
-            )[: nb * blocksize]
+        def _concrete(q):
+            if q is None:
+                return None
+            try:
+                return np.asarray(q, np.float32)
+            except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
+                return None
 
-        def requant1(s):
-            return _blockwise_requant(s, mids1, order1, sc1, blocksize)
+        def _monotone(q):
+            return q is not None and q.shape == (256,) and bool(np.all(np.diff(q) > 0))
 
-        if optimizer_name in OPTIMIZER_FUNCS_2STATE:
-            q2 = jnp.asarray(qmap2, jnp.float32)
-            order2 = jnp.argsort(q2)
-            sc2 = q2[order2]
-            mids2 = (sc2[1:] + sc2[:-1]) / 2.0
+        q1_np = _concrete(qmap1)
+        q2_np = _concrete(qmap2) if two else None
+        if (
+            _monotone(q1_np)
+            and (not two or _monotone(q2_np))
+            and not stochastic_rounding
+        ):
+            fused = _optim8_fused_dispatch(
+                optimizer_name, state1, absmax1, state2, absmax2,
+                beta1, beta2, eps, step, lr, weight_decay, gnorm_scale,
+                blocksize, nb, n, p, g, qmap1=q1_np, qmap2=q2_np,
+            )
+            if fused is not None:
+                return fused
 
-            def decode2(codes, absmax):
-                return jnp.take(q2, _padflat(codes, jnp.int32).astype(jnp.int32)) * jnp.repeat(
+        def _codec_xla(qmap, q_np):
+            if q_np is not None:
+                q = q_np
+                order = np.argsort(q, kind="stable")
+                sc = q[order]
+                mids = ((sc[1:] + sc[:-1]) / 2.0).astype(np.float32)
+                identity = bool(np.array_equal(order, np.arange(q.shape[0])))
+            else:
+                q = jnp.asarray(qmap, jnp.float32)
+                order = jnp.argsort(q)
+                sc = q[order]
+                mids = (sc[1:] + sc[:-1]) / 2.0
+                identity = False
+
+            def decode(codes, absmax):
+                vals = take_tree(_padflat(codes, jnp.int32).astype(jnp.int32), q)
+                return vals * jnp.repeat(
                     absmax.astype(jnp.float32), blocksize
                 )[: nb * blocksize]
 
-            def requant2(s):
-                return _blockwise_requant(s, mids2, order2, sc2, blocksize)
+            def requant(s):
+                blocks = s.reshape(-1, blocksize)
+                amax = jnp.max(jnp.abs(blocks), axis=1)
+                normed = blocks * _safe_inv(amax)[:, None]
+                rank = searchsorted_tree(normed, mids, side="left")
+                codes = rank if identity else take_tree(rank, order)
+                return codes.astype(jnp.uint8).reshape(-1), amax
+
+            return decode, requant
+
+        decode1, requant1 = _codec_xla(qmap1, q1_np)
+        if two:
+            decode2, requant2 = _codec_xla(qmap2, q2_np)
 
     s1 = decode1(state1, absmax1)
     if optimizer_name in OPTIMIZER_FUNCS_2STATE:

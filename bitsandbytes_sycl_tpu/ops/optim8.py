@@ -23,11 +23,13 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import interpret_mode, safe_inv
 from .dynamic8 import dynamic_decode, dynamic_encode, stochastic_adjust
+from .lut8 import searchsorted_tree, take_tree
 
 __all__ = ["optim8_blockwise_fused"]
 
@@ -36,24 +38,64 @@ __all__ = ["optim8_blockwise_fused"]
 # (rows, bs) f32 temporaries) hits 19 MB > the 16 MB scoped-vmem limit.
 # Grid-step overhead is not the bottleneck (~0.5 us x 256 steps).
 _ROWS = 32  # blocks (rows of `blocksize`) per grid step
+# The LUT-codec variant's select trees hold deeper live chains per
+# element (255-node trees vs the dynamic codec's ~20-op arithmetic), so
+# its row tile is smaller to stay inside Mosaic's scoped-vmem stack.
+_ROWS_LUT = 16
 
 
-def _requant_rows(s: jax.Array, signed: bool, u=None) -> Tuple[jax.Array, jax.Array]:
+class _DynamicCodec:
+    """The analytic dynamic-map codec (ops/dynamic8.py) — default."""
+
+    def __init__(self, signed: bool):
+        self.signed = signed
+
+    def decode(self, codes):
+        return dynamic_decode(codes, signed=self.signed)
+
+    def encode(self, normed, u=None):
+        codes = dynamic_encode(normed, signed=self.signed)
+        if u is not None:
+            # stochastic rounding of the state requantization (the
+            # reference's dead STOCHASTIC template, kernel N3): unbiased
+            # over the dynamic grid, uniform noise supplied as a kernel
+            # input (pltpu.prng_* has no interpret-mode lowering, and the
+            # kernel is VPU- not DMA-bound)
+            codes = stochastic_adjust(codes, normed, u, signed=self.signed)
+        return codes
+
+
+class _LutCodec:
+    """Arbitrary SORTED 256-entry codebook via select trees (ops/lut8.py)
+    with the table embedded as immediates — the TPU equivalent of the
+    reference's smem-codebook kernels (kernel_quant.cpp:2715-2974).
+    Stochastic rounding is not offered on this codec (reference parity:
+    its STOCHASTIC template is dead code for the blockwise kernels)."""
+
+    def __init__(self, qmap: np.ndarray):
+        table = np.ascontiguousarray(np.asarray(qmap, np.float32).reshape(-1))
+        assert table.shape == (256,) and np.all(np.diff(table) > 0)
+        self.table = table
+        # f32 midpoints, matching the XLA LUT path's (sorted[1:]+sorted[:-1])/2
+        self.mids = ((table[1:] + table[:-1]) / 2.0).astype(np.float32)
+
+    def decode(self, codes):
+        return take_tree(codes.astype(jnp.int32), self.table)
+
+    def encode(self, normed, u=None):
+        assert u is None
+        return searchsorted_tree(normed, self.mids, side="left").astype(jnp.uint8)
+
+
+def _requant_rows(s: jax.Array, codec, u=None) -> Tuple[jax.Array, jax.Array]:
     amax = jnp.max(jnp.abs(s), axis=1, keepdims=True)
     normed = s * safe_inv(amax)
-    codes = dynamic_encode(normed, signed=signed)
-    if u is not None:
-        # stochastic rounding of the state requantization (the reference's
-        # dead STOCHASTIC template, kernel N3): unbiased over the dynamic
-        # grid, uniform noise supplied as a kernel input (pltpu.prng_* has
-        # no interpret-mode lowering, and the kernel is VPU- not DMA-bound)
-        codes = stochastic_adjust(codes, normed, u, signed=signed)
-    return codes, amax
+    return codec.encode(normed, u=u), amax
 
 
 def _kernel2(
     sc_ref, g_ref, p_ref, s1_ref, am1_ref, s2_ref, am2_ref, *rest,
-    name, stochastic,
+    name, stochastic, codec1, codec2,
 ):
     if stochastic:
         u_ref, po_ref, s1o_ref, am1o_ref, s2o_ref, am2o_ref = rest
@@ -65,8 +107,8 @@ def _kernel2(
     finite = jnp.isfinite(g)
     g = jnp.where(finite, g, 0.0)
     p = p_ref[:].astype(jnp.float32)
-    s1 = dynamic_decode(s1_ref[:], signed=True) * am1_ref[:]
-    s2 = dynamic_decode(s2_ref[:], signed=False) * am2_ref[:]
+    s1 = codec1.decode(s1_ref[:]) * am1_ref[:]
+    s2 = codec2.decode(s2_ref[:]) * am2_ref[:]
 
     # adam/lamb 2-state update (kernel_quant.cpp:1722-1734) with the bias
     # correction folded into step_size/eps_c2 by the caller
@@ -83,8 +125,8 @@ def _kernel2(
     u1 = u_ref[:] if u_ref is not None else None
     # decorrelate the two states' noise with a golden-ratio scramble
     u2 = jnp.mod(u1 * 0.6180339887 + 0.3819660113, 1.0) if u_ref is not None else None
-    c1, a1 = _requant_rows(n1, signed=True, u=u1)
-    c2, a2 = _requant_rows(n2, signed=False, u=u2)
+    c1, a1 = _requant_rows(n1, codec1, u=u1)
+    c2, a2 = _requant_rows(n2, codec2, u=u2)
     s1o_ref[:] = c1
     am1o_ref[:] = a1
     s2o_ref[:] = c2
@@ -93,7 +135,7 @@ def _kernel2(
 
 def _kernel1(
     sc_ref, g_ref, p_ref, s1_ref, am1_ref, *rest,
-    name, stochastic,
+    name, stochastic, codec1,
 ):
     if stochastic:
         u_ref, po_ref, s1o_ref, am1o_ref = rest
@@ -105,7 +147,7 @@ def _kernel1(
     finite = jnp.isfinite(g)
     g = jnp.where(finite, g, 0.0)
     p = p_ref[:].astype(jnp.float32)
-    s1 = dynamic_decode(s1_ref[:], signed=True) * am1_ref[:]
+    s1 = codec1.decode(s1_ref[:]) * am1_ref[:]
 
     # 1-state math (kernel_quant.cpp:1955-1985); weight decay is coupled
     g = g + p * wd
@@ -128,7 +170,7 @@ def _kernel1(
     n1 = jnp.where(finite, n1, s1)
 
     po_ref[:] = np_.astype(po_ref.dtype)
-    c1, a1 = _requant_rows(n1, signed=True, u=u_ref[:] if u_ref is not None else None)
+    c1, a1 = _requant_rows(n1, codec1, u=u_ref[:] if u_ref is not None else None)
     s1o_ref[:] = c1
     am1o_ref[:] = a1
 
@@ -143,17 +185,35 @@ def optim8_blockwise_fused(
     absmax2: Optional[jax.Array],
     scalars: jax.Array,  # (8,) f32, see functional.optimizer_update_8bit_blockwise
     u: Optional[jax.Array] = None,  # (nb, bs) uniform [0,1): stochastic rounding
+    qmap1: Optional[np.ndarray] = None,  # concrete ASCENDING 256-entry codebook
+    qmap2: Optional[np.ndarray] = None,  # (None, None) = the dynamic maps
 ):
     """Returns (p, state1, absmax1[, state2, absmax2]) in the same padded
-    (nb, bs) / (nb,) layout, or None if the shape can't tile."""
+    (nb, bs) / (nb,) layout, or None if the shape can't tile.
+
+    qmap1/qmap2: when given (concrete, strictly ascending, 256 entries),
+    states decode/encode through in-kernel select trees over that table —
+    the TPU form of the reference's arbitrary-smem-codebook kernels
+    (kernel_quant.cpp:2715-2974). Stochastic rounding requires the
+    default dynamic codec (u is ignored otherwise: return None)."""
     nb, bs = g.shape
-    if bs % 128 != 0 or nb % _ROWS != 0:
+    lut = qmap1 is not None
+    if lut and u is not None:
         return None
-    rows = _ROWS
+    rows = _ROWS_LUT if lut else _ROWS
+    if bs % 128 != 0 or nb % rows != 0:
+        return None
 
     two = state2 is not None
+    if lut:
+        codec1 = _LutCodec(qmap1)
+        codec2 = _LutCodec(qmap2) if two else None
+    else:
+        codec1 = _DynamicCodec(signed=True)
+        codec2 = _DynamicCodec(signed=False) if two else None
     kern = functools.partial(
-        _kernel2 if two else _kernel1, name=optimizer_name, stochastic=u is not None
+        _kernel2 if two else _kernel1, name=optimizer_name, stochastic=u is not None,
+        **({"codec1": codec1, "codec2": codec2} if two else {"codec1": codec1}),
     )
     row = pl.BlockSpec((rows, bs), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col = pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -179,7 +239,9 @@ def optim8_blockwise_fused(
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct(s, d) for s, d in zip(shapes, dtypes)],
         cost_estimate=pl.CostEstimate(
-            flops=nb * bs * 60,
+            # LUT codec: ~255 selects per decode + ~510 compare/selects
+            # per encode, x2 states worst case
+            flops=nb * bs * (1560 if lut else 60),
             bytes_accessed=nb * bs * (4 + 4 * 2 + (2 if two else 1) * 2),
             transcendentals=0,
         ),

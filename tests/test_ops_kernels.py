@@ -1058,3 +1058,25 @@ def test_paged_decode_attention_alibi_matches_reference():
     vs_c = vsg.transpose(0, 2, 1, 3).reshape(B, Hkv, S)
     ref = _alibi_ref_attend(q, kq_c, ks_c, vq_c, vs_c, lengths, sl)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# lut8 select trees (gather-free take/searchsorted used by codecs)
+# ---------------------------------------------------------------------------
+
+
+def test_lut8_trees_match_numpy():
+    from bitsandbytes_sycl_tpu.ops.lut8 import searchsorted_tree, take_tree
+
+    rng = np.random.default_rng(0)
+    for n in (7, 16, 255, 256):
+        table = np.sort(rng.normal(size=n)).astype(np.float32)
+        idx = rng.integers(0, n, size=(5, 37)).astype(np.int32)
+        for t in (table, jnp.asarray(table)):
+            np.testing.assert_array_equal(np.asarray(take_tree(jnp.asarray(idx), t)), table[idx])
+        x = (rng.normal(size=(3, 129)) * 1.5).astype(np.float32)
+        x.ravel()[:n] = table  # exact boundary hits exercise tie behavior
+        for side in ("left", "right"):
+            for t in (table, jnp.asarray(table)):
+                got = np.asarray(searchsorted_tree(jnp.asarray(x), t, side=side))
+                np.testing.assert_array_equal(got, np.searchsorted(table, x, side=side))

@@ -455,3 +455,141 @@ def test_lamb_moves_zero_init_params():
         st = tx.init(params)
         upd, st = tx.update(g, st, params)
         assert float(jnp.abs(upd["b"]).max()) > 0.0, bits
+
+
+# ---------------------------------------------------------------------------
+# custom-qmap (quantile / user-table) codec: select trees + fused LUT kernel
+# (reference: arbitrary smem codebooks, kernel_quant.cpp:2715-2974)
+# ---------------------------------------------------------------------------
+
+
+def _quantile_maps(seed=3):
+    rng = np.random.default_rng(seed)
+    q1 = np.sort(np.unique(np.tanh(rng.normal(size=400)))).astype(np.float32)[:256]
+    q2 = np.sort(np.unique(np.abs(np.tanh(rng.normal(size=500)))))[:256].astype(np.float32)
+    assert q1.shape == q2.shape == (256,)
+    assert np.all(np.diff(q1) > 0) and np.all(np.diff(q2) > 0)
+    return q1, q2
+
+
+def test_custom_qmap_adam_matches_searchsorted_semantics():
+    """The XLA select-tree path must reproduce the take/searchsorted
+    definition of the custom-qmap codec bit-exactly (codes) and to f32
+    rounding (params)."""
+    q1, q2 = _quantile_maps()
+    rng = np.random.default_rng(11)
+    bs = 2048
+    n = bs * 4
+    g = jnp.asarray(rng.normal(size=(n,)) * 0.01, jnp.float32)
+    p = jnp.asarray(rng.normal(size=(n,)) * 0.02, jnp.float32)
+    s1 = jnp.asarray(rng.integers(0, 256, n), jnp.uint8)
+    am1 = jnp.asarray(np.abs(rng.normal(size=(n // bs,))) * 1e-3, jnp.float32)
+    s2 = jnp.asarray(rng.integers(0, 256, n), jnp.uint8)
+    am2 = jnp.asarray(np.abs(rng.normal(size=(n // bs,))) * 1e-5, jnp.float32)
+
+    out = F.optimizer_update_8bit_blockwise(
+        "adam", g, p, s1, am1, s2, am2, jnp.asarray(q1), jnp.asarray(q2),
+        beta1=0.9, beta2=0.999, eps=1e-8, step=3, lr=1e-3,
+        weight_decay=0.01, blocksize=bs,
+    )
+
+    mids1 = (q1[1:] + q1[:-1]) / 2.0
+    mids2 = (q2[1:] + q2[:-1]) / 2.0
+    s1f = q1[np.asarray(s1)] * np.repeat(np.asarray(am1), bs)
+    s2f = q2[np.asarray(s2)] * np.repeat(np.asarray(am2), bs)
+    gf, pf = np.asarray(g), np.asarray(p)
+    n1 = s1f * 0.9 + 0.1 * gf
+    n2 = s2f * 0.999 + 0.001 * gf * gf
+    c1 = 1 - 0.9**3
+    c2 = np.sqrt(1 - 0.999**3)
+    pnew = (pf - 1e-3 * (n1 / c1) / (np.sqrt(np.maximum(n2, 0)) / c2 + 1e-8)) * (1 - 1e-5)
+
+    def req(s, mids):
+        b = s.reshape(-1, bs)
+        am = np.abs(b).max(1)
+        normed = b / np.where(am[:, None] == 0, 1, am[:, None])
+        return np.searchsorted(mids, normed, side="left").astype(np.uint8).reshape(-1), am
+
+    rc1, ra1 = req(n1.astype(np.float32), mids1)
+    rc2, ra2 = req(np.maximum(n2, 0).astype(np.float32), mids2)
+    # n2 stays >= 0 here (q2 is an unsigned map, decode >= 0)
+    np.testing.assert_allclose(np.asarray(out[0]), pnew.astype(np.float32), rtol=2e-4, atol=1e-6)
+    assert np.mean(np.asarray(out[1]) == rc1) > 0.999
+    assert np.mean(np.asarray(out[3]) == rc2) > 0.999
+    np.testing.assert_allclose(np.asarray(out[2]), ra1, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[4]), ra2, rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["adam", "lion"])
+def test_optim8_lut_kernel_matches_xla_tree_path(name):
+    """The fused LUT-codec Pallas kernel (qmap1=/qmap2=, interpret mode on
+    CPU) matches the XLA select-tree path within the same envelope as the
+    dynamic-codec kernel parity test."""
+    from bitsandbytes_sycl_tpu.ops.optim8 import _ROWS_LUT, optim8_blockwise_fused
+
+    q1, q2 = _quantile_maps()
+    rng = np.random.default_rng(7)
+    bs = 512
+    nb = _ROWS_LUT
+    n = nb * bs
+    g = jnp.asarray(rng.normal(size=(n,)) * 0.01, jnp.float32)
+    p = jnp.asarray(rng.normal(size=(n,)) * 0.02, jnp.float32)
+    s1 = jnp.asarray(rng.integers(0, 256, n), jnp.uint8)
+    am1 = jnp.asarray(np.abs(rng.normal(size=(nb,))) * 1e-3, jnp.float32)
+    two = name == "adam"
+    s2 = jnp.asarray(rng.integers(0, 256, n), jnp.uint8) if two else None
+    am2 = jnp.asarray(np.abs(rng.normal(size=(nb,))) * 1e-5, jnp.float32) if two else None
+
+    ref = F.optimizer_update_8bit_blockwise(
+        name, g, p, s1, am1, s2, am2, jnp.asarray(q1), jnp.asarray(q2) if two else None,
+        beta1=0.9, beta2=0.999, eps=1e-8, step=3, lr=1e-3,
+        weight_decay=0.01, blocksize=bs,
+    )
+
+    if two:
+        c1 = 1.0 - 0.9**3
+        c2 = float(np.sqrt(1.0 - 0.999**3))
+        scalars = jnp.asarray(
+            [0.9, 0.999, 1e-8 * c2, -1e-3 * c2 / c1, 1.0 - 1e-3 * 0.01, 1.0, 0.0, 0.0],
+            jnp.float32,
+        )
+        out = optim8_blockwise_fused(
+            name, g.reshape(nb, bs), p.reshape(nb, bs),
+            s1.reshape(nb, bs), am1, s2.reshape(nb, bs), am2, scalars,
+            qmap1=q1, qmap2=q2,
+        )
+        po, c1o, a1, c2o, a2 = out
+        np.testing.assert_allclose(np.asarray(po).ravel(), np.asarray(ref[0]), rtol=1e-4, atol=1e-7)
+        assert np.mean(np.asarray(c1o).ravel() == np.asarray(ref[1])) > 0.999
+        assert np.mean(np.asarray(c2o).ravel() == np.asarray(ref[3])) > 0.999
+        np.testing.assert_allclose(np.asarray(a1).ravel(), np.asarray(ref[2]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a2).ravel(), np.asarray(ref[4]), rtol=1e-4)
+    else:
+        scalars = jnp.asarray([0.9, 0.999, 1e-8, 1e-3, 0.01, 1.0, 0.0, 0.0], jnp.float32)
+        out = optim8_blockwise_fused(
+            name, g.reshape(nb, bs), p.reshape(nb, bs), s1.reshape(nb, bs), am1,
+            None, None, scalars, qmap1=q1,
+        )
+        po, c1o, a1 = out
+        np.testing.assert_allclose(np.asarray(po).ravel(), np.asarray(ref[0]), rtol=1e-4, atol=1e-7)
+        assert np.mean(np.asarray(c1o).ravel() == np.asarray(ref[1])) > 0.999
+        np.testing.assert_allclose(np.asarray(a1).ravel(), np.asarray(ref[2]), rtol=1e-4)
+
+
+def test_optim8_lut_kernel_refuses_stochastic_and_bad_tiles():
+    """Guards: stochastic rounding and untileable shapes return None (the
+    caller falls back to the XLA tree path)."""
+    from bitsandbytes_sycl_tpu.ops.optim8 import _ROWS_LUT, optim8_blockwise_fused
+
+    q1, _ = _quantile_maps()
+    nb, bs = _ROWS_LUT, 512
+    g = jnp.zeros((nb, bs), jnp.float32)
+    s = jnp.zeros((nb, bs), jnp.uint8)
+    am = jnp.ones((nb,), jnp.float32)
+    scalars = jnp.zeros((8,), jnp.float32)
+    u = jnp.zeros((nb, bs), jnp.float32)
+    assert optim8_blockwise_fused("lion", g, g, s, am, None, None, scalars, u=u, qmap1=q1) is None
+    g3 = jnp.zeros((3, bs), jnp.float32)
+    assert optim8_blockwise_fused(
+        "lion", g3, g3, jnp.zeros((3, bs), jnp.uint8), jnp.ones((3,)), None, None, scalars, qmap1=q1
+    ) is None

@@ -443,6 +443,49 @@ def test_sharded_8bit_optimizer_matches_unsharded():
     assert st.inner["w"]["state1"].sharding.spec == jax.sharding.PartitionSpec("data", None)
 
 
+def test_sharded_8bit_optimizer_custom_qmap_matches_unsharded():
+    """Custom-qmap (quantile-table) codec under shard_map: the select-tree
+    LUT path (ops/lut8.py) must be bit-identical shard-by-shard to the
+    unsharded call — quantization blocks never cross shards."""
+    from jax.sharding import NamedSharding
+    from bitsandbytes_sycl_tpu import functional as F
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(5)
+    q1 = np.sort(np.unique(np.tanh(rng.normal(size=400)))).astype(np.float32)[:256]
+    q2 = np.sort(np.unique(np.abs(np.tanh(rng.normal(size=500)))))[:256].astype(np.float32)
+    assert np.all(np.diff(q1) > 0) and np.all(np.diff(q2) > 0)
+
+    mesh = make_mesh({"data": 8})
+    nrows, ncols = 64, 2048
+    g = jnp.asarray(rng.normal(size=(nrows, ncols)) * 1e-2, jnp.float32)
+    p = jnp.asarray(rng.normal(size=(nrows, ncols)) * 1e-1, jnp.float32)
+    n = nrows * ncols
+    s1 = jnp.asarray(rng.integers(0, 256, (nrows, ncols)), jnp.uint8)
+    a1 = jnp.asarray(np.abs(rng.normal(size=(n // 2048,))) * 1e-3, jnp.float32)
+    s2 = jnp.asarray(rng.integers(0, 256, (nrows, ncols)), jnp.uint8)
+    a2 = jnp.asarray(np.abs(rng.normal(size=(n // 2048,))) * 1e-5, jnp.float32)
+
+    ref = F.optimizer_update_8bit_blockwise(
+        "adam", g, p, s1, a1, s2, a2, q1, q2, 0.9, 0.999, 1e-8, 2, 1e-3,
+        blocksize=2048,
+    )
+
+    shard = NamedSharding(mesh, jax.sharding.PartitionSpec("data", None))
+    out = F.optimizer_update_8bit_blockwise_sharded(
+        "adam",
+        jax.device_put(g, shard), jax.device_put(p, shard),
+        jax.device_put(s1, shard),
+        jax.device_put(a1, NamedSharding(mesh, jax.sharding.PartitionSpec("data"))),
+        jax.device_put(s2, shard),
+        jax.device_put(a2, NamedSharding(mesh, jax.sharding.PartitionSpec("data"))),
+        q1, q2, 0.9, 0.999, 1e-8, 2, 1e-3, mesh=mesh, blocksize=2048,
+    )
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+    assert out[0].sharding.spec == jax.sharding.PartitionSpec("data", None)
+
+
 def test_tp_collectives_with_compressed_stats():
     """TP matmuls must thread the compressed-stat sidecars through
     shard_map (they shard with N under col / replicate under row)."""

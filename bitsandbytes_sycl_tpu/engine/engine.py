@@ -126,12 +126,20 @@ class InferenceEngine:
         if lora is not None:
             if forward_fn is not None:
                 # model-agnostic forwards must accept the adapter kwargs
-                # (gptj_forward/opt_forward do); fail at construction,
-                # not deep inside the first jitted prefill
+                # (gptj_forward and opt_forward do); fail at
+                # construction, not deep inside the first jitted
+                # prefill. A **kwargs wrapper is accepted (it forwards
+                # the adapter kwargs at runtime).
                 import inspect
 
                 sig_params = inspect.signature(forward_fn).parameters
-                if "lora" not in sig_params or "lora_ids" not in sig_params:
+                has_var_kw = any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in sig_params.values()
+                )
+                if not has_var_kw and (
+                    "lora" not in sig_params or "lora_ids" not in sig_params
+                ):
                     raise NotImplementedError(
                         "forward_fn does not accept lora/lora_ids kwargs — "
                         "lora serving needs a forward with the llama_forward "
@@ -303,10 +311,7 @@ class InferenceEngine:
             batch) and suffix positions continue at `plen` — absolute-
             position masking attends the prefix rows for free."""
             K, T = tokens.shape
-            cacheK = jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, (x.shape[0], K) + x.shape[2:]),
-                prefix_cache,
-            )
+            cacheK = broadcast_prefix_fn(K, prefix_cache)
             pos = plen + jnp.broadcast_to(jnp.arange(T), (K, T))
             logits, cacheK = fwd_l(params, mcfg, tokens, cacheK, pos, ids)
             last = jnp.take_along_axis(
@@ -460,7 +465,16 @@ class InferenceEngine:
         aid = np.zeros((Kb,), np.int32)
         aid[: len(eff_adapter_ids)] = eff_adapter_ids
         chunk = self.ecfg.prefill_chunk
-        if chunk > 0 and T > chunk:
+        # chunking pads T up to a chunk multiple (Tc); if plen + Tc
+        # overruns the cache, the last chunk's dynamic_update_slice write
+        # would CLAMP its start and silently clobber earlier KV — route
+        # such near-capacity prompts through the unchunked path instead
+        # (always correct: T itself fits by the prompt-length guard)
+        chunk_fits = (
+            chunk > 0
+            and plen + (-(-T // chunk) * chunk) <= self.mcfg.max_seq_len
+        )
+        if chunk_fits and T > chunk:
             # chunked prefill: re-pad to a multiple of the chunk size and
             # stream chunks through ONE compiled program, carrying the
             # scratch cache; the chunk containing each prompt's last

@@ -91,15 +91,27 @@ def _sorted_code_and_perm(quant_type: str, blocksize: int = 64):
 
 
 def _code_arrays(code: Optional[jax.Array], quant_type: str):
-    """Resolve (code-order table, sorted values, rank->code perm, midpoints)."""
+    """Resolve (code-order table, sorted values, rank->code perm, midpoints).
+
+    `order` and `mids` stay CONCRETE numpy whenever the codebook is
+    concrete so the select trees in _encode_nearest/_encode_stochastic
+    embed them as immediates and skip the rank permutation entirely for
+    monotone codebooks (a traced `order` defeats the identity check)."""
     if code is None:
         sorted_code, order, mids, table = _sorted_code_and_perm(quant_type)
-        return jnp.asarray(table), jnp.asarray(sorted_code), jnp.asarray(order), jnp.asarray(mids)
-    code = jnp.asarray(code, jnp.float32)
-    order = jnp.argsort(code)
-    sorted_code = code[order]
-    mids = (sorted_code[1:] + sorted_code[:-1]) / 2.0
-    return code, sorted_code, order, mids
+        return jnp.asarray(table), jnp.asarray(sorted_code), order, mids
+    try:
+        cnp = np.asarray(code, np.float32)
+    except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
+        code = jnp.asarray(code, jnp.float32)
+        order = jnp.argsort(code)
+        sorted_code = code[order]
+        mids = (sorted_code[1:] + sorted_code[:-1]) / 2.0
+        return code, sorted_code, order, mids
+    order = np.argsort(cnp, kind="stable").astype(np.int32)
+    sorted_code = cnp[order]
+    mids = ((sorted_code[1:] + sorted_code[:-1]) / 2.0).astype(np.float32)
+    return jnp.asarray(cnp), jnp.asarray(sorted_code), order, mids
 
 
 # ---------------------------------------------------------------------------

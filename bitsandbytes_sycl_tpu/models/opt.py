@@ -140,11 +140,20 @@ def opt_forward(
     positions: Optional[jax.Array] = None,
     seq_lens: Optional[jax.Array] = None,  # unused; engine-signature parity
     psum_axis: Optional[str] = None,  # mesh axis for TP row-parallel sums
+    lora: Optional[list] = None,  # per-layer {proj_name: {A,B,scale}} adapters
+    lora_ids: Optional[jax.Array] = None,  # (B,) per-sequence adapter ids
 ) -> Tuple[jax.Array, Optional[Dict]]:
-    """Same contract as llama_forward/gptj_forward: (logits, cache)."""
+    """Same contract as llama_forward/gptj_forward: (logits, cache),
+    including the engine's multi-adapter LoRA kwargs (projection names:
+    q/k/v/out_proj, fc1, fc2)."""
+    from .llama import _lora_for
+
     B, T = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+    ids_bt = (
+        jnp.broadcast_to(lora_ids[:, None], (B, T)) if lora_ids is not None else None
+    )
 
     x = jnp.take(params["wte"], tokens, axis=0).astype(cfg.dtype)
     if "wln_w" in params:  # BLOOM: LayerNorm straight after the embedding
@@ -173,9 +182,9 @@ def opt_forward(
         new_cache = maybe_init_pend(new_cache, cfg, T, positions)
     for li, layer in enumerate(params["layers"]):
         h = _ln(x, layer["ln1_w"], layer["ln1_b"], cfg.ln_eps)
-        q = apply_linear(h, layer["q_proj"], cfg) + layer["q_bias"].astype(cfg.dtype)
-        k = apply_linear(h, layer["k_proj"], cfg) + layer["k_bias"].astype(cfg.dtype)
-        v = apply_linear(h, layer["v_proj"], cfg) + layer["v_bias"].astype(cfg.dtype)
+        q = apply_linear(h, layer["q_proj"], cfg, _lora_for(lora, li, "q_proj"), ids_bt) + layer["q_bias"].astype(cfg.dtype)
+        k = apply_linear(h, layer["k_proj"], cfg, _lora_for(lora, li, "k_proj"), ids_bt) + layer["k_bias"].astype(cfg.dtype)
+        v = apply_linear(h, layer["v_proj"], cfg, _lora_for(lora, li, "v_proj"), ids_bt) + layer["v_bias"].astype(cfg.dtype)
         q = q.reshape(B, T, cfg.num_heads, cfg.hd)
         k = k.reshape(B, T, cfg.num_kv_heads, cfg.hd)
         v = v.reshape(B, T, cfg.num_kv_heads, cfg.hd)
@@ -189,13 +198,13 @@ def opt_forward(
             )
             attn = _attention(q, k, v, mask, cfg.dtype, bias=bias)
         attn = attn.astype(cfg.dtype).reshape(B, T, -1)
-        attn_out = apply_linear(attn, layer["out_proj"], cfg)
+        attn_out = apply_linear(attn, layer["out_proj"], cfg, _lora_for(lora, li, "out_proj"), ids_bt)
         if psum_axis is not None:
             attn_out = jax.lax.psum(attn_out, psum_axis)
         x = x + attn_out + layer["out_bias"].astype(cfg.dtype)
 
         h = _ln(x, layer["ln2_w"], layer["ln2_b"], cfg.ln_eps)
-        ff = apply_linear(h, layer["fc1"], cfg) + layer["fc1_b"].astype(cfg.dtype)
+        ff = apply_linear(h, layer["fc1"], cfg, _lora_for(lora, li, "fc1"), ids_bt) + layer["fc1_b"].astype(cfg.dtype)
         # OPT: relu; GPT-2 rides this substrate with gelu_tanh (HF gelu_new)
         act = getattr(cfg, "act", "relu")
         if act == "relu":
@@ -204,7 +213,7 @@ def opt_forward(
             ff = jax.nn.gelu(
                 ff.astype(jnp.float32), approximate=act == "gelu_tanh"
             ).astype(cfg.dtype)
-        ff = apply_linear(ff, layer["fc2"], cfg)
+        ff = apply_linear(ff, layer["fc2"], cfg, _lora_for(lora, li, "fc2"), ids_bt)
         if psum_axis is not None:
             ff = jax.lax.psum(ff, psum_axis)
         x = x + ff + layer["fc2_b"].astype(cfg.dtype)

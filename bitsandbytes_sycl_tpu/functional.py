@@ -126,10 +126,14 @@ def _encode_nearest(x: jax.Array, mids: jax.Array, order: jax.Array) -> jax.Arra
 
     Select trees (ops/lut8.py), not searchsorted/take: gather-free, so
     the encode is pure VPU compare/select work on TPU (searchsorted's
-    sort/scan lowering is orders of magnitude slower there)."""
+    sort/scan lowering is orders of magnitude slower there).
+
+    NaN inputs encode deterministically as 0.0 (the select tree would
+    otherwise send them to rank 0, the most-negative code; numpy's
+    searchsorted sends them to the top — neither is meaningful)."""
     from .ops.lut8 import searchsorted_tree, take_tree
 
-    rank = searchsorted_tree(x, mids, side="left")
+    rank = searchsorted_tree(jnp.where(jnp.isnan(x), 0.0, x), mids, side="left")
     if isinstance(order, np.ndarray) and np.array_equal(order, np.arange(order.shape[0])):
         return rank.astype(jnp.uint8)
     return take_tree(rank, order).astype(jnp.uint8)
@@ -141,9 +145,11 @@ def _encode_stochastic(
     """Stochastic codebook encode: round to the bracketing entries with
     probability proportional to proximity (expectation-unbiased) — the
     reference's STOCHASTIC template path (kernel_quant.cpp:1229-1365,
-    dQuantize<1> consuming a per-element rand)."""
+    dQuantize<1> consuming a per-element rand). NaN inputs encode
+    deterministically as 0.0, like _encode_nearest."""
     from .ops.lut8 import searchsorted_tree, take_tree
 
+    x = jnp.where(jnp.isnan(x), 0.0, x)
     last = sorted_code.shape[0] - 1
     lo_rank = jnp.clip(searchsorted_tree(x, sorted_code, side="right") - 1, 0, last)
     hi_rank = jnp.minimum(lo_rank + 1, last)
@@ -974,6 +980,8 @@ def optimizer_update_8bit_blockwise(
     n = int(np.prod(g.shape))
     nb = blocks_for(n, blocksize)
     pad = nb * blocksize - n
+    if codec is None and qmap1 is None:
+        codec = "dynamic"  # no table given: the default dynamic maps
 
     def _padflat(x, dtype=jnp.float32):
         f = x.reshape(-1).astype(dtype)
@@ -1012,6 +1020,8 @@ def optimizer_update_8bit_blockwise(
             return vals * jnp.repeat(absmax.astype(jnp.float32), blocksize)[: nb * blocksize]
 
         def _requant(s, signed):
+            from .ops.optim8 import _apply_sign_fix
+
             blocks = s.reshape(-1, blocksize)
             amax = jnp.max(jnp.abs(blocks), axis=1)
             normed = blocks * _safe_inv(amax)[:, None]
@@ -1020,6 +1030,10 @@ def optimizer_update_8bit_blockwise(
                 u = noise.reshape(-1, blocksize)
                 u = u if signed else jnp.mod(u * 0.6180339887 + 0.3819660113, 1.0)
                 codes = stochastic_adjust(codes, normed, u, signed=signed)
+            elif signed:
+                # state1 sign preservation (kernel_quant.cpp:2935-2941),
+                # matching the fused kernel's _DynamicCodec
+                codes = _apply_sign_fix(codes, normed, n_neg=127, top=255).astype(jnp.uint8)
             return codes.reshape(-1), amax
 
         decode1 = functools.partial(_decode, signed=True)
@@ -1037,8 +1051,18 @@ def optimizer_update_8bit_blockwise(
         # (still gather-free — searchsorted/take lowerings are ~4 orders
         # of magnitude off roofline on TPU, see ops/dynamic8.py).
         from .ops.lut8 import searchsorted_tree, take_tree
+        from .ops.optim8 import _apply_sign_fix, lut_table_ok
 
         two = optimizer_name in OPTIMIZER_FUNCS_2STATE
+
+        if stochastic_rounding:
+            import warnings
+
+            warnings.warn(
+                "stochastic_rounding requires the dynamic codec; custom-qmap "
+                "optimizer states requantize deterministically (round-to-nearest)",
+                stacklevel=2,
+            )
 
         def _concrete(q):
             if q is None:
@@ -1048,14 +1072,11 @@ def optimizer_update_8bit_blockwise(
             except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
                 return None
 
-        def _monotone(q):
-            return q is not None and q.shape == (256,) and bool(np.all(np.diff(q) > 0))
-
         q1_np = _concrete(qmap1)
         q2_np = _concrete(qmap2) if two else None
         if (
-            _monotone(q1_np)
-            and (not two or _monotone(q2_np))
+            lut_table_ok(q1_np)
+            and (not two or lut_table_ok(q2_np))
             and not stochastic_rounding
         ):
             fused = _optim8_fused_dispatch(
@@ -1066,18 +1087,34 @@ def optimizer_update_8bit_blockwise(
             if fused is not None:
                 return fused
 
-        def _codec_xla(qmap, q_np):
-            if q_np is not None:
+        def _codec_xla(qmap, q_np, sign_fix=False):
+            # matches ops/optim8._LutCodec: ascending concrete tables
+            # dedupe (zero-pad convention) and encode to the FIRST index
+            # of each duplicate run; the state1 sign fix runs in
+            # unique-rank space (kernel_quant.cpp:2935-2941)
+            if q_np is not None and np.all(np.diff(q_np) >= 0):
                 q = q_np
-                order = np.argsort(q, kind="stable")
+                uq, rep = np.unique(q_np, return_index=True)
+                mids = ((uq[1:] + uq[:-1]) / 2.0).astype(np.float32)
+                order = rep.astype(np.int32)
+                n_neg = int(np.signbit(uq).sum())
+                top = uq.size - 1
+                identity = uq.size == 256
+            elif q_np is not None:
+                q = q_np
+                order = np.argsort(q, kind="stable").astype(np.int32)
                 sc = q[order]
                 mids = ((sc[1:] + sc[:-1]) / 2.0).astype(np.float32)
+                n_neg = int(np.signbit(sc).sum())
+                top = sc.shape[0] - 1
                 identity = bool(np.array_equal(order, np.arange(q.shape[0])))
             else:
                 q = jnp.asarray(qmap, jnp.float32)
                 order = jnp.argsort(q)
                 sc = q[order]
                 mids = (sc[1:] + sc[:-1]) / 2.0
+                n_neg = jnp.sum(jnp.signbit(sc))
+                top = sc.shape[0] - 1
                 identity = False
 
             def decode(codes, absmax):
@@ -1091,12 +1128,14 @@ def optimizer_update_8bit_blockwise(
                 amax = jnp.max(jnp.abs(blocks), axis=1)
                 normed = blocks * _safe_inv(amax)[:, None]
                 rank = searchsorted_tree(normed, mids, side="left")
+                if sign_fix:
+                    rank = _apply_sign_fix(rank, normed, n_neg, top)
                 codes = rank if identity else take_tree(rank, order)
                 return codes.astype(jnp.uint8).reshape(-1), amax
 
             return decode, requant
 
-        decode1, requant1 = _codec_xla(qmap1, q1_np)
+        decode1, requant1 = _codec_xla(qmap1, q1_np, sign_fix=True)
         if two:
             decode2, requant2 = _codec_xla(qmap2, q2_np)
 

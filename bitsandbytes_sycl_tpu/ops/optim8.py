@@ -31,7 +31,7 @@ from .common import interpret_mode, safe_inv
 from .dynamic8 import dynamic_decode, dynamic_encode, stochastic_adjust
 from .lut8 import searchsorted_tree, take_tree
 
-__all__ = ["optim8_blockwise_fused"]
+__all__ = ["optim8_blockwise_fused", "lut_table_ok"]
 
 # 32 rows is the VMEM ceiling, measured: at 64 rows x 2048 the 2-state
 # kernel's Mosaic stack (decode+encode codec chains keep ~30 live
@@ -44,11 +44,36 @@ _ROWS = 32  # blocks (rows of `blocksize`) per grid step
 _ROWS_LUT = 16
 
 
-class _DynamicCodec:
-    """The analytic dynamic-map codec (ops/dynamic8.py) — default."""
+def _apply_sign_fix(rank, normed, n_neg, top):
+    """The reference's state1 sign-preservation step
+    (kernel_quant.cpp:2935-2941): if sign(table[code]) != sign(value),
+    bump the code one step toward the value's sign so a small nonzero
+    momentum never requantizes to zero/wrong-sign. `rank` is in
+    ascending-value order, so sign(table[rank]) == (rank < n_neg); the
+    bump is +1 for positive values, -1 otherwise (signbit semantics:
+    -0.0 counts as negative, +0.0 as positive, exactly like the
+    reference's sycl::signbit test)."""
+    r = rank.astype(jnp.int32)
+    mism = (r < n_neg) != jnp.signbit(normed)
+    step = jnp.where(normed > 0, 1, -1)
+    return jnp.where(mism, jnp.clip(r + step, 0, top), r)
 
-    def __init__(self, signed: bool):
+
+class _DynamicCodec:
+    """The analytic dynamic-map codec (ops/dynamic8.py) — default.
+
+    `sign_fix` (state1 only, like the reference) re-applies the sign of
+    the value when a nonzero state requantizes onto the zero entry
+    (kernel_quant.cpp:2935-2941). The dynamic signed map's codes are
+    ascending-value ranks with zero at 127, so the fix is a compare and
+    a select. Skipped under stochastic rounding — the dithered code is
+    already expectation-unbiased and forcing the sign would bias it
+    (the reference's STOCHASTIC template is dead code, so there is no
+    reference behavior to match there)."""
+
+    def __init__(self, signed: bool, sign_fix: bool = False):
         self.signed = signed
+        self.sign_fix = sign_fix and signed
 
     def decode(self, codes):
         return dynamic_decode(codes, signed=self.signed)
@@ -62,29 +87,74 @@ class _DynamicCodec:
             # input (pltpu.prng_* has no interpret-mode lowering, and the
             # kernel is VPU- not DMA-bound)
             codes = stochastic_adjust(codes, normed, u, signed=self.signed)
+        elif self.sign_fix:
+            codes = _apply_sign_fix(codes, normed, n_neg=127, top=255).astype(jnp.uint8)
         return codes
 
 
-class _LutCodec:
-    """Arbitrary SORTED 256-entry codebook via select trees (ops/lut8.py)
-    with the table embedded as immediates — the TPU equivalent of the
-    reference's smem-codebook kernels (kernel_quant.cpp:2715-2974).
-    Stochastic rounding is not offered on this codec (reference parity:
-    its STOCHASTIC template is dead code for the blockwise kernels)."""
+def lut_table_ok(q) -> bool:
+    """A table the LUT codec can take: concrete (256,) finite values,
+    non-decreasing, with at least two distinct entries. Duplicates are
+    allowed (the reference's zero-pad convention for sub-256 codebooks,
+    codebooks._pad_sorted_to_256) — the codec dedupes and encodes to the
+    first index of each duplicate run."""
+    if q is None:
+        return False
+    try:
+        t = np.asarray(q, np.float32)
+    except Exception:  # noqa: BLE001 — traced arrays, wrong types
+        return False
+    return (
+        t.shape == (256,)
+        and bool(np.all(np.isfinite(t)))
+        and bool(np.all(np.diff(t) >= 0))
+        and np.unique(t).size >= 2
+    )
 
-    def __init__(self, qmap: np.ndarray):
+
+class _LutCodec:
+    """Arbitrary ascending-sorted 256-entry codebook via select trees
+    (ops/lut8.py) with the table embedded as immediates — the TPU
+    equivalent of the reference's smem-codebook kernels
+    (kernel_quant.cpp:2715-2974). Stochastic rounding is not offered on
+    this codec (reference parity: its STOCHASTIC template is dead code
+    for the blockwise kernels).
+
+    Duplicate entries (the reference's zero-pad convention for sub-256
+    codebooks) are deduped: encode runs over the unique values and maps
+    each rank to the FIRST original index of its duplicate run, so
+    decode through the full table is exact and stored codes stay in the
+    original 256-index space.
+
+    `sign_fix` replicates the reference's state1 sign-preservation step
+    (kernel_quant.cpp:2935-2941) — with one deliberate improvement: the
+    bump runs in UNIQUE-rank space, so on duplicated tables it reaches
+    the next distinct value (the reference's index-space +-1 can land on
+    another duplicate of the same wrong-signed value)."""
+
+    def __init__(self, qmap: np.ndarray, sign_fix: bool = False):
         table = np.ascontiguousarray(np.asarray(qmap, np.float32).reshape(-1))
-        assert table.shape == (256,) and np.all(np.diff(table) > 0)
+        uq, rep = np.unique(table, return_index=True)
         self.table = table
+        self.uq = uq.astype(np.float32)
+        self.rep = rep.astype(np.int32)  # unique rank -> first original index
+        self.identity = uq.size == 256
         # f32 midpoints, matching the XLA LUT path's (sorted[1:]+sorted[:-1])/2
-        self.mids = ((table[1:] + table[:-1]) / 2.0).astype(np.float32)
+        self.mids = ((uq[1:] + uq[:-1]) / 2.0).astype(np.float32)
+        self.n_neg = int(np.signbit(uq).sum())
+        self.sign_fix = sign_fix
 
     def decode(self, codes):
         return take_tree(codes.astype(jnp.int32), self.table)
 
     def encode(self, normed, u=None):
         assert u is None
-        return searchsorted_tree(normed, self.mids, side="left").astype(jnp.uint8)
+        rank = searchsorted_tree(normed, self.mids, side="left")
+        if self.sign_fix:
+            rank = _apply_sign_fix(rank, normed, self.n_neg, self.uq.size - 1)
+        if self.identity:
+            return rank.astype(jnp.uint8)
+        return take_tree(rank, self.rep).astype(jnp.uint8)
 
 
 def _requant_rows(s: jax.Array, codec, u=None) -> Tuple[jax.Array, jax.Array]:
@@ -191,25 +261,32 @@ def optim8_blockwise_fused(
     """Returns (p, state1, absmax1[, state2, absmax2]) in the same padded
     (nb, bs) / (nb,) layout, or None if the shape can't tile.
 
-    qmap1/qmap2: when given (concrete, strictly ascending, 256 entries),
-    states decode/encode through in-kernel select trees over that table —
-    the TPU form of the reference's arbitrary-smem-codebook kernels
+    qmap1/qmap2: when given (concrete, ascending-sorted, 256 entries —
+    duplicates allowed, see _LutCodec), states decode/encode through
+    in-kernel select trees over that table — the TPU form of the
+    reference's arbitrary-smem-codebook kernels
     (kernel_quant.cpp:2715-2974). Stochastic rounding requires the
-    default dynamic codec (u is ignored otherwise: return None)."""
+    default dynamic codec; invalid tables, a 2-state call missing qmap2,
+    and untileable shapes all return None (callers fall back to the XLA
+    tree path)."""
     nb, bs = g.shape
+    two = state2 is not None
     lut = qmap1 is not None
-    if lut and u is not None:
+    if lut and (
+        u is not None
+        or not lut_table_ok(qmap1)
+        or (two and not lut_table_ok(qmap2))
+    ):
         return None
     rows = _ROWS_LUT if lut else _ROWS
     if bs % 128 != 0 or nb % rows != 0:
         return None
 
-    two = state2 is not None
     if lut:
-        codec1 = _LutCodec(qmap1)
+        codec1 = _LutCodec(qmap1, sign_fix=True)
         codec2 = _LutCodec(qmap2) if two else None
     else:
-        codec1 = _DynamicCodec(signed=True)
+        codec1 = _DynamicCodec(signed=True, sign_fix=True)
         codec2 = _DynamicCodec(signed=False) if two else None
     kern = functools.partial(
         _kernel2 if two else _kernel1, name=optimizer_name, stochastic=u is not None,

@@ -681,10 +681,13 @@ class InferenceEngine:
         """Latency-oriented speculative generation: the whole batch runs
         the single-dispatch jitted draft-verify loop (engine/speculative.py)
         against this engine's model (its forward_fn) as the target.
-        Requires equal-length prompts (the lockstep loop shares one
-        cursor); use generate() for ragged continuous batching. Does not
-        touch the slot pool/cache. EOS truncation matches generate()
-        (output includes the EOS token, nothing after it).
+        Ragged prompts are right-padded to the bucket with per-row
+        cursors (r5) — each row's output is exactly its own-prompt
+        generation; the batch still COMMITS in lockstep (min-acceptance),
+        so prefer generate() when prompt lengths vary wildly and
+        throughput matters. Does not touch the slot pool/cache. EOS
+        truncation matches generate() (output includes the EOS token,
+        nothing after it).
 
         Under a TP mesh both target and draft forwards route through
         llama_forward_tp (the engine's own fwd): pass draft_params
@@ -712,19 +715,24 @@ class InferenceEngine:
                 "speculative decoding does not apply the engine's lora "
                 "adapters — it would silently serve the base model"
             )
-        lens = {len(p) for p in prompts}
-        if len(lens) != 1:
-            raise ValueError(
-                "generate_speculative needs equal-length prompts "
-                f"(got lengths {sorted(lens)}); use generate() for ragged batches"
-            )
-        toks = jnp.asarray(list(prompts), jnp.int32)
+        lens = [len(p) for p in prompts]
+        if min(lens) < 1:
+            raise ValueError("generate_speculative needs non-empty prompts")
+        T = max(lens)
+        # ragged batches (r5): RIGHT-pad to the bucket; pad slots sit past
+        # each row's cursor so the absolute-position mask hides them until
+        # real tokens overwrite them (speculative_generate_jit docstring)
+        toks = np.zeros((len(prompts), T), np.int32)
+        for i, pr in enumerate(prompts):
+            toks[i, : lens[i]] = pr
         out, _stats = speculative_generate_jit(
-            self.params, self.mcfg, draft_params, draft_cfg, toks,
-            max_new_tokens, gamma=gamma, temperature=temperature, seed=seed,
+            self.params, self.mcfg, draft_params, draft_cfg,
+            jnp.asarray(toks), max_new_tokens, gamma=gamma,
+            temperature=temperature, seed=seed,
             target_forward=self._fwd,
             # the draft is usually the same model family as the target
             draft_forward=draft_forward or self._fwd,
+            lengths=jnp.asarray(lens, jnp.int32),
         )
         rows = [list(map(int, row)) for row in np.asarray(out)]
         eos = self.ecfg.eos_token

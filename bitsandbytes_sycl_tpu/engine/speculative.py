@@ -234,13 +234,14 @@ def speculative_generate_jit(
     target_cfg: LlamaConfig,
     draft_params: Dict,
     draft_cfg: LlamaConfig,
-    prompts: jax.Array,  # (B, T) int32
+    prompts: jax.Array,  # (B, T) int32, RIGHT-padded past each row's length
     max_new_tokens: int,
     gamma: int = 4,
     target_forward: Callable = llama_forward,
     draft_forward: Callable = llama_forward,
     temperature: float = 0.0,
     seed: int = 0,
+    lengths: Optional[jax.Array] = None,  # (B,) true prompt lengths (ragged)
 ) -> Tuple[jax.Array, Dict]:
     """Speculative decode as ONE jitted device program — zero host
     round-trips (the host-loop variant pays a dispatch per draft step,
@@ -259,7 +260,17 @@ def speculative_generate_jit(
       gamma+1 candidates into the output buffer and only ADVANCES the
       cursor by min-acceptance+1 — uncommitted garbage is overwritten by
       the next round before it can be read;
-    - lockstep batching: cursors are scalars, min-acceptance over B.
+    - lockstep batching: cursors are a (B,) vector (rows keep their own
+      absolute positions), min-acceptance over B.
+
+    RAGGED batches (r5): pass `lengths` (B,) with prompts RIGHT-padded to
+    the bucket. Pad slots get positions past the row's cursor like any
+    stale cache entry: the absolute-position mask (s_ids <= q_pos,
+    models/llama.py) hides them until real tokens overwrite them — the
+    SAME invariant that already covers rejected draft positions, so each
+    row's output is exactly its own-prompt greedy/sampled generation.
+    The per-row position arrays are what the engine's own decode steps
+    feed the forward anyway, so every fused kernel path is unchanged.
 
     Returns (tokens (B, max_new_tokens) on device, stats with traced
     "rounds" — np them after the call).
@@ -282,23 +293,28 @@ def speculative_generate_jit(
     cached = _JIT_CACHE.get(cache_key)
     sampling = temperature > 0.0
     key0 = jax.random.PRNGKey(seed)
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+    lengths = jnp.asarray(lengths, jnp.int32)
     if cached is not None:
-        out, rounds = cached(target_params, draft_params, prompts, key0)
+        out, rounds = cached(target_params, draft_params, prompts, key0, lengths)
         return out, {"rounds": rounds}
 
-    def run(target_params, draft_params, prompts, key0):
+    def run(target_params, draft_params, prompts, key0, lengths):
+        rows = jnp.arange(B)
         t_cache = init_kv_cache(target_cfg, B)
         d_cache = init_kv_cache(draft_cfg, B)
         pos = jnp.broadcast_to(jnp.arange(T), (B, T))
         logits, t_cache = target_forward(target_params, target_cfg, prompts, t_cache, pos)
         _, d_cache = draft_forward(draft_params, draft_cfg, prompts, d_cache, pos)
         key0_, kfirst = jax.random.split(key0)
+        last_logits = logits[rows, lengths - 1]  # (B, V) per-row last REAL slot
         if sampling:
             first = jax.random.categorical(
-                kfirst, logits[:, -1].astype(jnp.float32) / temperature, axis=-1
+                kfirst, last_logits.astype(jnp.float32) / temperature, axis=-1
             ).astype(jnp.int32)
         else:
-            first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # (B,)
+            first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)  # (B,)
 
         L = max_new_tokens + gamma + 2
         out = jnp.zeros((B, L), jnp.int32)
@@ -313,7 +329,7 @@ def speculative_generate_jit(
             key, kacc = jax.random.split(key)
             # draft ingests [prev@cur-1 (idempotent rewrite), last@cur]
             chunk = jnp.stack([prev, last], axis=1)
-            cpos = jnp.stack([jnp.full((B,), cur - 1), jnp.full((B,), cur)], axis=1)
+            cpos = jnp.stack([cur - 1, cur], axis=1)
             dl, d_cache = draft_forward(draft_params, draft_cfg, chunk, d_cache, cpos)
 
             def propose(step_logits, j):
@@ -329,7 +345,7 @@ def speculative_generate_jit(
             for j in range(1, gamma):
                 dl, d_cache = draft_forward(
                     draft_params, draft_cfg, d[:, None], d_cache,
-                    jnp.full((B, 1), cur + j),
+                    (cur + j)[:, None],
                 )
                 d, qj = propose(dl[:, 0], j)
                 d_toks.append(d)
@@ -337,7 +353,7 @@ def speculative_generate_jit(
             d_tokens = jnp.stack(d_toks, axis=1)  # (B, gamma)
 
             ver = jnp.concatenate([last[:, None], d_tokens], axis=1)
-            vpos = cur + jnp.broadcast_to(jnp.arange(gamma + 1), (B, gamma + 1))
+            vpos = cur[:, None] + jnp.broadcast_to(jnp.arange(gamma + 1), (B, gamma + 1))
             vl, t_cache = target_forward(target_params, target_cfg, ver, t_cache, vpos)
             if sampling:
                 p_all = jax.nn.softmax(vl.astype(jnp.float32) / temperature, axis=-1)
@@ -368,8 +384,8 @@ def speculative_generate_jit(
                     new_last, new_prev, rounds + 1, key)
 
         state = (
-            t_cache, d_cache, out, jnp.int32(T), jnp.int32(1),
-            first, prompts[:, -1], jnp.int32(0), key0_,
+            t_cache, d_cache, out, lengths, jnp.int32(1),
+            first, prompts[rows, lengths - 1], jnp.int32(0), key0_,
         )
         state = jax.lax.while_loop(cond, body, state)
         return state[2][:, :max_new_tokens], state[7]
@@ -379,7 +395,7 @@ def speculative_generate_jit(
     # multi-forward while_loop every time (measured ~120 ms/call of pure
     # tracing for an 8-layer model)
     _JIT_CACHE[cache_key] = jitted
-    out, rounds = jitted(target_params, draft_params, prompts, key0)
+    out, rounds = jitted(target_params, draft_params, prompts, key0, lengths)
     return out, {"rounds": rounds}
 
 

@@ -320,6 +320,54 @@ def test_speculative_decode_lossless(setup):
     assert stats2["accept_rate"] < stats["accept_rate"]
 
 
+def test_speculative_ragged_prompts_lossless(setup):
+    """RAGGED batches (r5): right-padded prompts with per-row cursors —
+    each row's greedy speculative output must equal its OWN-prompt
+    target-only greedy decode (pad slots sit past the cursor and are
+    masked until overwritten, like rejected draft positions)."""
+    from bitsandbytes_sycl_tpu.engine.speculative import speculative_generate_jit
+
+    cfg, params = setup
+    rng = np.random.default_rng(23)
+    NEW = 8
+    plists = [
+        [int(t) for t in rng.integers(1, cfg.vocab_size, (n,))]
+        for n in (3, 7, 1, 5)
+    ]
+    refs = [_greedy_reference(cfg, params, p, NEW) for p in plists]
+
+    T = max(len(p) for p in plists)
+    toks = np.zeros((len(plists), T), np.int32)
+    for i, p in enumerate(plists):
+        toks[i, : len(p)] = p
+    lengths = jnp.asarray([len(p) for p in plists], jnp.int32)
+    bad_draft = init_params(cfg, jax.random.PRNGKey(99))
+    for draft in (params, bad_draft):
+        out, _ = speculative_generate_jit(
+            params, cfg, draft, cfg, jnp.asarray(toks), NEW, gamma=3,
+            lengths=lengths,
+        )
+        for b in range(len(plists)):
+            assert list(np.asarray(out[b])) == refs[b], (b, list(np.asarray(out[b])), refs[b])
+
+
+def test_engine_generate_speculative_ragged(setup):
+    """engine.generate_speculative accepts ragged prompts and matches
+    engine.generate (greedy continuous batching) per row."""
+    cfg, params = setup
+    rng = np.random.default_rng(31)
+    plists = [
+        [int(t) for t in rng.integers(1, cfg.vocab_size, (n,))]
+        for n in (4, 2, 6)
+    ]
+    ecfg = EngineConfig(max_batch=4, max_new_tokens=8, prefill_buckets=(8,))
+    eng = InferenceEngine(cfg, params, ecfg)
+    ref = eng.generate(plists, max_new_tokens=8)
+    eng2 = InferenceEngine(cfg, params, ecfg)
+    out = eng2.generate_speculative(plists, 8, params, cfg, gamma=3)
+    assert out == ref, (out, ref)
+
+
 def test_speculative_acceptance_preserves_target_distribution():
     """The rejection-sampling round (draw d~q, accept with p/q, correct
     from norm(relu(p-q))) must output tokens distributed EXACTLY as p —
@@ -536,8 +584,10 @@ def test_engine_generate_speculative(setup):
     ref = eng.generate(prompts, max_new_tokens=8)
     out = eng.generate_speculative(prompts, 8, params, cfg, gamma=3)
     assert out == ref, (out, ref)
+    # ragged prompts are supported since r5 (right-pad + per-row cursors,
+    # test_engine_generate_speculative_ragged); empty prompts still raise
     with pytest.raises(ValueError):
-        eng.generate_speculative([[1, 2], [1, 2, 3]], 4, params, cfg)
+        eng.generate_speculative([[], [1, 2, 3]], 4, params, cfg)
 
 
 def test_engine_generate_speculative_tensor_parallel(setup):

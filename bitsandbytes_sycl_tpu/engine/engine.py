@@ -69,6 +69,19 @@ class EngineConfig:
     paged: bool = False
     page_size: int = 128
     num_pages: int = 0
+    # W8A8 prefill (r5, VERDICT r4 ask #4): amortize the 4-bit -> int8
+    # regrid across a whole prefill batch instead of per linear call.
+    # Each prefill batch runs ONE jitted repack of the params
+    # (models.llama.repack_params_int8 — error <= rowmax/254, inside the
+    # 4-bit format's own grid error) and every prefill/chunk call then
+    # rides the int8-MXU path at 1.5-2.7x bf16 for ALL chunk sizes —
+    # chunk=256 prefill no longer pays the exact path's ~0.5x. The
+    # repacked tree is TRANSIENT: dropped when the prefill batch ends,
+    # so decode keeps the 4-bit memory budget (the int8 copy exists
+    # only during prefill — budget peak prefill HBM accordingly).
+    # Decode numerics are unchanged; prefill KV/logits move from the
+    # exact-decode path to the accepted W8A8 accuracy class.
+    w8a8_prefill: bool = False
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -120,6 +133,13 @@ class InferenceEngine:
         self.params = params
         self.mesh = mesh
         self._tp_axis = tp_axis
+        if engine_cfg.w8a8_prefill and mesh is not None:
+            raise NotImplementedError(
+                "w8a8_prefill does not compose with a TP mesh yet — "
+                "the repacked {CB, SCB} leaves would need their own "
+                "shardings; use repack_params_int8 on the unsharded "
+                "tree before shard_llama_params instead"
+            )
         # multi-adapter serving: a stack_lora pytree; each request picks
         # its adapter via add_request(adapter_id=...) (S-LoRA style)
         self._lora = lora
@@ -229,13 +249,34 @@ class InferenceEngine:
             return fwd(params, cfg, tokens, cache, positions,
                        lora=lora, lora_ids=ids)
 
+        # W8A8 prefill (EngineConfig.w8a8_prefill): prefill calls see a
+        # TRANSIENT int8-repacked params tree under a matching int8
+        # config; decode keeps the original 4-bit params/config.
+        pf_cfg = mcfg
+        self._repack_prefill = None
+        if engine_cfg.w8a8_prefill:  # mesh rejected at the top of __init__
+            from ..models.llama import repack_params_int8
+
+            try:
+                pf_cfg = dataclasses.replace(
+                    mcfg, quant="int8", llm_int8_threshold=0.0)
+            except TypeError as e:
+                raise NotImplementedError(
+                    f"w8a8_prefill needs quant/llm_int8_threshold config "
+                    f"fields ({type(mcfg).__name__} lacks them)"
+                ) from e
+            # ONE jitted dispatch per prefill batch (a per-leaf host loop
+            # would pay the ~30 ms tunnel dispatch 200+ times)
+            self._repack_prefill = jax.jit(
+                lambda p: repack_params_int8(p, mcfg)[0])
+
         @jax.jit
         def prefill_fn(params, tokens, true_len, key, ids):
             """tokens (K, Tpad) -> (sampled next token (K,), cache_K)."""
             K, T = tokens.shape
             cacheK = init_cache(mcfg, K)
             pos = jnp.broadcast_to(jnp.arange(T), (K, T))
-            logits, cacheK = fwd_l(params, mcfg, tokens, cacheK, pos, ids)
+            logits, cacheK = fwd_l(params, pf_cfg, tokens, cacheK, pos, ids)
             last = jnp.take_along_axis(
                 logits, (true_len - 1).reshape(K, 1, 1), axis=1
             )[:, 0]
@@ -252,7 +293,7 @@ class InferenceEngine:
             token)."""
             K, C = tokens_c.shape
             pos = off + jnp.broadcast_to(jnp.arange(C), (K, C))
-            logits, cacheK = fwd_l(params, mcfg, tokens_c, cacheK, pos, ids)
+            logits, cacheK = fwd_l(params, pf_cfg, tokens_c, cacheK, pos, ids)
             idx = jnp.clip(true_len - 1 - off, 0, C - 1)
             last = jnp.take_along_axis(logits, idx.reshape(K, 1, 1), axis=1)[:, 0]
             hit = (true_len - 1 >= off) & (true_len - 1 < off + C)
@@ -313,7 +354,7 @@ class InferenceEngine:
             K, T = tokens.shape
             cacheK = broadcast_prefix_fn(K, prefix_cache)
             pos = plen + jnp.broadcast_to(jnp.arange(T), (K, T))
-            logits, cacheK = fwd_l(params, mcfg, tokens, cacheK, pos, ids)
+            logits, cacheK = fwd_l(params, pf_cfg, tokens, cacheK, pos, ids)
             last = jnp.take_along_axis(
                 logits, (true_len - 1).reshape(K, 1, 1), axis=1
             )[:, 0]
@@ -388,13 +429,24 @@ class InferenceEngine:
         toks = np.zeros((1, T), np.int32)
         toks[0, : len(prompt)] = prompt
         _, cache1 = self._prefill(
-            self.params, jnp.asarray(toks), jnp.asarray([len(prompt)], np.int32),
+            self._prefill_params(), jnp.asarray(toks),
+            jnp.asarray([len(prompt)], np.int32),
             self._next_key(), jnp.asarray([adapter_id], np.int32),
         )
         pid = self._next_prefix_id
         self._next_prefix_id += 1
         self._prefixes[pid] = {"cache": cache1, "tokens": prompt, "adapter": adapter_id}
         return pid
+
+    def _prefill_params(self):
+        """Params tree the prefill calls should see: the original tree,
+        or (w8a8_prefill) a TRANSIENT int8 repack rebuilt per prefill
+        batch in one jitted dispatch (~165 us/weight of regrid, amortized
+        over every chunk of the batch) and dropped when the caller's
+        reference dies — decode never holds the int8 copy."""
+        if self._repack_prefill is None:
+            return self.params
+        return self._repack_prefill(self.params)
 
     def unregister_prefix(self, pid: int) -> None:
         """Free a cached prefix's device KV (prefixes otherwise pin a full
@@ -497,23 +549,25 @@ class InferenceEngine:
             lens_j = jnp.asarray(lens) + jnp.int32(plen)  # absolute
             aid_j = jnp.asarray(aid)
             nxt = jnp.zeros((Kb,), jnp.int32)
+            pparams = self._prefill_params()  # transient under w8a8_prefill
             for ci in range(Tc // chunk):
                 tok, hit, cacheK = self._chunk_prefill(
-                    self.params, jnp.asarray(toks_c[:, ci * chunk:(ci + 1) * chunk]),
+                    pparams, jnp.asarray(toks_c[:, ci * chunk:(ci + 1) * chunk]),
                     jnp.int32(plen + ci * chunk), cacheK, lens_j,
                     self._next_key(), aid_j,
                 )
                 nxt = jnp.where(hit, tok, nxt)
+            del pparams
         elif pre is not None:
             nxt, cacheK = self._prefix_prefill(
-                self.params, jnp.asarray(toks), jnp.asarray(lens),
+                self._prefill_params(), jnp.asarray(toks), jnp.asarray(lens),
                 self._next_key(), jnp.asarray(aid), pre["cache"],
                 jnp.int32(plen),
             )
         else:
             nxt, cacheK = self._prefill(
-                self.params, jnp.asarray(toks), jnp.asarray(lens), self._next_key(),
-                jnp.asarray(aid),
+                self._prefill_params(), jnp.asarray(toks), jnp.asarray(lens),
+                self._next_key(), jnp.asarray(aid),
             )
         nxt = np.asarray(nxt)
         slot_arr = np.zeros((Kb,), np.int32)

@@ -833,6 +833,157 @@ def test_engine_lora_with_forward_fn_gptj():
     assert out[1] != ref[0]  # real adapter changes the tokens
 
 
+def test_engine_lora_with_forward_fn_opt():
+    """LoRA x forward_fn on the OPT substrate (ADVICE r4: the opt_forward
+    LoRA wiring shipped without a regression test): adapters on opt
+    target names must change the output and route per request."""
+    from bitsandbytes_sycl_tpu.models.lora import stack_lora
+    from bitsandbytes_sycl_tpu.models.opt import (
+        OPTConfig, init_opt_kv_cache, init_opt_params, opt_forward,
+    )
+
+    cfg = OPTConfig.tiny(kv_quant=True, quant="nf4", dtype=jnp.float32)
+    params = init_opt_params(cfg, jax.random.PRNGKey(0))
+
+    def mk_adapter(seed, scale):
+        r = np.random.default_rng(seed)
+        out = []
+        for _ in range(cfg.num_layers):
+            h = cfg.hidden_size
+            out.append({
+                "q_proj": {
+                    "A": jnp.asarray(r.normal(size=(4, h)) * 0.2, jnp.float32),
+                    "B": jnp.asarray(r.normal(size=(h, 4)) * scale, jnp.float32),
+                    "scale": jnp.asarray(2.0, jnp.float32),
+                },
+                "fc1": {
+                    "A": jnp.asarray(r.normal(size=(4, h)) * 0.2, jnp.float32),
+                    "B": jnp.asarray(r.normal(size=(cfg.ffn_dim, 4)) * scale, jnp.float32),
+                    "scale": jnp.asarray(2.0, jnp.float32),
+                },
+            })
+        return out
+
+    zero = mk_adapter(1, 0.0)
+    real = mk_adapter(2, 0.1)
+    stacked = stack_lora([zero, real])
+    ecfg = EngineConfig(max_batch=2, max_new_tokens=6, prefill_buckets=(16,))
+    base = InferenceEngine(
+        cfg, params, ecfg, forward_fn=opt_forward, init_cache_fn=init_opt_kv_cache
+    )
+    ref = base.generate([[1, 2, 3, 4]])
+    eng = InferenceEngine(
+        cfg, params, ecfg, forward_fn=opt_forward,
+        init_cache_fn=init_opt_kv_cache, lora=stacked,
+    )
+    out = eng.generate([[1, 2, 3, 4], [1, 2, 3, 4]], adapter_ids=[0, 1])
+    assert out[0] == ref[0]  # zero adapter == base model
+    assert out[1] != ref[0]  # real adapter changes the tokens
+
+
+def test_engine_lora_kwargs_wrapper_forwards_adapters(setup):
+    """A **kwargs forward_fn wrapper passes the construction guard; this
+    pins that a FORWARDING wrapper actually serves adapter deltas (ADVICE
+    r4: a swallowing wrapper would silently serve the base model — the
+    zero/real adapter pair distinguishes the two)."""
+    from bitsandbytes_sycl_tpu.models.lora import init_lora, stack_lora
+
+    cfg, params = setup
+
+    def wrapper(params, cfg, tokens, cache, positions, **kw):
+        return llama_forward(params, cfg, tokens, cache, positions, **kw)
+
+    zero = init_lora(cfg, jax.random.PRNGKey(1), rank=4)  # B zeros
+    real = jax.tree.map(lambda a: a + 0.1, init_lora(cfg, jax.random.PRNGKey(2), rank=4))
+    stacked = stack_lora([zero, real])
+    ecfg = EngineConfig(max_batch=2, max_new_tokens=6, prefill_buckets=(16,))
+    base = InferenceEngine(cfg, params, ecfg)
+    ref = base.generate([[1, 2, 3, 4]])
+    eng = InferenceEngine(cfg, params, ecfg, forward_fn=wrapper, lora=stacked)
+    out = eng.generate([[1, 2, 3, 4], [1, 2, 3, 4]], adapter_ids=[0, 1])
+    assert out[0] == ref[0]
+    assert out[1] != ref[0], "wrapper swallowed the adapter kwargs"
+
+
+def test_engine_chunked_prefill_near_capacity(setup):
+    """Chunked prefill where plen + the padded final chunk would exceed
+    max_seq_len (the r4 KV-clobber fix, engine.py chunk clamp): output
+    must match the whole-prompt engine and later decode steps must not
+    read clobbered cache."""
+    cfg, params = setup
+    # prompt long enough that the last padded chunk would cross max_seq_len
+    plen = cfg.max_seq_len - 2
+    rng = np.random.default_rng(4)
+    prompt = [int(t) for t in rng.integers(1, cfg.vocab_size, (plen,))]
+    new = 2  # stay inside max_seq_len
+    ref_eng = InferenceEngine(
+        cfg, params, EngineConfig(max_batch=1, max_new_tokens=new,
+                                  prefill_buckets=(cfg.max_seq_len,)))
+    ref = ref_eng.generate([prompt], max_new_tokens=new)
+    eng = InferenceEngine(
+        cfg, params,
+        EngineConfig(max_batch=1, max_new_tokens=new, prefill_chunk=8),
+    )
+    got = eng.generate([prompt], max_new_tokens=new)
+    assert got == ref, (got, ref)
+
+
+def test_engine_w8a8_prefill_chunked_matches_unchunked(setup):
+    """w8a8_prefill (r5, amortized regrid): chunked and unchunked prefill
+    both ride the SAME transient int8 repack, so outputs are
+    token-identical to each other; the engine also matches the
+    full-repack engine's FIRST token (same int8 weights at prefill) while
+    decode keeps 4-bit params."""
+    from bitsandbytes_sycl_tpu.models.llama import repack_params_int8
+
+    cfg, params = setup
+    rng = np.random.default_rng(17)
+    prompts = [
+        [int(t) for t in rng.integers(1, cfg.vocab_size, (n,))]
+        for n in (9, 5)
+    ]
+    e1 = InferenceEngine(
+        cfg, params,
+        EngineConfig(max_batch=2, max_new_tokens=6, w8a8_prefill=True,
+                     prefill_buckets=(16,)))
+    out1 = e1.generate(prompts)
+    e2 = InferenceEngine(
+        cfg, params,
+        EngineConfig(max_batch=2, max_new_tokens=6, w8a8_prefill=True,
+                     prefill_chunk=4))
+    out2 = e2.generate(prompts)
+    assert out1 == out2, (out1, out2)
+
+    # first generated token comes from the prefill logits: must equal the
+    # FULL-repack engine's (identical int8 weights + sampling state)
+    params8, cfg8 = repack_params_int8(params, cfg)
+    e3 = InferenceEngine(
+        cfg8, params8,
+        EngineConfig(max_batch=2, max_new_tokens=6, prefill_buckets=(16,)))
+    out3 = e3.generate(prompts)
+    assert [o[0] for o in out1] == [o[0] for o in out3]
+
+    # composes with prefix caching (prefix KV computed on the repack too)
+    pid = e1.register_prefix(prompts[0][:3])
+    slots = e1.add_requests([prompts[0][3:]], prefix=pid)
+    while e1.active.any():
+        e1.step()
+    assert len(e1.slot_tokens[slots[0]]) > len(prompts[0])
+
+
+def test_engine_w8a8_prefill_rejects_mesh(setup):
+    """The guard fires at construction, before any sharding work."""
+    from bitsandbytes_sycl_tpu.parallel import make_mesh
+
+    cfg, params = setup
+    mesh = make_mesh({"model": 8})
+    with pytest.raises(NotImplementedError):
+        InferenceEngine(
+            cfg, params, EngineConfig(max_batch=2, w8a8_prefill=True),
+            mesh=mesh,
+        )
+
+
 def test_engine_lora_forward_fn_without_contract_rejected(setup):
     """A forward_fn that cannot take adapters must be rejected at
     construction, not fail deep inside the first jitted prefill."""

@@ -110,6 +110,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--steps", type=int, default=600)
+    # r5 (VERDICT r4 weak #5): the a8 delta needs a CI smaller than NF4's
+    # own delta (~0.09%). 10x the decode-size eval windows AND pair the
+    # comparison (same quantized params, same windows, a8 on vs off — the
+    # only varying factor is the kernel numerics, so model-seed variance
+    # cancels entirely).
+    ap.add_argument("--a8_windows", type=int, default=640)
     args = ap.parse_args()
 
     # data must outscale the 3.5M params or the model memorizes the
@@ -117,11 +123,16 @@ def main():
     # -> train loss 0.95 UNDER the chain's ~1.45-nat entropy, held-out
     # ppl 51k, and quantization RATIOS < 1 — noise as regularizer; a
     # meaningless harness). 576k train tokens ≈ 2.4 epochs at 600 steps.
-    corpus = second_order_corpus(600_000)
+    need = 576_000 + max(256, args.a8_windows) * SEQ
+    corpus = second_order_corpus(need + SEQ)
     train = corpus[:576_000].reshape(-1, SEQ)
-    heldout = jnp.asarray(corpus[576_000:][: 256 * SEQ].reshape(-1, SEQ), jnp.int32)
+    held_all = corpus[576_000:]
+    heldout = jnp.asarray(held_all[: 256 * SEQ].reshape(-1, SEQ), jnp.int32)
+    a8_eval = jnp.asarray(
+        held_all[: args.a8_windows * SEQ].reshape(-1, SEQ), jnp.int32)
 
     fp_ppls, ratios = [], {f: [] for f in FORMATS}
+    a8_paired = []  # ppl(nf4, W4A8 decode) / ppl(nf4, exact decode), paired
     for seed in range(args.seeds):
         params = train_one(seed, args.steps, train, heldout)
         cfg_fp = LlamaConfig(quant="none", **BASE)
@@ -139,6 +150,15 @@ def main():
                 r = ppl(qparams, cfg_q, heldout) / p_fp
             ratios[(quant, a8)].append(r)
             print(f"  {quant}{'+a8' if a8 else ''}: ratio {r:.5f}", flush=True)
+        # paired a8-on-NF4 delta: SAME params, SAME windows, batch=1
+        # decode-size rows — only the decode kernel differs
+        cfg_nf4 = LlamaConfig(quant="nf4", a8_decode=False, **BASE)
+        cfg_a8 = LlamaConfig(quant="nf4", a8_decode=True, **BASE)
+        qp = quantize_params(params, cfg_nf4)
+        pr = ppl(qp, cfg_a8, a8_eval, batch=1) / ppl(qp, cfg_nf4, a8_eval, batch=1)
+        a8_paired.append(pr)
+        print(f"  paired a8/exact on nf4 ({args.a8_windows} windows): "
+              f"{pr:.6f}", flush=True)
 
     fp_noise = np.std(fp_ppls) / np.mean(fp_ppls)
     print("\n## Results (paste into docs/ACCURACY.md)\n")
@@ -154,6 +174,12 @@ def main():
         name = f[0] + ("+a8" if f[1] else "")
         dn = (rs.mean() - 1.0) / max(rs.std(), 1e-9)
         print(f"| {name} | {rs.mean():.5f} | {rs.std():.5f} | {dn:.1f}x |")
+    pa = np.asarray(a8_paired)
+    print(
+        f"\npaired a8-on-NF4 ppl ratio ({args.a8_windows} decode windows, "
+        f"same params/windows, kernel-only difference): "
+        f"mean {pa.mean():.6f} +- {pa.std():.6f} over {args.seeds} seeds"
+    )
 
 
 if __name__ == "__main__":

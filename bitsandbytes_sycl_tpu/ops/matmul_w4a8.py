@@ -36,7 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import QLinearWeight, interpret_mode, pick_tile as _pick_tile, safe_inv
 
-__all__ = ["matmul_4bit_w4a8", "matmul_4bit_w8a8_prefill", "dequantize_to_int8"]
+__all__ = [
+    "matmul_4bit_w4a8", "matmul_4bit_w8a8_prefill", "dequantize_to_int8",
+    "matmul_4bit_w4a8_grouped",
+]
 
 
 def _int8_code_table(code) -> tuple:
@@ -329,6 +332,127 @@ def dequantize_to_int8(w: QLinearWeight):
     if hp != half:
         out = out[:, :half, :]
     return out.reshape(K, N), colmax
+
+
+# ---------------------------------------------------------------------------
+# Grouped mid-M W4A8 (r5, VERDICT r4 ask #2): int32 accumulation across ALL
+# quantization blocks under the per-column scale.
+# ---------------------------------------------------------------------------
+
+
+def _grouped_kernel(x_hi_ref, x_lo_ref, w_ref, f_ref, cm_ref, o_ref, acc_ref,
+                    *, table_i8, blocksize, nk):
+    """The shipped W4A8 kernel pays one f32 convert+multiply-add per
+    output element PER QUANTIZATION BLOCK (K/bs VPU MACs — at 4096/bs64
+    that epilogue alone exceeds the whole int8 MXU dot). Here the decoded
+    int8 codes are requantized onto the PER-COLUMN int8 grid in-kernel
+    (the same regrid as dequantize_to_int8, f = absmax*127/colmax, fused
+    — no HBM round trip), so ONE deep dot per (m,n,k) tile accumulates
+    int32 across every block (127*127*K < 2^31 for K <= 130k) and the
+    scale applies once in the epilogue."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b = w_ref[:]  # (TKB, TN) packed bytes
+    f = f_ref[:]  # (2, TKB//bs, TN) f32: absmax * 127 / colmax
+    for plane, (x_ref, shift) in enumerate(((x_hi_ref, 4), (x_lo_ref, 0))):
+        wq = _decode_plane_i8(b, table_i8, shift)  # int8 codes, block grid
+        fb = jnp.repeat(f[plane], blocksize, axis=0)  # (TKB, TN)
+        wg = jnp.round(wq.astype(jnp.float32) * (fb * (1.0 / 127.0)))
+        wg = jnp.clip(wg, -127.0, 127.0).astype(jnp.int8)
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], wg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    @pl.when(k == nk - 1)
+    def _():
+        # wg already carries absmax/colmax (f/127 = absmax/colmax), so the
+        # weight side contributes colmax/127 once; the activation 1/127
+        # applies outside with the row scale
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * (cm_ref[:] * (1.0 / 127.0))
+
+
+@partial(jax.jit, static_argnames=("tm", "tn", "tkb", "bs", "table_i8"))
+def _grouped_call(xq, w_packed, f, colmax, tm, tn, tkb, bs, table_i8):
+    M = xq.shape[0]
+    N = w_packed.shape[1]
+    half = w_packed.shape[0]
+    nk = half // tkb
+    kernel = functools.partial(
+        _grouped_kernel, table_i8=table_i8, blocksize=bs, nk=nk)
+    return pl.pallas_call(
+        kernel,
+        grid=(M // tm, N // tn, nk),
+        in_specs=[
+            pl.BlockSpec((tm, tkb), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tkb), lambda m, n, k, _h=nk: (m, k + _h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tkb, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tkb // bs, tn), lambda m, n, k: (0, k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * 2 * half,
+            bytes_accessed=M * half * 2 + N * half + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(xq, xq, w_packed, f, colmax.reshape(1, N))
+
+
+def matmul_4bit_w4a8_grouped(
+    x: jax.Array,
+    w: QLinearWeight,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+    tm: Optional[int] = None,
+) -> jax.Array:
+    """out ~= x @ dequant(W)^T, W8A8 accuracy class (per-row int8
+    activations + per-column int8 weight regrid, like
+    matmul_4bit_w8a8_prefill), with the regrid FUSED into the matmul
+    kernel per m-tile instead of written to HBM. Candidate route for
+    M in [256, 2048) where neither the per-block W4A8 kernel (f32
+    epilogue per block) nor the per-call HBM regrid (~165 us fixed)
+    wins. Falls back to matmul_4bit_fused for untileable shapes."""
+    from .matmul_4bit import matmul_4bit_fused, _nk_tiles
+
+    N, K = w.shape
+    lead = x.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    tn, tkb = _nk_tiles(w, N, K)
+    bs = w.blocksize
+    if (
+        M == 0 or tn is None or tkb is None or w.compressed
+        or K % (2 * bs) != 0 or tkb % bs != 0
+    ):
+        return matmul_4bit_fused(x, w, bias, compute_dtype=out_dtype)
+    if tm is None:
+        tm = next((c for c in (256, 512) if c >= M), 512)
+    Mp = ((M + tm - 1) // tm) * tm
+    x2 = x.reshape(M, K).astype(jnp.float32)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    ram = jnp.max(jnp.abs(x2), axis=1)
+    xq = jnp.clip(jnp.round(x2 * (127.0 * safe_inv(ram)).reshape(-1, 1)),
+                  -127.0, 127.0).astype(jnp.int8)
+    amax = w.scales_f32()
+    colmax = jnp.max(amax, axis=(0, 1))
+    f = amax * (127.0 * safe_inv(colmax))[None, None, :]
+    out = _grouped_call(xq, w.packed, f, colmax, tm, tn, tkb, bs,
+                        _int8_code_table(w.code))
+    out = out * (ram / 127.0).reshape(-1, 1)
+    if bias is not None:
+        out = out + bias
+    return out[:M].astype(out_dtype).reshape(*lead, N)
 
 
 # measured crossover to the W8A8 dequant-once route (v5e, 4096^2,

@@ -612,6 +612,62 @@ def test_matmul_4bit_w4a8_bias_and_fallback(weight):
     np.testing.assert_allclose(yc, ref, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("bs", [64, 128])
+def test_matmul_4bit_w4a8_grouped_matches_reference(bs):
+    """Grouped mid-M kernel (r5): int32 accumulation across all blocks
+    under the per-column regrid — must equal the explicit numpy model
+    (codes regridded c' = round(c * absmax/colmax), one deep int8 dot,
+    colmax/rowmax epilogue)."""
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit_w4a8_grouped
+
+    K = 2048  # nk > 1 k-steps at bs=64 (tkb=512)
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.normal(size=(256, K)) * 0.02, jnp.float32)
+    qw = quantize_4bit_native(W, blocksize=bs, quant_type="nf4")
+    x = jnp.asarray(rng.normal(size=(300, K)), jnp.float32)  # pads to tm
+    y = np.asarray(matmul_4bit_w4a8_grouped(x, qw, out_dtype=jnp.float32))
+
+    xn = np.asarray(x)
+    ax = np.abs(xn).max(axis=1, keepdims=True)
+    xq = np.clip(np.round(xn * 127.0 / ax), -127, 127)
+    table = np.asarray([float(v) for v in qw.code])
+    codes_i8 = np.round(table * 127.0)
+    packed = np.asarray(qw.packed)
+    w_codes = np.concatenate(
+        [codes_i8[(packed >> 4) & 0xF], codes_i8[packed & 0xF]], axis=0)  # (K, N)
+    scales = np.asarray(qw.scales_f32()).reshape(-1, 256)  # (K//bs, N)
+    colmax = scales.max(axis=0)
+    f = np.repeat(scales * 127.0 / colmax, bs, axis=0)  # (K, N)
+    wg = np.clip(np.round(w_codes * (f / 127.0)), -127, 127)
+    ref = (xq @ wg) * (ax / 127.0) * (colmax / 127.0)[None, :]
+    # f32-vs-f64 regrid/round TIES put a fraction of elements one int8
+    # step off the f64 model; everything else must match to f32 rounding
+    bad = ~np.isclose(y, ref, rtol=1e-4, atol=1e-4)
+    assert bad.mean() < 0.01, f"{bad.mean():.4f} of elements off"
+    assert np.abs(y - ref).max() < 0.01, np.abs(y - ref).max()
+
+
+def test_matmul_4bit_w4a8_grouped_envelope_and_fallback(weight):
+    """Same W8A8 accuracy class as the prefill route; compressed scales
+    fall back to the exact path."""
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit_w4a8_grouped
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(16, 1024)), jnp.float32)
+    b = jnp.arange(256, dtype=jnp.float32) * 0.01
+    y = np.asarray(matmul_4bit_w4a8_grouped(x, qw, bias=b, out_dtype=jnp.float32))
+    exact = np.asarray(x) @ np.asarray(qw.dequantize(), np.float32).T + np.asarray(b)
+    rel = np.abs(y - exact).mean() / np.abs(exact).mean()
+    assert rel < 0.02, rel
+
+    qwc = quantize_4bit_native(weight, blocksize=64, quant_type="nf4",
+                               compress_statistics=True)
+    yc = np.asarray(matmul_4bit_w4a8_grouped(x, qwc, out_dtype=jnp.float32))
+    ref = np.asarray(x) @ np.asarray(qwc.dequantize(), np.float32).T
+    np.testing.assert_allclose(yc, ref, rtol=2e-2, atol=2e-2)
+
+
 def test_matmul_4bit_fused_whole_half_tile():
     """K whose half isn't a multiple of 8 blocks (llama down_proj K=5632
     class) takes the whole-half-plane escape hatch (ops/matmul_4bit.py

@@ -51,91 +51,10 @@ from bitsandbytes_sycl_tpu.ops import (
     quantize_4bit_native,
 )
 from bitsandbytes_sycl_tpu.ops.common import interpret_mode, safe_inv
-from bitsandbytes_sycl_tpu.ops.matmul_w4a8 import (
-    _int8_code_table, _decode_plane_i8, _w4a8_call,
-)
+from bitsandbytes_sycl_tpu.ops.matmul_w4a8 import matmul_4bit_w4a8_grouped
 
 N = K = 4096
 REPS = 4
-
-
-def _grouped_kernel(x_hi_ref, x_lo_ref, w_ref, f_ref, cm_ref, o_ref, acc_ref,
-                    *, table_i8, blocksize, nk):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    b = w_ref[:]  # (TKB, TN) packed bytes
-    f = f_ref[:]  # (2, TKB//bs, TN) f32: absmax*127/colmax (per plane)
-    for plane, (x_ref, shift) in enumerate(((x_hi_ref, 4), (x_lo_ref, 0))):
-        wq = _decode_plane_i8(b, table_i8, shift)  # int8 codes, block grid
-        # regrid to the per-column int8 grid (same math as
-        # ops.dequantize_to_int8._dequant8_kernel, fused — codes carry
-        # their scale so the dot can run the WHOLE tile depth at once)
-        fb = jnp.repeat(f[plane], blocksize, axis=0)  # (TKB, TN)
-        wg = jnp.round(wq.astype(jnp.float32) * (fb * (1.0 / 127.0)))
-        wg = jnp.clip(wg, -127.0, 127.0).astype(jnp.int8)
-        d = jax.lax.dot_general(
-            x_ref[:], wg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        acc_ref[:] += d
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(jnp.float32) * (cm_ref[:] * (1.0 / (127.0 * 127.0)))
-
-
-@partial(jax.jit, static_argnames=("tm", "tn", "tkb", "bs", "table_i8"))
-def _grouped_call(xq, w_packed, f, colmax, tm, tn, tkb, bs, table_i8):
-    M = xq.shape[0]
-    Nn = w_packed.shape[1]
-    half = w_packed.shape[0]
-    nk = half // tkb
-    kernel = functools.partial(
-        _grouped_kernel, table_i8=table_i8, blocksize=bs, nk=nk)
-    return pl.pallas_call(
-        kernel,
-        grid=(M // tm, Nn // tn, nk),
-        in_specs=[
-            pl.BlockSpec((tm, tkb), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tkb), lambda m, n, k, _h=nk: (m, k + _h), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tkb, tn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tkb // bs, tn), lambda m, n, k: (0, k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, tn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, Nn), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * M * Nn * 2 * half,
-            bytes_accessed=M * half * 2 + Nn * half + M * Nn * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret_mode(),
-    )(xq, xq, w_packed, f, colmax.reshape(1, Nn))
-
-
-def matmul_w4a8_grouped(x, qw, tm):
-    M, Kk = x.shape
-    bs = qw.blocksize
-    amax = qw.scales_f32()
-    colmax = jnp.max(amax, axis=(0, 1))
-    f = amax * (127.0 * safe_inv(colmax))[None, None, :]
-    x2 = x.astype(jnp.float32)
-    Mp = ((M + tm - 1) // tm) * tm
-    if Mp != M:
-        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-    ram = jnp.max(jnp.abs(x2), axis=1)
-    xq = jnp.clip(jnp.round(x2 * (127.0 * safe_inv(ram)).reshape(-1, 1)),
-                  -127.0, 127.0).astype(jnp.int8)
-    tkb = 8 * bs
-    out = _grouped_call(xq, qw.packed, f, colmax, tm, 256, tkb, bs,
-                        _int8_code_table(qw.code))
-    out = out * (ram / 127.0).reshape(-1, 1)
-    return out[:M].astype(jnp.bfloat16)
 
 
 def measure(make_body, args, iters_pair):
@@ -168,7 +87,7 @@ def main():
         # correctness vs dequant reference at tiny M first (rel err)
         xs = jax.random.normal(jax.random.PRNGKey(1), (256, K), jnp.bfloat16)
         ref = (xs.astype(jnp.float32) @ qw.dequantize().astype(jnp.float32).T)
-        got = matmul_w4a8_grouped(xs, qw, 256).astype(jnp.float32)
+        got = matmul_4bit_w4a8_grouped(xs, qw, out_dtype=jnp.float32, tm=256)
         rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
         print(f"bs={bs} grouped rel err vs dequant: {rel:.4f}", flush=True)
 
@@ -204,7 +123,7 @@ def main():
                 if tm > max(M, 256):
                     continue
                 try:
-                    t = measure(qvar_body(lambda x, w, _tm=tm: matmul_w4a8_grouped(x, w, _tm)), (x,), iters)
+                    t = measure(qvar_body(lambda x, w, _tm=tm: matmul_4bit_w4a8_grouped(x, w, tm=_tm)), (x,), iters)
                     print(f"bs={bs} M={M:5d} grp.tm{tm:<4d} {t*1e6:9.2f} us  {t_bf16/t:5.2f}x", flush=True)
                 except Exception as e:  # noqa: BLE001
                     print(f"bs={bs} M={M:5d} grp.tm{tm:<4d} FAILED {str(e)[:100]}", flush=True)

@@ -339,6 +339,77 @@ def model7b_prefill(quant="nf4"):
             m4._tm_candidates, m4.PREFILL_MIN_M, m4.PREFILL_MIN_M_UNALIGNED = saved
 
 
+def model7b_chunked_prefill(arg="256"):
+    """Chunked-prefill throughput at the chunk size SERVING.md recommends
+    (M = B*chunk rows per linear — the M in [256, 2048) window): nf4
+    exact routing vs the r5 amortized W8A8 prefill (EngineConfig
+    w8a8_prefill — ONE repack per prefill batch, int8-MXU chunks). The
+    repack runs INSIDE the timed region with loop-variant params so its
+    per-batch cost is included, not hoisted."""
+    from bitsandbytes_sycl_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, init_params, llama_forward,
+        repack_params_int8,
+    )
+
+    C = int(arg)
+    B, T, S = 1, 2048, 4096
+    cfg = LlamaConfig(max_seq_len=S, quant="nf4", kv_quant=True,
+                      dtype=jnp.bfloat16)
+    cfg8 = LlamaConfig(max_seq_len=S, quant="int8", llm_int8_threshold=0.0,
+                       kv_quant=True, dtype=jnp.bfloat16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    np.asarray(params["final_norm"])
+    toks = jnp.ones((B, T), jnp.int32)
+
+    def variant(use_w8a8):
+        cache0 = init_kv_cache(cfg, B)
+
+        @jax.jit
+        def prefill_rounds(params, cache, toks, arr):
+            def round_(carry, _):
+                cache, t = carry
+                # loop-variant params: the repack cannot hoist out of scan
+                factor = 1.0 + 1e-30 * jnp.sum(t).astype(jnp.float32)
+                pv = jax.tree_util.tree_map(
+                    lambda a: a * factor
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+                if use_w8a8:
+                    pv = repack_params_int8(pv, cfg)[0]
+                    ccfg = cfg8
+                else:
+                    ccfg = cfg
+                last = jnp.zeros((B, 1), jnp.int32)
+                for ci in range(T // C):
+                    pos = ci * C + jnp.broadcast_to(jnp.arange(C), (B, C))
+                    logits, cache = llama_forward(
+                        pv, ccfg, jax.lax.dynamic_slice_in_dim(t, ci * C, C, 1),
+                        cache, pos)
+                    last = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                t = (t + last) % 32000
+                return (cache, t), ()
+
+            (cache, t), _ = jax.lax.scan(round_, (cache, toks), arr)
+            return t
+
+        def run(n):
+            np.asarray(prefill_rounds(params, cache0, toks, jnp.zeros((n,))))
+            return min(
+                timeit.timeit(
+                    lambda: np.asarray(
+                        prefill_rounds(params, cache0, toks, jnp.zeros((n,)))),
+                    number=1)
+                for _ in range(3)
+            )
+
+        return (run(8) - run(2)) / 6
+
+    t_nf4 = variant(False)
+    _emit(f"llama7b_nf4_chunked{C}_prefill_b{B}", B * T / t_nf4, "tok/s", None)
+    t_w8 = variant(True)
+    _emit(f"llama7b_w8a8_chunked{C}_prefill_b{B}", B * T / t_w8, "tok/s", None)
+    _emit(f"llama7b_chunked{C}_w8a8_vs_nf4", t_nf4 / t_w8, "x speedup", 1.0)
+
+
 def model7b_paged_decode(arg="48"):
     """Large-batch 7B serving point that ONLY paged KV makes possible:
     B concurrent sequences averaging ~512 live tokens decode through the
@@ -478,6 +549,7 @@ EXTRA = {  # opt-in: heavy (GBs of weight init + minutes of compile)
     "model7b_decode": model7b_decode,
     "model7b_prefill": model7b_prefill,
     "model7b_paged_decode": model7b_paged_decode,
+    "model7b_chunked_prefill": model7b_chunked_prefill,
 }
 
 

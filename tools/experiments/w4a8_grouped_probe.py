@@ -82,6 +82,17 @@ def main():
     W = jax.random.normal(kw, (N, K), jnp.float32) * 0.02
     Wb = W.astype(jnp.bfloat16)
 
+    # whole-half K tile (llama down_proj K=5632 class): the scales block
+    # (2, nblocks, tn) takes the equal-dim escape with a non-8-aligned
+    # sublane dim — interpret mode does NOT check this, so verify LOWERED
+    Wh = jax.random.normal(jax.random.PRNGKey(3), (512, 5632), jnp.float32) * 0.02
+    qwh = quantize_4bit_native(Wh, blocksize=64, quant_type="nf4")
+    xh = jax.random.normal(jax.random.PRNGKey(4), (256, 5632), jnp.bfloat16)
+    refh = xh.astype(jnp.float32) @ qwh.dequantize().astype(jnp.float32).T
+    goth = matmul_4bit_w4a8_grouped(xh, qwh, out_dtype=jnp.float32, tm=256)
+    relh = float(jnp.linalg.norm(goth - refh) / jnp.linalg.norm(refh))
+    print(f"whole-half K=5632 grouped rel err: {relh:.4f}", flush=True)
+
     for bs in bss:
         qw = quantize_4bit_native(W, blocksize=bs, quant_type="nf4")
         # correctness vs dequant reference at tiny M first (rel err)

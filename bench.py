@@ -78,12 +78,13 @@ _POINTS = []
 for _s in _DECODE_SHAPES:
     _POINTS += [f"{_s}:bf16", f"{_s}:w4a8"]
 _POINTS += [
-    "prefill_2048:bf16", "prefill_2048:w8a8",
+    "prefill_2048:bf16", "prefill_2048:grouped",
     "prefill_4096:bf16", "prefill_4096:w8a8",
+    "prefill_1024:bf16", "prefill_1024:grouped",
 ]
 for _s in _DECODE_SHAPES:
     _POINTS += [f"{_s}:exact", f"{_s}:int4"]
-_POINTS += ["prefill_2048:nf4_dq"]
+_POINTS += ["prefill_2048:w8a8", "prefill_2048:nf4_dq"]
 
 
 # ---------------------------------------------------------------------------
@@ -105,8 +106,8 @@ def _child(points_arg: str) -> int:
     import numpy as np
 
     from bitsandbytes_sycl_tpu.ops import (
-        matmul_4bit_fused, matmul_4bit_w4a8, matmul_4bit_w8a8_prefill,
-        quantize_4bit_native,
+        matmul_4bit_fused, matmul_4bit_w4a8, matmul_4bit_w4a8_grouped,
+        matmul_4bit_w8a8_prefill, quantize_4bit_native,
     )
 
     def _fold(y, K):
@@ -181,7 +182,7 @@ def _child(points_arg: str) -> int:
         if shape.startswith("prefill"):
             m = int(shape.split("_")[1])
             n = k = 4096
-            lo, hi = (30, 130) if m == 2048 else (15, 60)
+            lo, hi = {1024: (60, 260), 2048: (30, 130)}.get(m, (15, 60))
         else:
             n, k = (int(v) for v in shape.split("x"))
             m = M
@@ -194,6 +195,7 @@ def _child(points_arg: str) -> int:
             "exact": matmul_4bit_fused,
             "nf4_dq": matmul_4bit_fused,
             "w8a8": matmul_4bit_w8a8_prefill,
+            "grouped": matmul_4bit_w4a8_grouped,
         }.get(path)
         q = qw4 if path == "int4" else qw
         if path == "int4":
@@ -365,7 +367,11 @@ def _emit(points, missing, last_err):
         if rec:
             per_shape[s] = rec
     pre = {}
-    for s, paths in (("prefill_2048", ("w8a8", "nf4_dq")), ("prefill_4096", ("w8a8",))):
+    for s, paths in (
+        ("prefill_1024", ("grouped",)),
+        ("prefill_2048", ("grouped", "w8a8", "nf4_dq")),
+        ("prefill_4096", ("w8a8",)),
+    ):
         rec = {("nf4" if p == "w8a8" else p): round(r, 4) for p in paths
                if (r := ratio(s, p)) is not None}
         if rec:

@@ -278,6 +278,12 @@ def _w8a8_prefill_min() -> int:
     return W8A8_PREFILL_MIN_M
 
 
+def _grouped_min(blocksize: int) -> int:
+    from ..ops.matmul_w4a8 import grouped_min_m
+
+    return grouped_min_m(blocksize)
+
+
 def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None, lora_ids=None) -> jax.Array:
     if isinstance(w, QLinearWeight):
         rows = int(np.prod(x.shape[:-1]))
@@ -293,13 +299,30 @@ def apply_linear(x: jax.Array, w, cfg: LlamaConfig, lora=None, lora_ids=None) ->
             from ..ops.matmul_w4a8 import matmul_4bit_w4a8
 
             out = matmul_4bit_w4a8(x, w, out_dtype=cfg.dtype)
+        elif (
+            a8
+            and rows > _grouped_min(w.blocksize)
+            and (w.blocksize >= 128 or rows < _w8a8_prefill_min())
+        ):
+            # Grouped mid/high-M route (r5, docs/PERFORMANCE.md): the
+            # decoded int8 codes are requantized onto the per-column
+            # int8 grid IN-KERNEL, so one deep int8-MXU dot accumulates
+            # int32 across every quantization block and the scale
+            # applies once per tile — measured 0.88x bf16 @M=512,
+            # 1.08x @1024, 1.14x @2048 (bs=64; exact path was
+            # 0.66-0.72x) and 1.00/1.23/1.26/1.20x @512-4096 at bs=128.
+            # All 4-bit types: int4's arithmetic-decode edge only
+            # matters at GEMV rows; here decode amortizes over the
+            # m-tile. W8A8 accuracy class (same as the w4a8/w8a8
+            # routes).
+            from ..ops.matmul_w4a8 import matmul_4bit_w4a8_grouped
+
+            out = matmul_4bit_w4a8_grouped(x, w, out_dtype=cfg.dtype)
         elif a8 and rows >= _w8a8_prefill_min():
-            # W8A8 prefill route (r4, docs/PERFORMANCE.md): decode the
-            # nibbles ONCE to int8 codes (~165 us at 4096², half the
-            # bf16-dequant write) and run one dense int8-MXU GEMM —
-            # measured 1.0x bf16 at M=2048 and 1.28x at M=4096 vs the
-            # bf16 dequant-to-HBM route's 0.76/0.81x. All 4-bit types
-            # (int4's 0.91x loses to it too).
+            # Per-call W8A8 route (r4): decode the nibbles ONCE to int8
+            # codes in HBM (~165 us at 4096²) and run one dense
+            # int8-MXU GEMM. After r5's grouped kernel this only wins
+            # at blocksize<=64 from M=4096 (1.23x vs grouped 1.02x).
             from ..ops.matmul_w4a8 import matmul_4bit_w8a8_prefill
 
             out = matmul_4bit_w8a8_prefill(x, w, out_dtype=cfg.dtype)

@@ -409,6 +409,7 @@ def _grouped_call(xq, w_packed, f, colmax, tm, tn, tkb, bs, table_i8):
     )(xq, xq, w_packed, f, colmax.reshape(1, N))
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def matmul_4bit_w4a8_grouped(
     x: jax.Array,
     w: QLinearWeight,
@@ -419,10 +420,35 @@ def matmul_4bit_w4a8_grouped(
     """out ~= x @ dequant(W)^T, W8A8 accuracy class (per-row int8
     activations + per-column int8 weight regrid, like
     matmul_4bit_w8a8_prefill), with the regrid FUSED into the matmul
-    kernel per m-tile instead of written to HBM. Candidate route for
-    M in [256, 2048) where neither the per-block W4A8 kernel (f32
-    epilogue per block) nor the per-call HBM regrid (~165 us fixed)
-    wins. Falls back to matmul_4bit_fused for untileable shapes."""
+    kernel per m-tile instead of written to HBM. The shipped mid/high-M
+    route (models/llama.apply_linear, r5): 0.88-1.26x bf16 for
+    M in [512, 4096] where the per-block W4A8 kernel (f32 epilogue per
+    block) and the per-call HBM regrid (~165 us fixed) both lose.
+    Falls back to matmul_4bit_fused for untileable shapes.
+
+    Differentiable in x and bias like matmul_4bit_w4a8: the backward is
+    the EXACT dequant path (straight-through w.r.t. the activation
+    quantization; reference MatMul4Bit backward,
+    autograd/_functions.py:520-540), so QLoRA prefill steps with
+    a8_decode=True train against clean gradients."""
+    return _grouped_impl(x, w, bias, out_dtype, tm)
+
+
+def _grouped_fwd(x, w, bias, out_dtype, tm):
+    return _grouped_impl(x, w, bias, out_dtype, tm), (x, w, bias)
+
+
+def _grouped_bwd(out_dtype, tm, res, g):
+    return _w4a8_bwd(out_dtype, res, g)
+
+
+def _grouped_impl(
+    x: jax.Array,
+    w: QLinearWeight,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+    tm: Optional[int] = None,
+) -> jax.Array:
     from .matmul_4bit import matmul_4bit_fused, _nk_tiles
 
     N, K = w.shape
@@ -436,7 +462,11 @@ def matmul_4bit_w4a8_grouped(
     ):
         return matmul_4bit_fused(x, w, bias, compute_dtype=out_dtype)
     if tm is None:
-        tm = next((c for c in (256, 512) if c >= M), 512)
+        # measured (v5e, 4096², docs/PERFORMANCE.md r5): one padded tile
+        # through M=1024 (decode runs once), then tm=1024 multi-tile —
+        # it beats tm=2048 at M=2048 (grid pipelining, 1.14x vs 1.09x)
+        # and tm=2048 fails remote compile at blocksize 128.
+        tm = next((c for c in (256, 512, 1024) if c >= M), 1024)
     Mp = ((M + tm - 1) // tm) * tm
     x2 = x.reshape(M, K).astype(jnp.float32)
     if Mp != M:
@@ -455,14 +485,31 @@ def matmul_4bit_w4a8_grouped(
     return out[:M].astype(out_dtype).reshape(*lead, N)
 
 
+matmul_4bit_w4a8_grouped.defvjp(_grouped_fwd, _grouped_bwd)
+
+
 # measured crossover to the W8A8 dequant-once route (v5e, 4096^2,
 # docs/PERFORMANCE.md): the one-time int8 decode+write costs ~165 us;
 # the int8 MXU GEMM then runs at ~2x the bf16 rate (XLA int8 dot,
 # measured 1.97x at M>=2048), beating both the exact m-tile kernel
-# (decode per m-tile: 0.77x @1024) and the bf16 dequant-to-HBM route
-# (2x write bytes, 1x MXU rate: 0.76-0.81x) from M ~= 2048 up
-# (M=2048 1.0x, M=4096 1.28x; M=1024 0.70x still loses to exact).
-W8A8_PREFILL_MIN_M = 2048
+# (decode per m-tile: 0.77x @1024) and the bf16 dequant-to-HBM route.
+# r5: the GROUPED kernel (regrid fused per m-tile, no HBM round trip)
+# moved this boundary up — per-call w8a8 only wins at blocksize<=64 from
+# M=4096 (1.23x vs grouped-tm1024 1.02x); at blocksize 128 grouped wins
+# even at M=4096 (1.20x vs 0.98x — narrow regrid n-tiles make the
+# per-call repack expensive). The engine's AMORTIZED repack
+# (EngineConfig.w8a8_prefill) is a separate, cheaper entry point.
+W8A8_PREFILL_MIN_M = 4096
+
+
+def grouped_min_m(blocksize: int) -> int:
+    """Lower edge (exclusive) of the grouped kernel's measured winning
+    window (v5e, 4096², docs/PERFORMANCE.md r5): at blocksize 64 it TIES
+    the exact kernel at M=256 (0.57x both — exact numerics wins the tie)
+    and wins from 512 (0.88x vs 0.66x); at blocksize 128 it already wins
+    at M=256 (0.53x vs exact 0.48x); blocksize>=256 keeps the W4A8 GEMV
+    through 256 (routing lim in models/llama.apply_linear)."""
+    return 128 if blocksize == 128 else 256
 
 
 def _w8a8_prefill_impl(x, w: QLinearWeight, bias, out_dtype):

@@ -647,12 +647,15 @@ def test_matmul_4bit_w4a8_grouped_matches_reference(bs):
     assert np.abs(y - ref).max() < 0.01, np.abs(y - ref).max()
 
 
-def test_matmul_4bit_w4a8_grouped_envelope_and_fallback(weight):
-    """Same W8A8 accuracy class as the prefill route; compressed scales
-    fall back to the exact path."""
+@pytest.mark.parametrize("qt", ["nf4", "int4", "fp4"])
+def test_matmul_4bit_w4a8_grouped_envelope_and_fallback(weight, qt):
+    """Same W8A8 accuracy class as the prefill route, for every 4-bit
+    grid the router can send here (r5 routing includes int4 — decode
+    amortizes over the m-tile so the arithmetic-decode edge is moot);
+    compressed scales fall back to the exact path."""
     from bitsandbytes_sycl_tpu.ops import matmul_4bit_w4a8_grouped
 
-    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type=qt)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(16, 1024)), jnp.float32)
     b = jnp.arange(256, dtype=jnp.float32) * 0.01
@@ -666,6 +669,27 @@ def test_matmul_4bit_w4a8_grouped_envelope_and_fallback(weight):
     yc = np.asarray(matmul_4bit_w4a8_grouped(x, qwc, out_dtype=jnp.float32))
     ref = np.asarray(x) @ np.asarray(qwc.dequantize(), np.float32).T
     np.testing.assert_allclose(yc, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_matmul_4bit_w4a8_grouped_grad(weight):
+    """The grouped kernel is on the a8 prefill routing path, so QLoRA
+    training steps differentiate through it: custom_vjp backward is the
+    EXACT dequant path (straight-through w.r.t. activation quant),
+    matching matmul_4bit_w4a8's contract (reference
+    autograd/_functions.py:520-540)."""
+    from bitsandbytes_sycl_tpu.ops import matmul_4bit_w4a8_grouped
+
+    qw = quantize_4bit_native(weight, blocksize=64, quant_type="nf4")
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(16, 1024)), jnp.float32)
+
+    def loss(x):
+        return jnp.sum(matmul_4bit_w4a8_grouped(x, qw, out_dtype=jnp.float32) ** 2)
+
+    g = np.asarray(jax.grad(loss)(x))
+    y = np.asarray(matmul_4bit_w4a8_grouped(x, qw, out_dtype=jnp.float32))
+    gref = 2.0 * y @ np.asarray(qw.dequantize(), np.float32)
+    rel = np.linalg.norm(g - gref) / np.linalg.norm(gref)
+    assert np.isfinite(g).all() and rel < 1e-5, rel
 
 
 def test_matmul_4bit_fused_whole_half_tile():
@@ -911,28 +935,41 @@ def test_matmul_4bit_w8a8_prefill_bias_grad_and_fallback(weight):
 
 
 def test_apply_linear_w8a8_routing_boundary(monkeypatch):
-    """a8_decode routes rows >= W8A8_PREFILL_MIN_M through the W8A8
-    prefill path, rows <= lim through W4A8, the mid-M band through the
-    exact kernel (r3 review: 'routing boundary tested')."""
+    """a8_decode 4-way routing (r5): rows <= lim -> W4A8 GEMV, the
+    (lim, grouped_min] gap -> exact, rows > grouped_min -> the grouped
+    kernel, and (blocksize<=64 only) rows >= W8A8_PREFILL_MIN_M -> the
+    per-call W8A8 regrid route (r3 review: 'routing boundary tested')."""
     import bitsandbytes_sycl_tpu.models.llama as L
     from bitsandbytes_sycl_tpu.ops import matmul_w4a8 as mw
 
     cfg = L.LlamaConfig.tiny(quant="nf4", a8_decode=True, dtype=jnp.float32)
     W = jnp.asarray(np.random.default_rng(0).normal(size=(256, 1024)) * 0.02, jnp.float32)
     qw = quantize_4bit_native(W, blocksize=64, quant_type="nf4")
+    qw128 = quantize_4bit_native(W, blocksize=128, quant_type="nf4")
     calls = []
     real_w4a8, real_w8a8 = mw.matmul_4bit_w4a8, mw.matmul_4bit_w8a8_prefill
+    real_grp = mw.matmul_4bit_w4a8_grouped
     monkeypatch.setattr(
         mw, "matmul_4bit_w4a8",
         lambda *a, **k: calls.append("w4a8") or real_w4a8(*a, **k))
     monkeypatch.setattr(
         mw, "matmul_4bit_w8a8_prefill",
         lambda *a, **k: calls.append("w8a8") or real_w8a8(*a, **k))
+    monkeypatch.setattr(
+        mw, "matmul_4bit_w4a8_grouped",
+        lambda *a, **k: calls.append("grouped") or real_grp(*a, **k))
 
-    for rows, expect in ((8, "w4a8"), (512, "exact"), (2048, "w8a8")):
+    for weight, rows, expect in (
+        (qw, 8, "w4a8"),
+        (qw, 192, "exact"),       # (lim=128, grouped_min=256] gap at bs=64
+        (qw, 512, "grouped"),
+        (qw, 4096, "w8a8"),       # bs<=64 only: per-call regrid from 4096
+        (qw128, 256, "grouped"),  # bs=128: grouped already wins at 256
+        (qw128, 4096, "grouped"),  # bs>=128: grouped beats w8a8 at 4096 too
+    ):
         calls.clear()
         x = jnp.zeros((rows, 1024), jnp.float32)
-        L.apply_linear(x, qw, cfg)
+        L.apply_linear(x, weight, cfg)
         got = calls[0] if calls else "exact"
         assert got == expect, (rows, got, calls)
 

@@ -130,7 +130,7 @@ def main():
                 except Exception as e:  # noqa: BLE001
                     print(f"bs={bs} M={M:5d} {name}  FAILED {str(e)[:100]}", flush=True)
 
-            for tm in (256, 512, 1024):
+            for tm in (256, 512, 1024, 2048):
                 if tm > max(M, 256):
                     continue
                 try:

@@ -138,12 +138,20 @@ def int8_matmul_fused(
     # 1/inv stays finite with inv=127
     inv = jnp.where(row_absmax > 0, 127.0 * safe_inv(row_absmax), 127.0).astype(jnp.float32)
 
-    tm = _pick_tile(M, (256, 128, 64, 32, 16, 8))
-    if tm is None:
-        Mp = ((M + 7) // 8) * 8
+    # pad M up to ONE m-tile: the kernel re-reads the ENTIRE weight per
+    # m-tile, so tile COUNT dominates at decode sizes (same finding as
+    # the 4-bit kernel's r3 m-tile fix). Picking the largest DIVISOR
+    # tile was the r4 "~14.5 GB HBM cliff": M=40 divided to tm=8 -> 5
+    # m-tiles -> 5x the 6.7 GB int8 weight traffic per 7B step (B=40
+    # repack 722 tok/s vs B=32's tm=32 single tile at 1176) — traced to
+    # _int8_matmul_call at 40.9 ms/step vs its ~10 ms weight-read floor
+    # (tools/experiments/hbm_cliff_probe.py trace8; dead-ballast sweeps
+    # to 15.4 GB total showed NO memory effect). Padded rows are free
+    # MXU work in this weight-bound regime.
+    Mp = next(c for c in (8, 16, 32, 64, 128, 256) if c >= M)
+    if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
         inv = jnp.pad(inv, (0, Mp - M), constant_values=1.0)
-        tm = _pick_tile(Mp, (256, 128, 64, 32, 16, 8))
-        out = _int8_matmul_call(x, inv, CB, SCB, bias, jnp.dtype(out_dtype), tm, tn, tk)
+        out = _int8_matmul_call(x, inv, CB, SCB, bias, jnp.dtype(out_dtype), Mp, tn, tk)
         return out[:M]
-    return _int8_matmul_call(x, inv, CB, SCB, bias, jnp.dtype(out_dtype), tm, tn, tk)
+    return _int8_matmul_call(x, inv, CB, SCB, bias, jnp.dtype(out_dtype), Mp, tn, tk)

@@ -108,21 +108,31 @@ def measure_steps(decode_n, params, cache, toks, pos0, trace_dir=None):
 
     t = (run(20) - run(5)) / 15
     if trace_dir:
+        # n=5 is ALREADY COMPILED (run(5) above): tracing a fresh static
+        # arg retraces the whole model in Python inside the trace window
+        # and its ~1M host events crowd the device track out of the
+        # serialized json (first attempt had ZERO device X events)
         with jax.profiler.trace(trace_dir):
-            out, cache = decode_n(params, cache, toks, pos0, 3)
+            out, cache = decode_n(params, cache, toks, pos0, 5)
             np.asarray(out)
     return t, cache
 
 
 def top_ops(trace_dir, k=18):
-    """Sum Perfetto 'X' event durations by op-name family."""
+    """Sum Perfetto 'X' event durations by op-name family, DEVICE track
+    only (the host-python track has ~1000x the event count)."""
     fams = defaultdict(float)
     total = 0.0
     for path in glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True):
         with gzip.open(path, "rt") as f:
             data = json.load(f)
+        dev_pids = {
+            ev["pid"] for ev in data.get("traceEvents", [])
+            if ev.get("ph") == "M" and ev.get("name") == "process_name"
+            and "TPU" in str(ev.get("args", {}).get("name", ""))
+        }
         for ev in data.get("traceEvents", []):
-            if ev.get("ph") != "X":
+            if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
                 continue
             dur = ev.get("dur", 0) / 1e3  # ms
             name = ev.get("name", "?")
@@ -140,6 +150,9 @@ def main():
     if args and args[0] == "trace":
         mode = "trace"
         ballasts = [float(args[1])]
+    elif args and args[0] == "trace8":
+        mode = "trace8"
+        ballasts = []
     else:
         # baseline is ~11.6 GB (3.5 params + ~8.1 pool at 6 live pages
         # x40): ballasts walk total HBM up to and past the ~14.5 cliff
@@ -171,16 +184,23 @@ def main():
             top_ops(tdir)
         del cache, ballast
 
-    if mode == "sweep":
-        # like-for-like repack point (real +3.3 GB of live int8 weights)
+    if mode in ("sweep", "trace8"):
+        # like-for-like repack point (real +3.3 GB of live int8 weights).
+        # The ORIGINAL 4-bit tree must be freed before measuring — keeping
+        # it live adds 3.5 GB and OOMs the chip (first sweep attempt did):
+        # exactly the buffer-lifetime class of bug this probe hunts.
         params8, cfg8 = L.repack_params_int8(params, cfg)
-        jax.tree_util.tree_map(lambda x: None, params8)
+        del params, decode_n
         np.asarray(jax.tree_util.tree_leaves(params8)[0].ravel()[:1])
         decode8 = make_decode(params8, cfg8)
         cache = build_cache(maxp_live)
         print(f"repack -> resident {mem_gb():.2f} GB", flush=True)
-        t, cache = measure_steps(decode8, params8, cache, toks, pos0)
+        tdir = "/tmp/cliff_trace_repack" if mode == "trace8" else None
+        t, cache = measure_steps(decode8, params8, cache, toks, pos0,
+                                 trace_dir=tdir)
         print(f"repack      : {t*1e3:8.2f} ms/step  ({B/t:7.1f} tok/s)", flush=True)
+        if tdir:
+            top_ops(tdir)
 
 
 if __name__ == "__main__":

@@ -130,8 +130,9 @@ def main():
                 except Exception as e:  # noqa: BLE001
                     print(f"bs={bs} M={M:5d} {name}  FAILED {str(e)[:100]}", flush=True)
 
-            for tm in (256, 512, 1024, 2048):
-                if tm > max(M, 256):
+            tms = (32, 64, 128, 256) if M <= 128 else (256, 512, 1024, 2048)
+            for tm in tms:
+                if tm > max(M, 256) or (M <= 128 and tm < M):
                     continue
                 try:
                     t = measure(qvar_body(lambda x, w, _tm=tm: matmul_4bit_w4a8_grouped(x, w, tm=_tm)), (x,), iters)

@@ -438,7 +438,11 @@ def model7b_paged_decode(arg="48"):
     # the pow2-bucketed cfg.pages_hint the engine now sets per step;
     # wide-without-hint measures the trailing-grid-step overhead the
     # hint removes (ops/paged_attention.py docstring).
-    wide = hint = repack = False
+    wide = hint = repack = kv4 = False
+    if ".kv4" in arg:
+        # int4 KV pages (r5): half the pool bytes and attention reads
+        arg = arg.replace(".kv4", "")
+        kv4 = True
     if arg.endswith(".widehint"):
         arg, wide, hint = arg[: -len(".widehint")], True, True
     elif arg.endswith(".wide"):
@@ -471,7 +475,7 @@ def model7b_paged_decode(arg="48"):
     # a8_decode only pays for LUT codebooks (docs/PERFORMANCE.md)
     cfg = LlamaConfig(max_seq_len=S, quant=quant, kv_quant=True,
                       dtype=jnp.bfloat16, a8_decode=(quant != "int4"),
-                      blocksize=bs)
+                      blocksize=bs, kv_bits=4 if kv4 else 8)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if repack:
         from bitsandbytes_sycl_tpu.models.llama import repack_params_int8
@@ -498,6 +502,11 @@ def model7b_paged_decode(arg="48"):
     cache = dict(pool, page_table=table,
                  write_page=jnp.zeros((B,), jnp.int32),
                  write_off=jnp.zeros((B,), jnp.int32))
+    if kv4:  # nibble staging for the pair-packed flush (engine adds these)
+        cache["nib_prev_k"] = jnp.zeros(
+            (cfg.num_layers, B, cfg.num_kv_heads, cfg.hd), jnp.uint8)
+        cache["nib_prev_v"] = jnp.zeros(
+            (cfg.num_layers, B, cfg.num_kv_heads, cfg.hd), jnp.uint8)
 
     # the ~11 GB pool must be DONATED (a copied carry would double-buffer
     # past the 16 GB chip); each call returns it for re-threading
@@ -533,6 +542,7 @@ def model7b_paged_decode(arg="48"):
     sfx = ("_a8" if cfg.a8_decode else "") + (f"_bs{bs}" if bs != 64 else "")
     sfx += ("_widehint" if (wide and hint) else "_wide" if wide else "")
     sfx += ("_repack8big" if (repack and repack_only) else "_repack8" if repack else "")
+    sfx += ("_kv4" if kv4 else "")
     _emit(f"llama7b_{quant}{sfx}_PAGED_decode_b{B}_avg{avg_len}", B / t, "tok/s", 200.0)
 
 

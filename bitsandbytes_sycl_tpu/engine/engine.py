@@ -206,6 +206,10 @@ class InferenceEngine:
 
             if not model_cfg.kv_quant:
                 raise ValueError("paged mode requires kv_quant=True (int8 pages)")
+            if getattr(model_cfg, "kv_bits", 8) == 4 and mesh is not None:
+                raise NotImplementedError(
+                    "kv_bits=4 does not compose with a TP mesh yet — the "
+                    "nib_prev staging leaves need their own shardings")
             if model_cfg.max_seq_len % engine_cfg.page_size:
                 raise ValueError("paged mode needs max_seq_len % page_size == 0")
             maxp = model_cfg.max_seq_len // engine_cfg.page_size
@@ -215,6 +219,13 @@ class InferenceEngine:
             self._alloc = PageAllocator(
                 n_pages, engine_cfg.page_size, maxp, reserve_page0=True)
             self.cache = init_page_pool(model_cfg, n_pages, engine_cfg.page_size)
+            if getattr(model_cfg, "kv_bits", 8) == 4:
+                # one-step nibble staging for the pair-packed flush
+                # (models/llama.flush_paged_writes kv4 path)
+                Lh, Hh, Dh = (model_cfg.num_layers, model_cfg.num_kv_heads,
+                              model_cfg.hd)
+                self.cache["nib_prev_k"] = jnp.zeros((Lh, B, Hh, Dh), jnp.uint8)
+                self.cache["nib_prev_v"] = jnp.zeros((Lh, B, Hh, Dh), jnp.uint8)
         else:
             self.cache = init_cache(model_cfg, B)
         if self._cache_sharding is not None:
@@ -388,10 +399,35 @@ class InferenceEngine:
             return sample(logits[:, 0], key), {k: cache[k] for k in pool}
 
         @partial(jax.jit, donate_argnums=(0,))
-        def paged_insert_fn(pool, cacheK, page_ids, used, valid):
+        def paged_insert_fn(pool, cacheK, page_ids, used, valid, slot_arr, lens):
             from .paged import paged_ingest
 
             pool = paged_ingest(pool, cacheK, page_ids, used, valid)
+            if "nib_prev_k" in pool:
+                # kv4: seed the nibble staging leaf with each row's LAST
+                # prefill token so its odd-offset first decode write can
+                # rebuild the shared byte without reading the pool. The
+                # requant here matches paged._pack4 bit-exactly.
+                def nib4(c8):
+                    c4 = jnp.clip(
+                        jnp.round(c8.astype(jnp.float32) * (7.0 / 127.0)), -7, 7)
+                    return (jnp.abs(c4) + 8.0 * (c4 < 0)).astype(jnp.uint8)
+
+                idx = jnp.maximum(lens - 1, 0)
+                k_last = jnp.take_along_axis(  # k: (L,K,H,D,S) token-LAST
+                    cacheK["k"], idx.reshape(1, -1, 1, 1, 1), axis=4)[..., 0]
+                v_last = jnp.take_along_axis(  # v: (L,K,H,S,D)
+                    cacheK["v"], idx.reshape(1, -1, 1, 1, 1), axis=3)[:, :, :, 0, :]
+                nk, nv = nib4(k_last), nib4(v_last)
+                for i in range(slot_arr.shape[0]):
+                    s = slot_arr[i]
+                    for leaf, src in (("nib_prev_k", nk), ("nib_prev_v", nv)):
+                        cur = jax.lax.dynamic_slice(
+                            pool[leaf], (0, s, 0, 0),
+                            (src.shape[0], 1, src.shape[2], src.shape[3]))
+                        u = jnp.where(valid[i], src[:, i][:, None], cur)
+                        pool[leaf] = jax.lax.dynamic_update_slice(
+                            pool[leaf], u, (0, s, 0, 0))
             if self._cache_sharding is not None:  # keep pages head-sharded
                 pool = jax.lax.with_sharding_constraint(pool, self._cache_sharding)
             return pool
@@ -591,9 +627,11 @@ class InferenceEngine:
                 for s in got:  # don't leak pages on pool exhaustion
                     self._alloc.release_slot(s)
                 raise
+            total = np.asarray(lens, np.int32) + np.int32(plen)  # absolute
             self.cache = self._paged_insert(
                 self.cache, cacheK, jnp.asarray(page_ids),
                 jnp.asarray(used), jnp.asarray(valid),
+                jnp.asarray(slot_arr), jnp.asarray(total),
             )
         else:
             self.cache = self._insert(

@@ -99,16 +99,61 @@ def init_page_pool(cfg, num_pages: int, page_size: int) -> Dict:
       v: (L, NP, H, P, D) int8
       k_scale/v_scale: (L, NP, H, P) f32
     A page id addresses the same slot in every layer — one table serves
-    the whole model, and the per-layer kernel slices pool[li]."""
+    the whole model, and the per-layer kernel slices pool[li].
+
+    kv_bits=4 (cfg, r5): pages pack ADJACENT TOKEN PAIRS per byte —
+    (L, NP, H, P//2, D) uint8, byte row r = token 2r (HI nibble) and
+    2r+1 (LO), sign-magnitude codes on the ±7 grid. Scales stay
+    per-token f32 but are stored in the kernel's COLUMN order (parity-
+    grouped: [even tokens | odd tokens], index c(p) = (p%2)*(P/2) +
+    p//2) so the attend kernel consumes them without an in-kernel
+    gather. Two layouts were rejected on the real chip: channel-pair
+    packing (last dim D/2=64 lane-pads uint8 arrays 2x — zero memory
+    saved — and the relayouted DUS made XLA copy the pool), and split-
+    half token packing (the flush needed read-modify-write, which gives
+    the pool a second reader and copies it per step — compile-OOM at
+    B=62). Adjacent pairing keeps writes FULL byte rows: an even-offset
+    token writes (nib<<4) (its lo neighbour is a future token, masked),
+    an odd-offset one writes (prev<<4)|nib from the one-step nib_prev
+    staging leaf (models/llama.flush_paged_writes). Halves attention
+    HBM reads and pool memory; decoded in-kernel
+    (ops/paged_attention._dec4_plane) on clean (64, 128) uint8 tiles."""
     if page_size % 128:
         raise ValueError("page_size must be lane-aligned (multiple of 128)")
+    bits = getattr(cfg, "kv_bits", 8)
+    if bits not in (4, 8):
+        raise ValueError(f"kv_bits must be 4 or 8, got {bits}")
     L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.hd
+    rows = page_size // 2 if bits == 4 else page_size
+    kv_dtype = jnp.uint8 if bits == 4 else jnp.int8
     return {
-        "k": jnp.zeros((L, num_pages, H, page_size, D), jnp.int8),
-        "v": jnp.zeros((L, num_pages, H, page_size, D), jnp.int8),
+        "k": jnp.zeros((L, num_pages, H, rows, D), kv_dtype),
+        "v": jnp.zeros((L, num_pages, H, rows, D), kv_dtype),
         "k_scale": jnp.zeros((L, num_pages, H, page_size), jnp.float32),
         "v_scale": jnp.zeros((L, num_pages, H, page_size), jnp.float32),
     }
+
+
+def _pack4(c8: jax.Array, tok_axis: int) -> jax.Array:
+    """int8 codes on the ±127 grid -> packed sign-magnitude int4 pairs
+    of ADJACENT tokens: byte row r = token 2r (HI nibble) | 2r+1 (LO).
+    One-time requant at ingest: round(c * 7/127) costs <= absmax/14 —
+    inside the int4 grid's own step."""
+    c4 = jnp.clip(jnp.round(c8.astype(jnp.float32) * (7.0 / 127.0)), -7, 7)
+    nib = (jnp.abs(c4) + 8.0 * (c4 < 0)).astype(jnp.uint8)
+    P = nib.shape[tok_axis]
+    ev = jax.lax.slice_in_dim(nib, 0, P, stride=2, axis=tok_axis)
+    od = jax.lax.slice_in_dim(nib, 1, P, stride=2, axis=tok_axis)
+    return ((ev << 4) | od).astype(jnp.uint8)
+
+
+def _scale_cols(s: jax.Array, tok_axis: int) -> jax.Array:
+    """Per-token scales -> the kernel's parity-grouped COLUMN order:
+    index c(p) = (p%2)*(P/2) + p//2 (evens first, then odds)."""
+    P = s.shape[tok_axis]
+    ev = jax.lax.slice_in_dim(s, 0, P, stride=2, axis=tok_axis)
+    od = jax.lax.slice_in_dim(s, 1, P, stride=2, axis=tok_axis)
+    return jnp.concatenate([ev, od], axis=tok_axis)
 
 
 def paged_ingest(pool: Dict, cacheK: Dict, page_ids: jax.Array,
@@ -124,7 +169,8 @@ def paged_ingest(pool: Dict, cacheK: Dict, page_ids: jax.Array,
     (a no-op) so the fori_loop body stays shape-static — the same trick
     as engine.insert_fn."""
     K, MAXP = page_ids.shape
-    P = pool["v"].shape[3]
+    P = pool["v_scale"].shape[3]  # logical tokens/page (kv4 packs rows)
+    kv4 = pool["v"].dtype == jnp.uint8
 
     def body(i, pool):
         k, j = i // MAXP, i % MAXP
@@ -146,6 +192,9 @@ def paged_ingest(pool: Dict, cacheK: Dict, page_ids: jax.Array,
             jax.lax.dynamic_slice_in_dim(cacheK["k_scale"], k, 1, axis=1), s0, P, axis=3)
         vsp = jax.lax.dynamic_slice_in_dim(
             jax.lax.dynamic_slice_in_dim(cacheK["v_scale"], k, 1, axis=1), s0, P, axis=3)
+        if kv4:  # the int8 scratch requantizes onto the packed int4 grid
+            kp, vp = _pack4(kp, tok_axis=3), _pack4(vp, tok_axis=3)
+            ksp, vsp = _scale_cols(ksp, 3), _scale_cols(vsp, 3)
         pool = dict(pool)
         pool["k"] = put(pool["k"], kp, (0, pid, 0, 0, 0))
         pool["v"] = put(pool["v"], vp, (0, pid, 0, 0, 0))
@@ -170,6 +219,11 @@ class PagedKVPool(PageAllocator):
             max_pages_per_seq or -(-cfg.max_seq_len // page_size),
         )
         self.cfg = cfg
+        if getattr(cfg, "kv_bits", 8) == 4:
+            raise NotImplementedError(
+                "kv_bits=4 is supported by the engine's paged mode "
+                "(deferred-write flush packs nibbles); this eager pool "
+                "writes int8 rows — use InferenceEngine(paged=True).")
         pool = init_page_pool(cfg, num_pages, page_size)
         self.k, self.v = pool["k"], pool["v"]
         self.k_scale, self.v_scale = pool["k_scale"], pool["v_scale"]

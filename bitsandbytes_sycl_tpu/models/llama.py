@@ -67,6 +67,14 @@ class LlamaConfig:
     a8_decode: bool = True
     llm_int8_threshold: float = 6.0
     kv_quant: bool = True  # int8 KV cache
+    # KV bit width for the PAGED pool (engine paged mode, r5): 4 packs
+    # channel pairs (d, d+D/2) per byte (sign-magnitude ±7 grid,
+    # per-token absmax) — half the attention HBM reads and half the pool
+    # memory, decoded in-kernel by the paged flash-decode kernel; decode
+    # writes stay full byte rows (write-only DUS). The contiguous
+    # prefill scratch stays int8 (requantized once at ingest);
+    # contiguous-cache decode ignores this field. Requires kv_quant.
+    kv_bits: int = 8
     tie_embeddings: bool = False
     # sliding-window attention (Mistral): query t attends keys in
     # (t - window, t]. None = full causal. Rides the fused int8-KV flash
@@ -561,8 +569,10 @@ def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
     online-softmax extension). flush_paged_writes lands all layers'
     tokens after the layer loop in 4xB DUS ops — per-layer DUS chains
     measured 36 ms/step at B=48."""
-    kq, ks = _kv_quantize(k)
-    vq, vs = _kv_quantize(v)
+    kv4 = new_cache["v"].dtype == jnp.uint8  # int4-packed pool (kv_bits=4)
+    levels = 7.0 if kv4 else 127.0
+    kq, ks = _kv_quantize(k, levels)
+    vq, vs = _kv_quantize(v, levels)
     pages, offs = new_cache["write_page"], new_cache["write_off"]
     from ..ops.paged_attention import paged_decode_attention_int8_stacked
 
@@ -594,20 +604,25 @@ def _paged_write_and_attend(new_cache: Dict, li: int, q, k, v, positions, cfg):
     vg = jnp.take(new_cache["v"][li], pt, axis=0)  # (B,MAXP,H,P,D)
     ksg = jnp.take(new_cache["k_scale"][li], pt, axis=0)  # (B,MAXP,H,P)
     vsg = jnp.take(new_cache["v_scale"][li], pt, axis=0)
+    if kv4:  # unpack (B,MAXP,H,P/2,D) uint8 -> (B,MAXP,H,P,D) ±7 codes
+        kg, vg = _kv4_unpack(kg), _kv4_unpack(vg)
+        ksg, vsg = _kv4_scales_logical(ksg), _kv4_scales_logical(vsg)
     S = MAXP * kg.shape[3]  # pages are token-major (..., P, D)
     # seq-major (B, S, H, D) contiguous logical views
     k_full = _kv_dequantize(
         kg.transpose(0, 1, 3, 2, 4).reshape(B, S, kg.shape[2], -1),
-        ksg.transpose(0, 1, 3, 2).reshape(B, S, -1), cfg.dtype,
+        ksg.transpose(0, 1, 3, 2).reshape(B, S, -1), cfg.dtype, levels,
     )
     v_full = _kv_dequantize(
         vg.transpose(0, 1, 3, 2, 4).reshape(B, S, vg.shape[2], -1),
-        vsg.transpose(0, 1, 3, 2).reshape(B, S, -1), cfg.dtype,
+        vsg.transpose(0, 1, 3, 2).reshape(B, S, -1), cfg.dtype, levels,
     )
     # the current token as the (S+1)-th column — same quantize/dequant
     # round-trip the pool would have applied
-    k_full = jnp.concatenate([k_full, _kv_dequantize(kq, ks, cfg.dtype)], axis=1)
-    v_full = jnp.concatenate([v_full, _kv_dequantize(vq, vs, cfg.dtype)], axis=1)
+    k_full = jnp.concatenate(
+        [k_full, _kv_dequantize(kq, ks, cfg.dtype, levels)], axis=1)
+    v_full = jnp.concatenate(
+        [v_full, _kv_dequantize(vq, vs, cfg.dtype, levels)], axis=1)
     mask = jnp.arange(S)[None, None, :] < positions[:, :, None]  # (B,1,S)
     sw = getattr(cfg, "sliding_window", None)
     if sw is not None:
@@ -730,6 +745,7 @@ def flush_paged_writes(new_cache: Dict) -> Dict:
     pk, pv = new_cache.pop("pend_k"), new_cache.pop("pend_v")
     pks, pvs = new_cache.pop("pend_ks"), new_cache.pop("pend_vs")
     B = pk.shape[1]
+    kv4 = paged and new_cache["v"].dtype == jnp.uint8
 
     def upd(arr, vals, b, tok_axis):
         # vals (L, H[, D]) -> unit token axis inserted at tok_axis
@@ -739,9 +755,46 @@ def flush_paged_writes(new_cache: Dict) -> Dict:
         idx[tok_axis] = jax.lax.dynamic_index_in_dim(offs, b, keepdims=False)
         return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), tuple(idx))
 
+    def _nib(vals):
+        return (jnp.abs(vals.astype(jnp.int32))
+                + 8 * (vals < 0).astype(jnp.int32)).astype(jnp.uint8)
+
+    def upd4(arr, prev_leaf, vals, b):
+        # int4 pair-packed pool: the byte row (tokens 2r | 2r+1) is built
+        # WITHOUT reading the pool — an even-offset token's lo neighbour
+        # is a future (masked) token, an odd-offset one's hi neighbour is
+        # LAST step's token, staged in the nib_prev leaf. A read-modify-
+        # write here gave the pool a second reader and XLA copied the
+        # whole multi-GB pool per step (compile-OOM at B=62).
+        off = jax.lax.dynamic_index_in_dim(offs, b, keepdims=False)
+        page = jax.lax.dynamic_index_in_dim(rows, b, keepdims=False)
+        nib = _nib(vals)  # (L, H, D) uint8
+        byte = jnp.where(off % 2 == 0, nib << 4, (prev_leaf[:, b] << 4) | nib)
+        u = byte[:, None, :, None, :]  # (L,1,H,1,D)
+        idx = (0, page, 0, off // 2, 0)
+        return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), idx)
+
+    def upd4_scale(arr, vals, b):
+        # scales live in the kernel's parity-grouped column order:
+        # c(off) = (off%2)*(P/2) + off//2
+        half = arr.shape[3] // 2
+        off = jax.lax.dynamic_index_in_dim(offs, b, keepdims=False)
+        page = jax.lax.dynamic_index_in_dim(rows, b, keepdims=False)
+        u = jnp.expand_dims(jnp.expand_dims(vals, 1), 3)
+        idx = (0, page, 0, (off % 2) * half + off // 2)
+        return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), idx)
+
     # token axis per leaf: paged pool K/V are token-major (L,NP,H,P,D);
     # contiguous K is transposed (L,B,H,D,S) with the token LAST
     for b in range(B):
+        if kv4:
+            new_cache["k"] = upd4(new_cache["k"], new_cache["nib_prev_k"],
+                                  pk[:, b], b)
+            new_cache["v"] = upd4(new_cache["v"], new_cache["nib_prev_v"],
+                                  pv[:, b], b)
+            new_cache["k_scale"] = upd4_scale(new_cache["k_scale"], pks[:, b], b)
+            new_cache["v_scale"] = upd4_scale(new_cache["v_scale"], pvs[:, b], b)
+            continue
         if paged:
             new_cache["k"] = upd(new_cache["k"], pk[:, b], b, 3)
         else:
@@ -753,19 +806,49 @@ def flush_paged_writes(new_cache: Dict) -> Dict:
         new_cache["v"] = upd(new_cache["v"], pv[:, b], b, 3)
         new_cache["k_scale"] = upd(new_cache["k_scale"], pks[:, b], b, 3)
         new_cache["v_scale"] = upd(new_cache["v_scale"], pvs[:, b], b, 3)
+    if kv4:
+        # stage this step's nibbles for next step's odd-offset writes
+        new_cache["nib_prev_k"] = _nib(pk)
+        new_cache["nib_prev_v"] = _nib(pv)
     return new_cache
 
 
-def _kv_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(B, T, H, D) -> int8 codes + per-(token,head) absmax."""
+def _kv_quantize(x: jax.Array, levels: float = 127.0) -> Tuple[jax.Array, jax.Array]:
+    """(B, T, H, D) -> int codes on the ±levels grid (int8 storage) +
+    per-(token,head) absmax. levels=7 is the int4-pool grid (kv_bits=4):
+    the codes ride pend buffers / the attend register fold as int8 and
+    pack to nibbles at flush."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.where(absmax > 0, 127.0 / absmax, 0.0)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) * scale[..., None]), -127, 127)
+    scale = jnp.where(absmax > 0, levels / absmax, 0.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * scale[..., None]),
+                 -levels, levels)
     return q.astype(jnp.int8), absmax
 
 
-def _kv_dequantize(q: jax.Array, absmax: jax.Array, dtype) -> jax.Array:
-    return (q.astype(jnp.float32) * (absmax[..., None] / 127.0)).astype(dtype)
+def _kv_dequantize(q: jax.Array, absmax: jax.Array, dtype,
+                   levels: float = 127.0) -> jax.Array:
+    return (q.astype(jnp.float32) * (absmax[..., None] / levels)).astype(dtype)
+
+
+def _kv4_unpack(packed: jax.Array) -> jax.Array:
+    """(..., P/2, D) uint8 adjacent-token nibble pairs -> (..., P, D)
+    int8 codes in [-7, 7] in LOGICAL token order (byte row r holds
+    tokens 2r HI / 2r+1 LO — engine/paged._pack4's order)."""
+    hi, lo = (packed >> 4).astype(jnp.int32), (packed & 0xF).astype(jnp.int32)
+
+    def dec(nib):
+        return jnp.where(nib >= 8, -(nib - 8), nib).astype(jnp.int8)
+
+    pair = jnp.stack([dec(hi), dec(lo)], axis=-2)  # (..., P/2, 2, D)
+    return pair.reshape(*packed.shape[:-2], -1, packed.shape[-1])
+
+
+def _kv4_scales_logical(s: jax.Array) -> jax.Array:
+    """Pool scales are stored in the kernel's parity-grouped COLUMN
+    order (engine/paged._scale_cols); interleave back to token order."""
+    half = s.shape[-1] // 2
+    return jnp.stack([s[..., :half], s[..., half:]], axis=-1).reshape(
+        *s.shape[:-1], -1)
 
 
 # ---------------------------------------------------------------------------

@@ -98,13 +98,22 @@ __all__ = [
 ]
 
 
+def _dec4_plane(b32: jax.Array, shift: int) -> jax.Array:
+    """Sign-magnitude int4 nibble at bits [shift, shift+4) -> f32 value
+    in [-7, 7]. Same no-shift bit-test pattern as matmul_4bit._decode_
+    plane (int32 lanes for f32 selects; shifts/int16-sub don't lower)."""
+    mag = b32 & jnp.asarray(7 << shift, b32.dtype)
+    neg = (b32 & jnp.asarray(8 << shift, b32.dtype)) != jnp.asarray(0, b32.dtype)
+    return jnp.where(neg, -mag, mag).astype(jnp.float32) * (1.0 / (1 << shift))
+
+
 def _paged_attn_kernel(
     li_ref,  # scalar prefetch: (1,) int32 layer index
     pt_ref,  # scalar prefetch: (B, MAXP) int32 page table
     len_ref,  # scalar prefetch: (B,) int32 valid lengths
     *refs,  # q, pool blocks, [slopes], [new-token operands], out, scratch
     P, R, H, n_pages, scale, window=None, softcap=None, has_new=False,
-    has_alibi=False,
+    has_alibi=False, kv4=False,
 ):
     refs = list(refs)
     q_ref, k_ref, ks_ref, v_ref, vs_ref = refs[:5]
@@ -133,11 +142,28 @@ def _paged_attn_kernel(
         # once on the stacked tile (full-sublane VPU shapes)
         for h in range(H):
             q = q_ref[0, h].astype(jnp.float32)  # (R, D)
-            k = k_ref[0, 0, h].astype(jnp.float32)  # (P, D) token-major
-            sc_ref[h * R:(h + 1) * R, :] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),  # contract D with D
-                preferred_element_type=jnp.float32,
-            )
+            if kv4:
+                # packed page (P/2, D) uint8: byte row r = tokens 2r (HI
+                # nibble) and 2r+1 (LO) — adjacent-pair packing keeps
+                # decode-step writes full byte rows (write-only DUS; see
+                # engine/paged.init_page_pool). Score columns come out
+                # GROUPED BY PARITY: [even tokens | odd tokens]; the
+                # position iota below and the scale layout both use this
+                # column order, so downstream math is order-agnostic.
+                kb = k_ref[0, 0, h].astype(jnp.int32)
+                for plane, shift in ((0, 4), (1, 0)):
+                    sc_ref[h * R:(h + 1) * R,
+                           plane * (P // 2):(plane + 1) * (P // 2)] = (
+                        jax.lax.dot_general(
+                            q, _dec4_plane(kb, shift), (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+            else:
+                k = k_ref[0, 0, h].astype(jnp.float32)  # (P, D) token-major
+                sc_ref[h * R:(h + 1) * R, :] = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),  # contract D with D
+                    preferred_element_type=jnp.float32,
+                )
         ks = ks_ref[0, 0].astype(jnp.float32)  # (H, P)
         ksr = jnp.broadcast_to(ks[:, None, :], (H, R, P)).reshape(H * R, P)
         sc = sc_ref[:] * (ksr * scale)
@@ -146,7 +172,13 @@ def _paged_attn_kernel(
         # masking is always in logical position space. The query sits at
         # position qpos = len-1 (len counts it) or len (has_new: the
         # current token rides in registers, len counts only POOL tokens)
-        pos = j * P + jax.lax.broadcasted_iota(jnp.int32, (H * R, P), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (H * R, P), 1)
+        if kv4:
+            # column c <-> in-page token 2*(c % P/2) + (c >= P/2): the
+            # parity-grouped order the packed planes produce
+            half = P // 2
+            col = jnp.where(col < half, 2 * col, 2 * (col - half) + 1)
+        pos = j * P + col
         qpos = len_ref[b] if has_new else len_ref[b] - 1
         if has_alibi:
             # ALiBi (BLOOM): -slope_h * (qpos - kpos) on the real logits
@@ -168,13 +200,28 @@ def _paged_attn_kernel(
         l_ref[:] = l_ref[:] * alpha + jnp.sum(w, axis=1, keepdims=True)
         vs = vs_ref[0, 0].astype(jnp.float32)  # (H, P)
         vsr = jnp.broadcast_to(vs[:, None, :], (H, R, P)).reshape(H * R, P)
-        wv = w * (vsr * jnp.float32(1.0 / 127.0))
+        wv = w * (vsr * jnp.float32(1.0 / (7.0 if kv4 else 127.0)))
         for h in range(H):
-            v = v_ref[0, 0, h].astype(jnp.float32)  # (P, D)
-            pv_ref[h * R:(h + 1) * R, :] = jax.lax.dot_general(
-                wv[h * R:(h + 1) * R, :], v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            sl = slice(h * R, (h + 1) * R)
+            if kv4:
+                # V pages share the packing: weight columns [even | odd]
+                # pair with the decoded even/odd token-row planes
+                vb = v_ref[0, 0, h].astype(jnp.int32)  # (P/2, D) packed
+                pv_ref[sl, :] = jax.lax.dot_general(
+                    wv[sl, : P // 2], _dec4_plane(vb, 4),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    wv[sl, P // 2:], _dec4_plane(vb, 0),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                v = v_ref[0, 0, h].astype(jnp.float32)  # (P, D)
+                pv_ref[sl, :] = jax.lax.dot_general(
+                    wv[sl, :], v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
         m_ref[:] = m_new
         acc_ref[:] = acc_ref[:] * alpha + pv_ref[:]
 
@@ -204,7 +251,10 @@ def _paged_attn_kernel(
             l2 = l_ref[:] * alpha + w_new
             vsn = vsn_ref[0].astype(jnp.float32)  # (H, 1)
             vsnr = jnp.broadcast_to(vsn[:, None, :], (H, R, 1)).reshape(H * R, 1)
-            wv_new = w_new * (vsnr * jnp.float32(1.0 / 127.0))
+            # kv4: the engine quantizes the in-register token on the same
+            # int4 grid (values in [-7, 7] carried as int8), so the fold
+            # is bit-consistent with reading the packed token back later
+            wv_new = w_new * (vsnr * jnp.float32(1.0 / (7.0 if kv4 else 127.0)))
             for h in range(H):
                 vn = vn_ref[0, h].astype(jnp.float32)  # (1, D)
                 sl = slice(h * R, (h + 1) * R)
@@ -223,7 +273,9 @@ def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths,
                      new_kv=None, window=None, softcap=None, sm_scale=None,
                      pages_hint=None, alibi=None):
     B, Hkv, rep, D = q4.shape
-    P = vp.shape[3]
+    P = vsp.shape[3]  # logical tokens/page (the SCALE leaf is per-token)
+    kv4 = vp.dtype == jnp.uint8  # pair-packed pages: (..., P//2, D)
+    PB = vp.shape[3]  # byte rows per page block (P or P//2)
     max_pages = page_table.shape[1]
     if pages_hint is not None:
         # truncate the grid to the host-known live horizon: skipped
@@ -245,9 +297,9 @@ def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths,
         pl.BlockSpec((1, Hkv, rep, D),
                      lambda b, j, li, pt, lens: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Hkv, P, D), page_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Hkv, PB, D), page_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, Hkv, P), scale_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Hkv, P, D), page_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Hkv, PB, D), page_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, Hkv, P), scale_map, memory_space=pltpu.VMEM),
     ]
     if alibi is not None:
@@ -286,8 +338,8 @@ def _paged_attn_call(q4, kp, ksp, vp, vsp, li, page_table, lengths,
     sm = sm_scale if sm_scale is not None else 1.0 / float(np.sqrt(D))
     kernel = functools.partial(
         _paged_attn_kernel, P=P, R=rep, H=Hkv, n_pages=max_pages,
-        scale=sm / 127.0, window=window, softcap=softcap, has_new=has_new,
-        has_alibi=alibi is not None,
+        scale=sm / (7.0 if kv4 else 127.0), window=window, softcap=softcap,
+        has_new=has_new, has_alibi=alibi is not None, kv4=kv4,
     )
     extra = ()
     if alibi is not None:
@@ -338,8 +390,10 @@ def paged_decode_attention_int8_stacked(
     in q.dtype, or None if untileable (caller falls back to gathering
     pages and using the XLA path)."""
     B, T, Hq, D = q.shape
-    Hkv, P = vp.shape[2], vp.shape[3]
+    Hkv, P = vp.shape[2], vs.shape[3]  # logical P from the per-token scales
     if T != 1 or D % 128 != 0 or Hq % Hkv != 0 or P % 128 != 0:
+        return None
+    if vp.shape[3] not in (P, P // 2):  # int8 or int4 pair-packed pages
         return None
     q4 = q.reshape(B, Hkv, Hq // Hkv, D)
     li = jnp.asarray(li, jnp.int32).reshape(1)

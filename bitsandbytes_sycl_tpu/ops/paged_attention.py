@@ -77,6 +77,16 @@ interleaved with attends it re-materialized the pool every layer, and
 even a single deferred kernel call after 32 attend reads kept one
 full-pool copy (measured via compiled.memory_analysis); plain DUS
 chains are the only form XLA provably keeps in place here.
+
+int4 KV pages (kv_bits=4, r5): pool leaves arrive uint8 with P/2 byte
+rows — adjacent token pairs (2r HI nibble, 2r+1 LO), sign-magnitude ±7
+codes, per-token absmax scales stored in the kernel's parity-grouped
+COLUMN order (engine/paged._scale_cols). The kernel decodes both
+planes in-kernel (_dec4_plane, the int32-lane bit-test arithmetic that
+lowers on v5e) and remaps the position iota to the grouped columns;
+everything downstream (masking, window, ALiBi, online softmax, new_kv
+fold on the same ±7 grid) is column-order-agnostic. Design rationale
+and the two rejected packings live in engine/paged.init_page_pool.
 """
 
 from __future__ import annotations

@@ -55,6 +55,9 @@ class GPTJConfig:
     absmax_dtype: str = "bfloat16"  # scale storage; bf16 is free (see llama)
     llm_int8_threshold: float = 6.0
     kv_quant: bool = True
+    # int4 paged KV pages (see llama.LlamaConfig.kv_bits — the paged
+    # machinery is shared, detection is by pool dtype)
+    kv_bits: int = 8
     # paged decode grid truncation (see llama.LlamaConfig.pages_hint)
     pages_hint: Optional[int] = None
 

@@ -715,3 +715,27 @@ def test_engine_paged_kv4_generates_deterministically():
         eng8 = InferenceEngine(mcfg8, params, EngineConfig(max_batch=2, paged=True))
         out8 = eng8.generate(prompts, max_new_tokens=6)
         assert all(len(o) == 6 for o in out8)
+
+
+def test_engine_paged_kv4_serves_gptj_substrate():
+    """kv_bits=4 composes with forward_fn families (Falcon MQA on the
+    gptj substrate): pool packs, generation runs and is deterministic —
+    detection is by pool dtype, so the shared write_and_attend path
+    needs no per-family wiring beyond the config field."""
+    from bitsandbytes_sycl_tpu.models.falcon import FalconConfig, falcon_forward
+    from bitsandbytes_sycl_tpu.models.gptj import init_gptj_kv_cache, init_gptj_params
+
+    cfg = FalconConfig.tiny(
+        hidden_size=256, num_heads=2, kv_heads=1, head_dim=128,
+        rotary_dim=128, max_seq_len=256, kv_quant=True, quant="nf4",
+        kv_bits=4,
+    )
+    params = init_gptj_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3, 4], [9, 8, 7, 6, 5]]
+    kw = dict(forward_fn=falcon_forward, init_cache_fn=init_gptj_kv_cache)
+    ep = InferenceEngine(cfg, params, EngineConfig(max_batch=2, paged=True), **kw)
+    assert ep.cache["v"].dtype == jnp.uint8
+    out = ep.generate(prompts, max_new_tokens=6)
+    assert all(len(o) == 6 for o in out)
+    ep2 = InferenceEngine(cfg, params, EngineConfig(max_batch=2, paged=True), **kw)
+    assert ep2.generate(prompts, max_new_tokens=6) == out

@@ -502,11 +502,14 @@ def model7b_paged_decode(arg="48"):
     cache = dict(pool, page_table=table,
                  write_page=jnp.zeros((B,), jnp.int32),
                  write_off=jnp.zeros((B,), jnp.int32))
-    if kv4:  # nibble staging for the pair-packed flush (engine adds these)
-        cache["nib_prev_k"] = jnp.zeros(
-            (cfg.num_layers, B, cfg.num_kv_heads, cfg.hd), jnp.uint8)
-        cache["nib_prev_v"] = jnp.zeros(
-            (cfg.num_layers, B, cfg.num_kv_heads, cfg.hd), jnp.uint8)
+    if kv4:
+        # nibble staging for the pair-packed flush. Zero-seeding is fine
+        # HERE (unlike the engine, which seeds from the last prefill
+        # token): this bench's pool starts all-zero, so the one byte an
+        # odd-offset first write rebuilds holds no real token
+        from bitsandbytes_sycl_tpu.engine.paged import add_nib_staging
+
+        cache = add_nib_staging(cache, cfg, B)
 
     # the ~11 GB pool must be DONATED (a copied carry would double-buffer
     # past the 16 GB chip); each call returns it for re-threading

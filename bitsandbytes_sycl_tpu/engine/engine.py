@@ -222,10 +222,9 @@ class InferenceEngine:
             if getattr(model_cfg, "kv_bits", 8) == 4:
                 # one-step nibble staging for the pair-packed flush
                 # (models/llama.flush_paged_writes kv4 path)
-                Lh, Hh, Dh = (model_cfg.num_layers, model_cfg.num_kv_heads,
-                              model_cfg.hd)
-                self.cache["nib_prev_k"] = jnp.zeros((Lh, B, Hh, Dh), jnp.uint8)
-                self.cache["nib_prev_v"] = jnp.zeros((Lh, B, Hh, Dh), jnp.uint8)
+                from .paged import add_nib_staging
+
+                self.cache = add_nib_staging(self.cache, model_cfg, B)
         else:
             self.cache = init_cache(model_cfg, B)
         if self._cache_sharding is not None:
@@ -406,12 +405,10 @@ class InferenceEngine:
             if "nib_prev_k" in pool:
                 # kv4: seed the nibble staging leaf with each row's LAST
                 # prefill token so its odd-offset first decode write can
-                # rebuild the shared byte without reading the pool. The
-                # requant here matches paged._pack4 bit-exactly.
-                def nib4(c8):
-                    c4 = jnp.clip(
-                        jnp.round(c8.astype(jnp.float32) * (7.0 / 127.0)), -7, 7)
-                    return (jnp.abs(c4) + 8.0 * (c4 < 0)).astype(jnp.uint8)
+                # rebuild the shared byte without reading the pool.
+                # requant_nib4 IS _pack4's encoder — bit-exact by
+                # construction (shared helper in ops/paged_attention.py).
+                from ..ops.paged_attention import requant_nib4 as nib4
 
                 idx = jnp.maximum(lens - 1, 0)
                 k_last = jnp.take_along_axis(  # k: (L,K,H,D,S) token-LAST

@@ -137,14 +137,26 @@ def init_page_pool(cfg, num_pages: int, page_size: int) -> Dict:
 def _pack4(c8: jax.Array, tok_axis: int) -> jax.Array:
     """int8 codes on the ±127 grid -> packed sign-magnitude int4 pairs
     of ADJACENT tokens: byte row r = token 2r (HI nibble) | 2r+1 (LO).
-    One-time requant at ingest: round(c * 7/127) costs <= absmax/14 —
-    inside the int4 grid's own step."""
-    c4 = jnp.clip(jnp.round(c8.astype(jnp.float32) * (7.0 / 127.0)), -7, 7)
-    nib = (jnp.abs(c4) + 8.0 * (c4 < 0)).astype(jnp.uint8)
+    Encoding is ops/paged_attention.requant_nib4 (shared with the
+    insert-time nib_prev seeding, which must match bit-exactly)."""
+    from ..ops.paged_attention import requant_nib4
+
+    nib = requant_nib4(c8)
     P = nib.shape[tok_axis]
     ev = jax.lax.slice_in_dim(nib, 0, P, stride=2, axis=tok_axis)
     od = jax.lax.slice_in_dim(nib, 1, P, stride=2, axis=tok_axis)
     return ((ev << 4) | od).astype(jnp.uint8)
+
+
+def add_nib_staging(pool: Dict, cfg, batch: int) -> Dict:
+    """Attach the kv4 one-step nibble staging leaves (nib_prev_k/v,
+    (L, B, H, D) uint8) to a paged pool dict — the single definition of
+    the kv4 pool schema beyond init_page_pool (used by the engine, the
+    serving bench, and the accuracy harness)."""
+    L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.hd
+    pool["nib_prev_k"] = jnp.zeros((L, batch, H, D), jnp.uint8)
+    pool["nib_prev_v"] = jnp.zeros((L, batch, H, D), jnp.uint8)
+    return pool
 
 
 def _scale_cols(s: jax.Array, tok_axis: int) -> jax.Array:

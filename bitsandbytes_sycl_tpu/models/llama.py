@@ -68,12 +68,14 @@ class LlamaConfig:
     llm_int8_threshold: float = 6.0
     kv_quant: bool = True  # int8 KV cache
     # KV bit width for the PAGED pool (engine paged mode, r5): 4 packs
-    # channel pairs (d, d+D/2) per byte (sign-magnitude ±7 grid,
-    # per-token absmax) — half the attention HBM reads and half the pool
-    # memory, decoded in-kernel by the paged flash-decode kernel; decode
-    # writes stay full byte rows (write-only DUS). The contiguous
-    # prefill scratch stays int8 (requantized once at ingest);
-    # contiguous-cache decode ignores this field. Requires kv_quant.
+    # ADJACENT TOKEN PAIRS per byte (page byte row r = token 2r in the
+    # HI nibble, 2r+1 in the LO; sign-magnitude ±7 grid, per-token
+    # absmax) — half the attention HBM reads and half the pool memory,
+    # decoded in-kernel by the paged flash-decode kernel; decode writes
+    # stay write-only DUS via the nib_prev staging leaf (layout
+    # rationale: engine/paged.init_page_pool). The contiguous prefill
+    # scratch stays int8 (requantized once at ingest); contiguous-cache
+    # decode ignores this field. Requires kv_quant.
     kv_bits: int = 8
     tie_embeddings: bool = False
     # sliding-window attention (Mistral): query t attends keys in
@@ -756,8 +758,11 @@ def flush_paged_writes(new_cache: Dict) -> Dict:
         return jax.lax.dynamic_update_slice(arr, u.astype(arr.dtype), tuple(idx))
 
     def _nib(vals):
-        return (jnp.abs(vals.astype(jnp.int32))
-                + 8 * (vals < 0).astype(jnp.int32)).astype(jnp.uint8)
+        # vals are already ±7-grid codes (no requant) — the shared kv4
+        # sign-magnitude encoding
+        from ..ops.paged_attention import nib_sign_mag
+
+        return nib_sign_mag(vals)
 
     def upd4(arr, prev_leaf, vals, b):
         # int4 pair-packed pool: the byte row (tokens 2r | 2r+1) is built

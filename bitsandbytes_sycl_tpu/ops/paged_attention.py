@@ -108,6 +108,25 @@ __all__ = [
 ]
 
 
+def nib_sign_mag(c4: jax.Array) -> jax.Array:
+    """±7-grid codes -> sign-magnitude nibbles (|c| + 8·[c<0]) as uint8.
+    THE kv4 nibble encoding — single definition shared by the ingest
+    pack (engine/paged._pack4), the deferred flush
+    (models/llama.flush_paged_writes) and the insert-time nib_prev
+    seeding (engine.paged_insert_fn); _dec4_plane below is its in-kernel
+    inverse."""
+    c = c4.astype(jnp.int32)
+    return (jnp.abs(c) + 8 * (c < 0).astype(jnp.int32)).astype(jnp.uint8)
+
+
+def requant_nib4(c8: jax.Array) -> jax.Array:
+    """±127-grid int8 codes -> kv4 nibbles: the one-time ingest requant
+    (round(c·7/127), error <= absmax/14 — inside the int4 grid's own
+    step) followed by nib_sign_mag."""
+    c4 = jnp.clip(jnp.round(c8.astype(jnp.float32) * (7.0 / 127.0)), -7, 7)
+    return nib_sign_mag(c4)
+
+
 def _dec4_plane(b32: jax.Array, shift: int) -> jax.Array:
     """Sign-magnitude int4 nibble at bits [shift, shift+4) -> f32 value
     in [-7, 7]. Same no-shift bit-test pattern as matmul_4bit._decode_

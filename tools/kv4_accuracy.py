@@ -76,10 +76,9 @@ def decode_ppl(params, cfg, windows, batch=16):
             break
         pool = init_page_pool(cfg, batch * maxp + 1, P)
         if getattr(cfg, "kv_bits", 8) == 4:
-            pool["nib_prev_k"] = jnp.zeros(
-                (cfg.num_layers, batch, cfg.num_kv_heads, cfg.hd), jnp.uint8)
-            pool["nib_prev_v"] = jnp.zeros(
-                (cfg.num_layers, batch, cfg.num_kv_heads, cfg.hd), jnp.uint8)
+            from bitsandbytes_sycl_tpu.engine.paged import add_nib_staging
+
+            pool = add_nib_staging(pool, cfg, batch)
         nll, cnt = run(params, jnp.asarray(wb), pool)
         tot += float(nll)
         n += int(cnt)
